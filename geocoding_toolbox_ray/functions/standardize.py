@@ -1,0 +1,111 @@
+"""Address standardization grammar.
+
+The reference delegates standardization to the AGRC web service; the only
+client-observable contract is the ``standardizedAddress`` response field
+(``/root/reference/src/agrcgeocoding/geocode.py:234-237``) and the mocked
+pair ``inputAddress='123 S MAIN'`` / ``standardizedAddress='123 south main'``
+(``tests/test_geocode.py:115-116``).  From that we fix a deterministic,
+from-scratch grammar:
+
+    standardize(street) = lowercase(cleansed street) with direction and
+    street-type abbreviation tokens expanded (``s`` -> ``south``,
+    ``st`` -> ``street``, ``sr`` -> ``state route``, ...), applied as
+    word-boundary replacements in a fixed order.
+
+It also parses the standardized string into components (house number,
+prefix direction, street name, street type, suffix direction) via one
+``pyarrow.compute.extract_regex`` call — the struct the matcher scores on.
+
+Like every scalar module here, the vectorized kernel and the SQL builder
+are generated from the same ``EXPANSIONS`` table.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+#: (abbreviation, expansion) applied in order on the lowercased street.
+#: Directions first, then street types; none of the expansions contains a
+#: token that a later rule would re-match, so sequential application is
+#: confluent.
+EXPANSIONS: tuple[tuple[str, str], ...] = (
+    ("n", "north"),
+    ("s", "south"),
+    ("e", "east"),
+    ("w", "west"),
+    ("sr", "state route"),
+    ("st", "street"),
+    ("ave", "avenue"),
+    ("blvd", "boulevard"),
+    ("dr", "drive"),
+    ("rd", "road"),
+    ("ln", "lane"),
+    ("ct", "court"),
+    ("cir", "circle"),
+    ("hwy", "highway"),
+    ("pl", "place"),
+    ("pkwy", "parkway"),
+)
+
+DIRECTIONS = ("north", "south", "east", "west")
+
+#: component grammar over the standardized string:
+#:   [house] [prefix_dir] name... [street_type] [suffix_dir]
+_STREET_TYPES = (
+    "street avenue boulevard drive road lane court circle highway place "
+    "parkway way"
+).split()
+
+_COMPONENT_PATTERN = (
+    r"^(?P<house>\d+)?\s*"
+    r"(?P<prefix_dir>north|south|east|west)?\s*"
+    r"(?P<name>.*?)\s*"
+    r"(?P<street_type>" + "|".join(_STREET_TYPES) + r")?\s*"
+    r"(?P<suffix_dir>north|south|east|west)?$"
+)
+_COMPONENT_RE = re.compile(_COMPONENT_PATTERN)
+
+
+# ---------------------------------------------------------------- scalar
+
+def standardize(cleansed_street: str) -> str:
+    out = cleansed_street.lower()
+    for abbr, full in EXPANSIONS:
+        out = re.sub(r"\b%s\b" % abbr, full, out)
+    return out
+
+
+def parse_components(standardized: str) -> dict:
+    m = _COMPONENT_RE.match(standardized)
+    if m is None:  # pattern is total (everything optional) — cannot happen
+        return {k: "" for k in ("house", "prefix_dir", "name", "street_type", "suffix_dir")}
+    return {k: (v or "") for k, v in m.groupdict().items()}
+
+
+# ------------------------------------------------------------- vectorized
+
+def standardize_arrow(col: pa.Array | pa.ChunkedArray) -> pa.Array | pa.ChunkedArray:
+    out = pc.utf8_lower(col)
+    for abbr, full in EXPANSIONS:
+        out = pc.replace_substring_regex(out, pattern=r"\b%s\b" % abbr, replacement=full)
+    return out
+
+
+def parse_components_arrow(col: pa.Array | pa.ChunkedArray) -> pa.StructArray:
+    """One extract_regex call -> struct<house, prefix_dir, name, street_type, suffix_dir>.
+
+    Rows that somehow fail the (total) pattern yield null struct fields.
+    """
+    return pc.extract_regex(col, pattern=_COMPONENT_PATTERN)
+
+
+# -------------------------------------------------------------------- sql
+
+def standardize_sql(expr: str) -> str:
+    out = f"lower({expr})"
+    for abbr, full in EXPANSIONS:
+        out = f"regexp_replace({out}, '\\b{abbr}\\b', '{full}', 'g')"
+    return out

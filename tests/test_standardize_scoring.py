@@ -1,0 +1,141 @@
+"""Standardization grammar + scoring function tests, incl. SQL parity."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from geocoding_toolbox_ray.functions import scoring, standardize
+
+
+def _lit(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+# -------------------------------------------------------- standardization
+
+def test_reference_mock_pair():
+    # tests/test_geocode.py:115-116 pins '123 S MAIN' <-> '123 south main'
+    assert standardize.standardize("123 S MAIN") == "123 south main"
+
+
+@pytest.mark.parametrize(
+    "raw,expected",
+    [
+        ("259 W MAIN", "259 west main"),
+        ("39 N SR 6", "39 north state route 6"),
+        ("677 N SR 6", "677 north state route 6"),
+        ("123 E 400 S", "123 east 400 south"),
+        ("10 Main St", "10 main street"),
+        ("fasf", "fasf"),
+    ],
+)
+def test_standardize(raw, expected):
+    assert standardize.standardize(raw) == expected
+
+
+def test_standardize_arrow_parity():
+    inputs = ["259 W MAIN", "39 N SR 6", "123 E 400 S", "10 Main St", "fasf", ""]
+    got = standardize.standardize_arrow(pa.array(inputs)).to_pylist()
+    assert got == [standardize.standardize(s) for s in inputs]
+
+
+def test_standardize_sql_parity():
+    con = duckdb.connect()
+    for s in ["259 W MAIN", "39 N SR 6", "123 E 400 S", "10 Main St", "fasf", ""]:
+        got = con.execute("SELECT " + standardize.standardize_sql(_lit(s))).fetchone()[0]
+        assert got == standardize.standardize(s), s
+
+
+def test_parse_components():
+    c = standardize.parse_components("123 south main street")
+    assert c["house"] == "123"
+    assert c["prefix_dir"] == "south"
+    assert c["name"] == "main"
+    assert c["street_type"] == "street"
+
+    c = standardize.parse_components("39 north state route 6")
+    assert c["house"] == "39"
+    assert c["prefix_dir"] == "north"
+
+    c = standardize.parse_components("123 east 400 south")
+    assert c["house"] == "123"
+    assert c["prefix_dir"] == "east"
+    assert c["suffix_dir"] == "south"
+
+
+def test_parse_components_arrow_matches_scalar():
+    inputs = ["123 south main street", "39 north state route 6", "fasf", ""]
+    arr = standardize.parse_components_arrow(pa.array(inputs))
+    for i, s in enumerate(inputs):
+        expect = standardize.parse_components(s)
+        got = {k: (arr.field(k)[i].as_py() or "") for k in expect}
+        assert got == expect, s
+
+
+# ---------------------------------------------------------------- scoring
+
+@pytest.mark.parametrize(
+    "a,b,lev",
+    [
+        ("", "", 0),
+        ("abc", "abc", 0),
+        ("abc", "abd", 1),
+        ("kitten", "sitting", 3),
+        ("abc", "", 3),
+        ("", "xy", 2),
+        ("flaw", "lawn", 2),
+        ("123 south main", "123 south maine", 1),
+    ],
+)
+def test_levenshtein_known(a, b, lev):
+    got = scoring.levenshtein_batch(np.array([a], object), np.array([b], object))
+    assert got[0] == lev
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.text("abcdef 0123", max_size=12), st.text("abcdef 0123", max_size=12)),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_levenshtein_batch_matches_reference_dp(pairs):
+    def ref_lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    a = np.array([p[0] for p in pairs], object)
+    b = np.array([p[1] for p in pairs], object)
+    got = scoring.levenshtein_batch(a, b)
+    expect = [ref_lev(*p) for p in pairs]
+    assert got.tolist() == expect
+
+
+def test_score_exact_is_100():
+    assert scoring.score("123 south main", "123 south main") == 100
+
+
+def test_score_sql_parity():
+    con = duckdb.connect()
+    cases = [
+        ("123 south main", "123 south maine"),
+        ("39 north state route 6", "39 north state route 66"),
+        ("fasf", "123 south main"),
+        ("", "x"),
+        ("abc", "abc"),
+    ]
+    for a, b in cases:
+        sql = "SELECT " + scoring.score_sql(_lit(a), _lit(b))
+        got = con.execute(sql).fetchone()[0]
+        assert got == scoring.score(a, b), (a, b)
