@@ -1,0 +1,79 @@
+"""The flagship pipeline: pages -> candidates -> geocoded rows.
+
+Ray-Data-first shape (SURVEY.md §3.4)::
+
+    read_parquet(pages, columns=[url, warc_ts, text, lang])   # prune html at the read
+      -> map_batches(filter lang == 'en')                     # M8
+      -> map_batches(extract_candidates)                      # M7: 1 page -> 0..N rows
+      -> map_batches(MatcherStage, concurrency=N)             # cleanse+standardize+match
+                                                              # (T2/J1/J2, broadcast index)
+
+Everything is streaming; the only materialized object is the broadcast
+index (a few MB).  The health-probe conformance mode reproduces the
+reference's ordered first-25-rows abort
+(``/root/reference/src/agrcgeocoding/geocode.py:37,190-191``).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..config import HEALTH_PROBE_COUNT, PipelineConfig
+from ..errors import ContinuousFailThresholdExceeded
+from ..sources.synthetic import address_points_table
+from ..stages.extract import extract_candidates, filter_lang
+from ..stages.matcher import MatcherStage
+from ..state.index import GeocodeIndex
+
+
+def build_index_ref(locators: str = "all", address_points: pa.Table | None = None):
+    """Compile the broadcast index and put it in the object store (once)."""
+    import ray
+
+    table = address_points if address_points is not None else address_points_table()
+    return ray.put(GeocodeIndex.build(table, locators=locators))
+
+
+def geocode_candidates(candidates, config: PipelineConfig | None = None, index_ref=None):
+    """candidates Dataset (primary_key, input_street, input_zone, ...) -> 11-col output."""
+    config = config or PipelineConfig()
+    if index_ref is None:
+        index_ref = build_index_ref(config.locators)
+    return candidates.map_batches(
+        MatcherStage,
+        fn_constructor_kwargs={"index_ref": index_ref, "accept_score": config.accept_score},
+        batch_format="pyarrow",
+        batch_size=config.batch_size,
+        concurrency=config.concurrency,
+    )
+
+
+def geocode_pages(pages, config: PipelineConfig | None = None, index_ref=None, lang: str = "en"):
+    """pages Dataset -> extracted candidates -> geocoded 11-col output."""
+    config = config or PipelineConfig()
+    candidates = pages.map_batches(
+        lambda b: extract_candidates(filter_lang(b, lang)),
+        batch_format="pyarrow",
+        batch_size=config.batch_size,
+    )
+    return geocode_candidates(candidates, config, index_ref)
+
+
+def read_pages(path: str):
+    """Column-pruned pages scan: html is never read for the geocode path."""
+    import ray.data as rd
+
+    return rd.read_parquet(path, columns=["url", "warc_ts", "text", "lang"])
+
+
+def run_health_probe(candidates, config: PipelineConfig, index_ref=None) -> None:
+    """Conformance health probe (E2): geocode the FIRST ``HEALTH_PROBE_COUNT``
+    candidate rows in input order; if every one fails, abort the job —
+    the streaming analogue of geocode.py:190-191.  No-op when
+    ``config.ignore_failures`` is set (same flag, geocode.py:120)."""
+    if config.ignore_failures:
+        return
+    probe = candidates.limit(HEALTH_PROBE_COUNT)
+    out = geocode_candidates(probe, config, index_ref).to_pandas()
+    if len(out) == HEALTH_PROBE_COUNT and out["message"].notna().all():
+        raise ContinuousFailThresholdExceeded()

@@ -1,0 +1,178 @@
+"""Deterministic synthetic reference tables.
+
+The reference toolbox queries server-side Utah locator layers it never
+ships (``/root/reference/src/agrcgeocoding/geocode.py:198-208`` is the only
+observable surface).  Our offline engine needs local stand-ins:
+
+* ``address_points`` — the locator layer (FIXTURES.md §7): one row per
+  known address with standardized form, display form, zone (city + ZIP5),
+  UTM-12N-style coordinates, address grid and locator tier.
+* ``parcels`` — polygon layer (FIXTURES.md §8): one rectangle parcel per
+  address point (packed flat-ring representation) plus covering cells.
+
+Everything is a pure function of module constants — no RNG, no clock — so
+the DuckDB oracle can inline the *same* table as a ``VALUES`` literal
+(``address_points_values_sql``) and hash-match the engine bit-for-bit.
+The tables are intentionally small (480 points); at deployment scale the
+same schema is read from Parquet (``read_address_points``) and broadcast
+via ``ray.put`` (see ``state/index.py``).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..functions.cells import DEFAULT_RES, cell_encode
+from ..functions.cleanse import cleanse_street
+from ..functions.standardize import standardize
+
+#: (city, zip5, center_x, center_y) — Utah-flavored, inside the cell grid extent.
+CITIES: tuple[tuple[str, str, float, float], ...] = (
+    ("delta", "84624", 330_000.0, 4_360_000.0),
+    ("salt lake city", "84101", 425_000.0, 4_512_000.0),
+    ("provo", "84601", 445_000.0, 4_455_000.0),
+    ("ogden", "84401", 418_000.0, 4_565_000.0),
+    ("moab", "84532", 625_000.0, 4_270_000.0),
+    ("logan", "84321", 432_000.0, 4_620_000.0),
+    ("st george", "84770", 270_000.0, 4_110_000.0),
+    ("vernal", "84078", 600_000.0, 4_470_000.0),
+)
+
+STREETS: tuple[str, ...] = ("MAIN", "STATE", "CENTER", "SR 6", "200", "UNIVERSITY AVE")
+#: streets served by the road-centerline locator tier rather than address points
+_CENTERLINE_STREETS = frozenset({"SR 6", "200"})
+DIRECTIONS_ABBR = ("N", "S", "E", "W")
+HOUSES_PER_STREET = 10
+
+PARCEL_HALF = 10.0  # rectangle parcel half-width in meters
+
+ADDRESS_POINTS_SCHEMA = pa.schema(
+    [
+        ("point_id", pa.int64()),
+        ("addr_std", pa.string()),
+        ("match_address", pa.string()),
+        ("zone", pa.string()),
+        ("zip", pa.string()),
+        ("x", pa.float64()),
+        ("y", pa.float64()),
+        ("address_grid", pa.string()),
+        ("locator", pa.string()),
+    ]
+)
+
+
+def _address_point_rows() -> list[dict]:
+    rows = []
+    pid = 0
+    for ci, (city, zip5, cx, cy) in enumerate(CITIES):
+        for si, street in enumerate(STREETS):
+            for h in range(1, HOUSES_PER_STREET + 1):
+                pid += 1
+                d = DIRECTIONS_ABBR[h % 4]
+                raw = f"{h} {d} {street}"
+                rows.append(
+                    {
+                        "point_id": pid,
+                        "addr_std": standardize(cleanse_street(raw)),
+                        "match_address": raw,
+                        "zone": city,
+                        "zip": zip5,
+                        "x": cx + si * 400.0 + float(h * 37 % 200),
+                        "y": cy + (h % 4) * 250.0 + float(h * 30),
+                        "address_grid": city.upper(),
+                        "locator": (
+                            "RoadCenterlines" if street in _CENTERLINE_STREETS else "AddressPoints"
+                        ),
+                    }
+                )
+    return rows
+
+
+def address_points_table() -> pa.Table:
+    """The full deterministic address-point reference layer (480 rows)."""
+    rows = _address_point_rows()
+    cols = {name: [r[name] for r in rows] for name in ADDRESS_POINTS_SCHEMA.names}
+    return pa.table(cols, schema=ADDRESS_POINTS_SCHEMA)
+
+
+def address_points_values_sql(alias: str = "ap") -> str:
+    """The same table as a DuckDB VALUES CTE body: ``{alias}(cols...) AS (VALUES ...)``."""
+    rows = _address_point_rows()
+    parts = []
+    for r in rows:
+        parts.append(
+            "({pid}, '{astd}', '{ma}', '{zone}', '{zip}', {x!r}, {y!r}, '{grid}', '{loc}')".format(
+                pid=r["point_id"],
+                astd=r["addr_std"].replace("'", "''"),
+                ma=r["match_address"].replace("'", "''"),
+                zone=r["zone"].replace("'", "''"),
+                zip=r["zip"],
+                x=r["x"],
+                y=r["y"],
+                grid=r["address_grid"].replace("'", "''"),
+                loc=r["locator"],
+            )
+        )
+    cols = ", ".join(ADDRESS_POINTS_SCHEMA.names)
+    return f"{alias}({cols}) AS (VALUES\n" + ",\n".join(parts) + ")"
+
+
+# ------------------------------------------------------------------ parcels
+
+PARCELS_SCHEMA = pa.schema(
+    [
+        ("parcel_id", pa.string()),
+        ("rings", pa.list_(pa.list_(pa.float64()))),
+        ("h3_cells", pa.list_(pa.int64())),
+    ]
+)
+
+
+def parcels_table(res: int = DEFAULT_RES) -> pa.Table:
+    """One axis-aligned rectangle parcel centered on each address point.
+
+    ``rings`` is the packed flat-pair polygon representation (SURVEY.md J3):
+    ``list<list<float64>>`` where each inner list is ``[x0,y0, x1,y1, ...]``
+    closed (first pair == last pair); first ring is the exterior.
+    ``h3_cells`` are the covering cells of the parcel's bbox at ``res``.
+    """
+    import numpy as np
+
+    rows = _address_point_rows()
+    parcel_ids, rings, cell_lists = [], [], []
+    for r in rows:
+        x, y = r["x"], r["y"]
+        x0, x1 = x - PARCEL_HALF, x + PARCEL_HALF
+        y0, y1 = y - PARCEL_HALF, y + PARCEL_HALF
+        parcel_ids.append(f"P{r['point_id']}")
+        rings.append([[x0, y0, x1, y0, x1, y1, x0, y1, x0, y0]])
+        corners_x = np.array([x0, x1, x0, x1])
+        corners_y = np.array([y0, y0, y1, y1])
+        cell_lists.append(sorted(set(cell_encode(corners_x, corners_y, res).tolist())))
+    return pa.table(
+        {"parcel_id": parcel_ids, "rings": rings, "h3_cells": cell_lists},
+        schema=PARCELS_SCHEMA,
+    )
+
+
+def parcels_bbox_values_sql(alias: str = "parcels") -> str:
+    """Rectangle parcels as (parcel_id, xmin, ymin, xmax, ymax) VALUES CTE body.
+
+    The oracle checks containment on the bbox form; the engine runs the
+    general ray-crossing kernel over the packed rings — identical answers
+    for axis-aligned rectangles with interior query points.
+    """
+    rows = _address_point_rows()
+    parts = []
+    for r in rows:
+        x, y = r["x"], r["y"]
+        parts.append(
+            "('P{pid}', {x0!r}, {y0!r}, {x1!r}, {y1!r})".format(
+                pid=r["point_id"],
+                x0=x - PARCEL_HALF,
+                y0=y - PARCEL_HALF,
+                x1=x + PARCEL_HALF,
+                y1=y + PARCEL_HALF,
+            )
+        )
+    return f"{alias}(parcel_id, xmin, ymin, xmax, ymax) AS (VALUES\n" + ",\n".join(parts) + ")"

@@ -1,0 +1,69 @@
+"""Pages corpus invariants + extraction stage tests."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from geocoding_toolbox_ray.sources import pages as pages_mod
+from geocoding_toolbox_ray.stages.extract import extract_candidates, filter_lang
+
+
+def test_pages_deterministic():
+    a = pages_mod.pages_table(50)
+    b = pages_mod.pages_table(50)
+    assert a.equals(b)
+
+
+def test_text_byte_identical_to_extractor():
+    """north_star / input_hint invariant: text == extract_text(html) per url."""
+    t = pages_mod.pages_table(200)
+    htmls = t["html"].to_pylist()
+    texts = t["text"].to_pylist()
+    for h, x in zip(htmls, texts):
+        assert pages_mod.extract_text(h.decode("utf-8")) == x
+
+
+def test_pages_schema():
+    t = pages_mod.pages_table(10)
+    assert t.schema.equals(pages_mod.PAGES_SCHEMA)
+
+
+def test_extract_candidates_counts():
+    t = pages_mod.pages_table(100)
+    en = filter_lang(t)
+    cands = extract_candidates(en)
+    # page i embeds i%4 addresses; expected = sum over en pages
+    langs = t["lang"].to_pylist()
+    expect = sum(i % 4 for i in range(100) if langs[i] == "en")
+    assert cands.num_rows == expect
+    # primary keys unique and shaped url#match
+    pks = cands["primary_key"].to_pylist()
+    assert len(set(pks)) == len(pks)
+    assert all("#" in pk for pk in pks)
+
+
+def test_extract_candidates_empty_batch():
+    t = pages_mod.pages_table(1)  # page 0 has 0 addresses
+    out = extract_candidates(t)
+    assert out.num_rows == 0
+    assert "primary_key" in out.schema.names
+
+
+def test_extracted_streets_parse():
+    t = pages_mod.pages_table(60)
+    cands = extract_candidates(t)
+    streets = cands["input_street"].to_pylist()
+    zones = cands["input_zone"].to_pylist()
+    assert all(s[0].isdigit() for s in streets)
+    assert all(z and ("," not in z) for z in zones)
+
+
+def test_generate_pages_dataset_matches_inmemory(ray_session):
+    ds = pages_mod.generate_pages_dataset(40, override_num_blocks=4)
+    got = ds.to_pandas().sort_values("url").reset_index(drop=True)
+    expect = pages_mod.pages_table(40).to_pandas().sort_values("url").reset_index(drop=True)
+    assert got["url"].tolist() == expect["url"].tolist()
+    assert got["text"].tolist() == expect["text"].tolist()
+    assert np.array_equal(
+        got["warc_ts"].to_numpy(), expect["warc_ts"].to_numpy()
+    )
