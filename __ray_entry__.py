@@ -3,14 +3,10 @@
 The driver's verify calls ``entry()`` as a smoke check (Ray is already
 initialised, local mode), runs each ``queries()[name](sf_dir)`` at
 sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+DuckDB (row-count + schema + order-insensitive value-hash).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Nothing here calls ``ray.init`` / ``ray.shutdown`` — only ``bench.py``
+and the pytest session fixture own a Ray session.
 """
 
 from __future__ import annotations
@@ -20,25 +16,59 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on sf0.001-scale input: deterministic pages corpus
+    -> lang filter -> address extraction -> cleanse/standardize -> broadcast
+    cell-indexed matcher -> 11-column reference output."""
+    import ray.data as rd
+
+    from geocoding_toolbox_ray.config import PipelineConfig
+    from geocoding_toolbox_ray.pipelines.geocode import geocode_pages
+    from geocoding_toolbox_ray.sources.pages import pages_table
+
+    pages = rd.from_arrow(pages_table(2000))
+    return geocode_pages(pages, PipelineConfig(concurrency=4, batch_size=2048))
+
+
+def _pages_count_for(sf_dir: str) -> int:
+    """Deterministic pages-corpus size proportional to the sf (4 pages per
+    documents row, read from parquet metadata only)."""
+    import pyarrow.parquet as pq
+
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    return int(n_docs) * 4
+
+
+def _geocode_pages_query(sf_dir: str):
+    import ray.data as rd
+
+    from geocoding_toolbox_ray.config import PipelineConfig
+    from geocoding_toolbox_ray.pipelines.geocode import geocode_pages
+    from geocoding_toolbox_ray.sources.pages import generate_pages_dataset
+
+    pages = generate_pages_dataset(_pages_count_for(sf_dir))
+    return geocode_pages(pages, PipelineConfig())
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from geocoding_toolbox_ray import queries as q
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- geocoding core (oracle-checked) ---
+        "geocode_orders": q.geocode_orders,
+        "counters_report": q.counters_report,
+        "cleanse_street_documents": q.cleanse_street_documents,
+        "cleanse_zone_orders": q.cleanse_zone_orders,
+        # --- flagship web pipeline (pages corpus is engine-side; rows-only) ---
+        "geocode_pages": _geocode_pages_query,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from geocoding_toolbox_ray import oracle
+
+    return {
+        "geocode_orders": oracle.geocode_orders_sql(),
+        "counters_report": oracle.counters_sql(),
+        "cleanse_street_documents": oracle.cleanse_street_documents_sql(),
+        "cleanse_zone_orders": oracle.cleanse_zone_orders_sql(),
+    }

@@ -1,0 +1,86 @@
+"""Deterministic candidate-address derivation from the ``orders`` table.
+
+The driver's correctness gate runs our Ray pipelines against DuckDB SQL
+over the same registered parquet views (region..embeddings) — the pages
+corpus is not among them.  So the oracle-checked geocode query derives its
+``(primary_key, street, zone)`` candidate rows from ``orders`` with pure
+integer arithmetic, reproduced verbatim in SQL by ``derive_sql()``:
+
+    i      = o_orderkey
+    house  = 1 + i % 12                  (reference houses are 1..10)
+    dir    = NSEW[(1 + i % 12) % 4]      (the fixture's house->direction rule)
+             except every 5th row uses NSEW[i % 4]  (wrong dir -> fuzzy tier)
+    name   = STREETS6[(i // 4) % 6]      (incl. 'fasf' garbage -> error rows)
+    street = house dir name, wrapped in cleansing noise by i % 3
+    zone   = ZONES6[(i // 3) % 6]        (city, ZIP+4, '&' city, ZIP, empty)
+
+This exercises every tier: exact hits, fuzzy accepts, below-threshold
+error rows, empty/unknown zones, and all cleansing branches
+(geocode.py:40-62 semantics).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+NSEW = ("N", "S", "E", "W")
+STREETS6 = ("MAIN", "STATE", "CENTER", "SR 6", "200", "fasf")
+ZONES6 = ("Delta", "84624-1234", "salt & lake city", "84101", "", "Moab")
+
+
+def derive_candidates(batch: pa.Table) -> pa.Table:
+    """map_batches body: orders batch (o_orderkey) -> candidate rows."""
+    i = np.asarray(batch["o_orderkey"].to_numpy(zero_copy_only=False), np.int64)
+    house = 1 + i % 12
+    dir_idx = np.where(i % 5 == 0, i % 4, house % 4)
+    dirs = np.array(NSEW, object)[dir_idx]
+    names = np.array(STREETS6, object)[(i // 4) % 6]
+    base = (
+        pd.Series(house).astype(str) + " " + pd.Series(dirs) + " " + pd.Series(names)
+    )
+    noise = i % 3
+    street = base.copy()
+    street[noise == 1] = "  " + base[noise == 1] + "  "
+    street[noise == 2] = base[noise == 2] + "$%#"
+    zone = pd.Series(np.array(ZONES6, object)[(i // 3) % 6])
+    return pa.table(
+        {
+            "primary_key": pa.array(i.astype(str), pa.string()),
+            "input_street": pa.array(street, pa.string()),
+            "input_zone": pa.array(zone, pa.string()),
+        }
+    )
+
+
+def derive_sql() -> str:
+    """SELECT producing the identical candidate rows from the ``orders`` view."""
+    def _case(expr: str, options: tuple[str, ...]) -> str:
+        whens = " ".join(
+            f"WHEN {k} THEN '{v.replace(chr(39), chr(39) * 2)}'" for k, v in enumerate(options)
+        )
+        return f"CASE {expr} {whens} END"
+
+    dir_case = (
+        "CASE WHEN o_orderkey % 5 = 0 THEN "
+        + _case("o_orderkey % 4", NSEW)
+        + " ELSE "
+        + _case("(1 + o_orderkey % 12) % 4", NSEW)
+        + " END"
+    )
+    base = (
+        "CAST(1 + o_orderkey % 12 AS VARCHAR) || ' ' || "
+        + dir_case
+        + " || ' ' || "
+        + _case("(o_orderkey // 4) % 6", STREETS6)
+    )
+    street = (
+        "CASE o_orderkey % 3 WHEN 1 THEN '  ' || ({b}) || '  ' "
+        "WHEN 2 THEN ({b}) || '$%#' ELSE ({b}) END"
+    ).format(b=base)
+    zone = _case("(o_orderkey // 3) % 6", ZONES6)
+    return (
+        "SELECT CAST(o_orderkey AS VARCHAR) AS primary_key, "
+        f"{street} AS input_street, {zone} AS input_zone FROM orders"
+    )

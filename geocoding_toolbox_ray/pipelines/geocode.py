@@ -39,12 +39,14 @@ def geocode_candidates(candidates, config: PipelineConfig | None = None, index_r
     config = config or PipelineConfig()
     if index_ref is None:
         index_ref = build_index_ref(config.locators)
+    # autoscaling pool (1, N): a fixed-size pool of N can grab every CPU and
+    # starve the upstream read/extract tasks (observed deadlock at num_cpus=4)
     return candidates.map_batches(
         MatcherStage,
         fn_constructor_kwargs={"index_ref": index_ref, "accept_score": config.accept_score},
         batch_format="pyarrow",
         batch_size=config.batch_size,
-        concurrency=config.concurrency,
+        concurrency=(1, config.concurrency),
     )
 
 

@@ -1,0 +1,80 @@
+"""Driver-contract rehearsal: run each Ray query AND its DuckDB oracle at
+sf0.001 and compare row counts, column names, and values (order-insensitive)
+— the same shape of check the driver performs at sf0.01."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return c
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def compare(ray_result, sql: str, con) -> None:
+    if hasattr(ray_result, "to_pandas"):
+        ray_df = ray_result.to_pandas()
+    else:
+        ray_df = pd.DataFrame(ray_result)
+    oracle_df = con.execute(sql).df()
+    assert sorted(ray_df.columns) == sorted(oracle_df.columns), (
+        sorted(ray_df.columns),
+        sorted(oracle_df.columns),
+    )
+    assert len(ray_df) == len(oracle_df)
+    a, b = _normalize(ray_df), _normalize(oracle_df)
+    for col in a.columns:
+        av, bv = a[col], b[col]
+        if av.dtype == object or bv.dtype == object:
+            assert av.fillna("\0").tolist() == bv.fillna("\0").tolist(), col
+        else:
+            pd.testing.assert_series_equal(
+                av, bv.astype(av.dtype), check_names=False, check_exact=True
+            )
+
+
+def test_geocode_orders_parity(ray_session, con):
+    from geocoding_toolbox_ray import oracle, queries
+
+    compare(queries.geocode_orders(SF_DIR), oracle.geocode_orders_sql(), con)
+
+
+def test_counters_parity(ray_session, con):
+    from geocoding_toolbox_ray import oracle, queries
+
+    compare(queries.counters_report(SF_DIR), oracle.counters_sql(), con)
+
+
+def test_cleanse_street_documents_parity(ray_session, con):
+    from geocoding_toolbox_ray import oracle, queries
+
+    compare(
+        queries.cleanse_street_documents(SF_DIR),
+        oracle.cleanse_street_documents_sql(),
+        con,
+    )
+
+
+def test_cleanse_zone_orders_parity(ray_session, con):
+    from geocoding_toolbox_ray import oracle, queries
+
+    compare(
+        queries.cleanse_zone_orders(SF_DIR), oracle.cleanse_zone_orders_sql(), con
+    )
