@@ -58,6 +58,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "counters_report": q.counters_report,
         "cleanse_street_documents": q.cleanse_street_documents,
         "cleanse_zone_orders": q.cleanse_zone_orders,
+        # --- spatial joins / indexing (oracle-checked) ---
+        "pip_join": q.pip_join,
+        "knn_join": q.knn_join,
+        "cell_encode_lineitem": q.cell_encode_lineitem,
+        "tile_assign_lineitem": q.tile_assign_lineitem,
+        "tile_counts": q.tile_counts,
         # --- flagship web pipeline (pages corpus is engine-side; rows-only) ---
         "geocode_pages": _geocode_pages_query,
     }
@@ -71,4 +77,9 @@ def oracle_sql() -> dict[str, str]:
         "counters_report": oracle.counters_sql(),
         "cleanse_street_documents": oracle.cleanse_street_documents_sql(),
         "cleanse_zone_orders": oracle.cleanse_zone_orders_sql(),
+        "pip_join": oracle.pip_join_sql(),
+        "knn_join": oracle.knn_join_sql(),
+        "cell_encode_lineitem": oracle.cell_encode_lineitem_sql(),
+        "tile_assign_lineitem": oracle.tile_assign_lineitem_sql(),
+        "tile_counts": oracle.tile_counts_sql(),
     }

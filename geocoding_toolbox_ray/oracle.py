@@ -8,11 +8,14 @@ a mechanical identity check, not a re-implementation.
 
 from __future__ import annotations
 
+from .functions.cells import X0, Y0, cell_encode_sql
 from .functions.cleanse import cleanse_street_sql, cleanse_zone_sql
 from .functions.scoring import score_sql
 from .functions.standardize import standardize_sql
+from .functions.tiles import tile_assign_sql
 from .pipelines.candidates import derive_sql
-from .sources.synthetic import address_points_values_sql
+from .pipelines.spatial import DX_BY_MOD3, DY_BY_MOD2
+from .sources.synthetic import address_points_values_sql, parcels_bbox_values_sql
 from .stages.matcher import no_candidates_message
 
 
@@ -101,4 +104,95 @@ def cleanse_zone_orders_sql() -> str:
         + " AS zone_clean, "
         + cleanse_zone_sql("o_orderpriority")
         + " AS zone_clean_text FROM orders"
+    )
+
+
+# ------------------------------------------------------------- spatial
+
+def _anchored_points_cte() -> str:
+    dx = (
+        f"CASE l_orderkey % 3 WHEN 0 THEN {DX_BY_MOD3[0]!r} "
+        f"WHEN 1 THEN {DX_BY_MOD3[1]!r} ELSE {DX_BY_MOD3[2]!r} END"
+    )
+    dy = (
+        f"CASE l_linenumber % 2 WHEN 0 THEN {DY_BY_MOD2[0]!r} "
+        f"ELSE {DY_BY_MOD2[1]!r} END"
+    )
+    return (
+        "qpts AS (SELECT l_orderkey * 10 + l_linenumber AS query_id, "
+        f"ap.x + ({dx}) AS qx, ap.y + ({dy}) AS qy "
+        "FROM lineitem JOIN ap ON ap.point_id = 1 + ((l_orderkey * 7 + l_linenumber) % 600))"
+    )
+
+
+def _uniform_points_select() -> str:
+    return (
+        "SELECT l_orderkey * 10 + l_linenumber AS query_id, "
+        f"({X0!r} + CAST((l_orderkey * 131 + l_linenumber * 17) % 4096 AS DOUBLE) * 125.0) AS qx, "
+        f"({Y0!r} + CAST((l_orderkey * 241 + l_partkey * 13) % 4096 AS DOUBLE) * 125.0) AS qy "
+        "FROM lineitem"
+    )
+
+
+def pip_join_sql() -> str:
+    return f"""
+WITH {address_points_values_sql('ap')},
+{parcels_bbox_values_sql('parcels')},
+{_anchored_points_cte()},
+hits AS (
+    SELECT q.query_id, p.parcel_id,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY p.parcel_id ASC) AS rn
+    FROM qpts q
+    JOIN parcels p
+      ON q.qx > p.xmin AND q.qx < p.xmax AND q.qy > p.ymin AND q.qy < p.ymax
+)
+SELECT q.query_id, h.parcel_id
+FROM qpts q
+LEFT JOIN (SELECT query_id, parcel_id FROM hits WHERE rn = 1) h
+  ON h.query_id = q.query_id
+"""
+
+
+def knn_join_sql() -> str:
+    return f"""
+WITH {address_points_values_sql('ap')},
+{_anchored_points_cte()},
+pairs AS (
+    SELECT q.query_id, ap.point_id, ap.x, ap.y,
+           (q.qx - ap.x) * (q.qx - ap.x) + (q.qy - ap.y) * (q.qy - ap.y) AS d2
+    FROM qpts q CROSS JOIN ap
+),
+best AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY d2 ASC, point_id ASC
+    ) AS rn
+    FROM pairs
+)
+SELECT q.query_id, b.point_id AS nn_point_id, b.x AS nn_x, b.y AS nn_y
+FROM qpts q
+JOIN (SELECT * FROM best WHERE rn = 1) b ON b.query_id = q.query_id
+"""
+
+
+def cell_encode_lineitem_sql() -> str:
+    return (
+        "WITH qpts AS (" + _uniform_points_select() + ") "
+        "SELECT query_id, " + cell_encode_sql("qx", "qy") + " AS cell FROM qpts"
+    )
+
+
+def tile_assign_lineitem_sql() -> str:
+    tx, ty = tile_assign_sql("qx", "qy")
+    return (
+        "WITH qpts AS (" + _uniform_points_select() + ") "
+        f"SELECT query_id, {tx} AS tile_x, {ty} AS tile_y FROM qpts"
+    )
+
+
+def tile_counts_sql() -> str:
+    tx, ty = tile_assign_sql("qx", "qy")
+    return (
+        "WITH qpts AS (" + _uniform_points_select() + ") "
+        f"SELECT {tx} AS tile_x, {ty} AS tile_y, COUNT(*) AS n "
+        "FROM qpts GROUP BY 1, 2"
     )

@@ -1,0 +1,182 @@
+"""Spatial query pipelines: PIP join, kNN join, cell encode, tile assign.
+
+Query points are derived from ``lineitem`` with pure integer/double
+arithmetic mirrored in the oracle SQL (see ``oracle.py``):
+
+* anchored points (PIP / kNN): a reference point chosen by
+  ``pid = 1 + ((l_orderkey*7 + l_linenumber) % 600)`` (ids > 480 drop out)
+  offset by a deterministic (dx, dy) — inside / outside / neighbor-parcel
+  mix;
+* uniform points (cells / tiles): lattice points
+  ``X0 + ((l_orderkey*131 + l_linenumber*17) % 4096) * 125.0`` etc.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.cells import X0, Y0, cell_encode
+from ..functions.tiles import tile_assign
+from ..sources.synthetic import address_points_table, parcels_table
+
+_AP_CACHE: dict = {}
+
+
+def _ap_arrays():
+    """address-point coords indexable by point_id-1 (point_id is 1..N sequential)."""
+    if "xy" not in _AP_CACHE:
+        t = address_points_table()
+        _AP_CACHE["xy"] = (
+            np.asarray(t["x"].to_numpy(), np.float64),
+            np.asarray(t["y"].to_numpy(), np.float64),
+        )
+    return _AP_CACHE["xy"]
+
+
+DX_BY_MOD3 = (3.0, 12.0, -2.0)
+DY_BY_MOD2 = (4.0, -50.0)
+
+
+def derive_anchored_points(batch: pa.Table) -> pa.Table:
+    """lineitem batch -> (query_id, qx, qy) anchored at reference points."""
+    ok = np.asarray(batch["l_orderkey"].to_numpy(zero_copy_only=False), np.int64)
+    ln = np.asarray(batch["l_linenumber"].to_numpy(zero_copy_only=False), np.int64)
+    ax, ay = _ap_arrays()
+    pid = 1 + (ok * 7 + ln) % 600
+    keep = pid <= len(ax)
+    ok, ln, pid = ok[keep], ln[keep], pid[keep]
+    dx = np.array(DX_BY_MOD3, np.float64)[ok % 3]
+    dy = np.array(DY_BY_MOD2, np.float64)[ln % 2]
+    return pa.table(
+        {
+            "query_id": pa.array(ok * 10 + ln, pa.int64()),
+            "qx": pa.array(ax[pid - 1] + dx, pa.float64()),
+            "qy": pa.array(ay[pid - 1] + dy, pa.float64()),
+        }
+    )
+
+
+def derive_uniform_points(batch: pa.Table) -> pa.Table:
+    """lineitem batch -> (query_id, qx, qy) on the 125 m lattice."""
+    ok = np.asarray(batch["l_orderkey"].to_numpy(zero_copy_only=False), np.int64)
+    ln = np.asarray(batch["l_linenumber"].to_numpy(zero_copy_only=False), np.int64)
+    pk = np.asarray(batch["l_partkey"].to_numpy(zero_copy_only=False), np.int64)
+    qx = X0 + ((ok * 131 + ln * 17) % 4096).astype(np.float64) * 125.0
+    qy = Y0 + ((ok * 241 + pk * 13) % 4096).astype(np.float64) * 125.0
+    return pa.table(
+        {
+            "query_id": pa.array(ok * 10 + ln, pa.int64()),
+            "qx": pa.array(qx, pa.float64()),
+            "qy": pa.array(qy, pa.float64()),
+        }
+    )
+
+
+# ------------------------------------------------------------ pipelines
+
+def _lineitem(sf_dir: str, columns):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=columns)
+
+
+def pip_join(sf_dir: str):
+    """Anchored points -> containing parcel (or null) via the PIP actor stage."""
+    import ray
+
+    from ..stages.spatial import ParcelIndex, PipStage
+
+    pts = _lineitem(sf_dir, ["l_orderkey", "l_linenumber"]).map_batches(
+        derive_anchored_points, batch_format="pyarrow"
+    )
+    index_ref = ray.put(ParcelIndex.build(parcels_table()))
+    return pts.map_batches(
+        PipStage,
+        fn_constructor_kwargs={"parcel_index_ref": index_ref},
+        batch_format="pyarrow",
+        batch_size=16384,
+        concurrency=(1, 8),
+    )
+
+
+def knn_join(sf_dir: str):
+    """Anchored points -> exact nearest reference point via ring expansion."""
+    import ray
+
+    from ..state.index import GeocodeIndex
+    from ..stages.spatial import KnnStage
+
+    pts = _lineitem(sf_dir, ["l_orderkey", "l_linenumber"]).map_batches(
+        derive_anchored_points, batch_format="pyarrow"
+    )
+    index_ref = ray.put(GeocodeIndex.build(address_points_table()))
+    return pts.map_batches(
+        KnnStage,
+        fn_constructor_kwargs={"index_ref": index_ref},
+        batch_format="pyarrow",
+        batch_size=16384,
+        concurrency=(1, 8),
+    )
+
+
+def cell_encode_lineitem(sf_dir: str):
+    def _f(batch: pa.Table) -> pa.Table:
+        pts = derive_uniform_points(batch)
+        cell = cell_encode(
+            pts["qx"].to_numpy(zero_copy_only=False),
+            pts["qy"].to_numpy(zero_copy_only=False),
+        )
+        return pa.table({"query_id": pts["query_id"], "cell": pa.array(cell, pa.int64())})
+
+    return _lineitem(sf_dir, ["l_orderkey", "l_linenumber", "l_partkey"]).map_batches(
+        _f, batch_format="pyarrow"
+    )
+
+
+def tile_assign_lineitem(sf_dir: str):
+    def _f(batch: pa.Table) -> pa.Table:
+        pts = derive_uniform_points(batch)
+        tx, ty = tile_assign(
+            pts["qx"].to_numpy(zero_copy_only=False),
+            pts["qy"].to_numpy(zero_copy_only=False),
+        )
+        return pa.table(
+            {
+                "query_id": pts["query_id"],
+                "tile_x": pa.array(tx, pa.int64()),
+                "tile_y": pa.array(ty, pa.int64()),
+            }
+        )
+
+    return _lineitem(sf_dir, ["l_orderkey", "l_linenumber", "l_partkey"]).map_batches(
+        _f, batch_format="pyarrow"
+    )
+
+
+def tile_counts(sf_dir: str):
+    """Per-tile point counts with partial aggregation before the shuffle:
+    each batch emits one row per tile it saw, then a small groupby sums the
+    partials (the pre-aggregate pattern for the skewed wide step)."""
+    from ray.data.aggregate import Sum
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        pts = derive_uniform_points(batch)
+        tx, ty = tile_assign(
+            pts["qx"].to_numpy(zero_copy_only=False),
+            pts["qy"].to_numpy(zero_copy_only=False),
+        )
+        key = tx * (1 << 20) + ty
+        uniq, counts = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "tile_x": pa.array(uniq >> 20, pa.int64()),
+                "tile_y": pa.array(uniq & ((1 << 20) - 1), pa.int64()),
+                "partial_n": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    ds = _lineitem(sf_dir, ["l_orderkey", "l_linenumber", "l_partkey"]).map_batches(
+        _partial, batch_format="pyarrow"
+    )
+    return ds.groupby(["tile_x", "tile_y"]).aggregate(Sum("partial_n", alias_name="n"))

@@ -101,3 +101,35 @@ def cleanse_zone_orders(sf_dir: str):
         )
 
     return orders.map_batches(_f, batch_format="pyarrow")
+
+
+# -------------------------------------------------------------- spatial
+
+def pip_join(sf_dir: str):
+    from .pipelines.spatial import pip_join as _pip
+
+    return _pip(sf_dir)
+
+
+def knn_join(sf_dir: str):
+    from .pipelines.spatial import knn_join as _knn
+
+    return _knn(sf_dir)
+
+
+def cell_encode_lineitem(sf_dir: str):
+    from .pipelines.spatial import cell_encode_lineitem as _f
+
+    return _f(sf_dir)
+
+
+def tile_assign_lineitem(sf_dir: str):
+    from .pipelines.spatial import tile_assign_lineitem as _f
+
+    return _f(sf_dir)
+
+
+def tile_counts(sf_dir: str):
+    from .pipelines.spatial import tile_counts as _f
+
+    return _f(sf_dir)

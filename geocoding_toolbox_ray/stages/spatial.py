@@ -1,0 +1,180 @@
+"""Spatial join stages: point-in-polygon (J3) and kNN fallback (J4).
+
+Both are actor-pool ``map_batches`` stages holding broadcast state fetched
+once per actor:
+
+* ``PipStage`` — a ``ParcelIndex`` (packed edge soup + cell->parcel spans);
+  candidate pairs come from the query point's cell, pass a bbox prefilter,
+  then the exact even-odd crossing kernel; ties (overlapping parcels)
+  resolve to the lexicographically smallest parcel_id — the same ORDER BY
+  the DuckDB oracle uses.
+* ``KnnStage`` — nearest reference point via Chebyshev cell-ring expansion
+  over the ``GeocodeIndex`` cell spans: expand the disk until non-empty at
+  radius r0, compute per-query provisional minima, then widen to
+  ``R = floor(dmax/s) + 1`` which provably contains the true nearest, and
+  take the exact argmin (tie-break: smallest point_id).  Exactness is what
+  lets a cross-join argmin SQL oracle check it.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.cells import DEFAULT_RES, cell_encode, cell_size, disk_cells
+from ..functions.pip import PackedPolygons
+
+
+class ParcelIndex:
+    """Compiled parcel state: edge soup + sorted (cell, parcel) spans."""
+
+    def __init__(self, parcel_ids, polys: PackedPolygons, cells_sorted, parcel_of_cell, res):
+        self.parcel_ids = parcel_ids
+        self.polys = polys
+        self.cells_sorted = cells_sorted
+        self.parcel_of_cell = parcel_of_cell
+        self.res = res
+
+    @staticmethod
+    def build(parcels: pa.Table, res: int = DEFAULT_RES) -> "ParcelIndex":
+        ids = np.asarray(parcels["parcel_id"].to_pylist(), object)
+        rings = parcels["rings"].to_pylist()
+        cell_lists = parcels["h3_cells"].to_pylist()
+        polys = PackedPolygons(rings)
+        cells, owners = [], []
+        for i, cl in enumerate(cell_lists):
+            cells.extend(cl)
+            owners.extend([i] * len(cl))
+        cells = np.asarray(cells, np.int64)
+        owners = np.asarray(owners, np.int64)
+        order = np.argsort(cells, kind="stable")
+        return ParcelIndex(ids, polys, cells[order], owners[order], res)
+
+    def parcels_in_cells(self, cells: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(query_pos, parcel_pos) candidate pairs for one cell per query."""
+        lo = np.searchsorted(self.cells_sorted, cells, side="left")
+        hi = np.searchsorted(self.cells_sorted, cells, side="right")
+        counts = hi - lo
+        q = np.repeat(np.arange(len(cells), dtype=np.int64), counts)
+        total = int(counts.sum())
+        if total == 0:
+            return q, np.zeros(0, np.int64)
+        offs = np.arange(total, dtype=np.int64) - np.repeat(
+            np.concatenate([[0], np.cumsum(counts)[:-1]]), counts
+        )
+        return q, self.parcel_of_cell[np.repeat(lo, counts) + offs]
+
+
+class PipStage:
+    """(query_id, qx, qy) -> (query_id, parcel_id|null)."""
+
+    def __init__(self, parcel_index_ref):
+        import ray
+
+        self.index = (
+            ray.get(parcel_index_ref)
+            if isinstance(parcel_index_ref, ray.ObjectRef)
+            else parcel_index_ref
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qx = np.asarray(batch["qx"].to_numpy(zero_copy_only=False), np.float64)
+        qy = np.asarray(batch["qy"].to_numpy(zero_copy_only=False), np.float64)
+        n = len(qx)
+        idx = self.index
+        cells = cell_encode(qx, qy, idx.res)
+        qpos, ppos = idx.parcels_in_cells(cells)
+        # bbox prefilter (inclusive — the exact kernel decides boundaries)
+        if len(ppos):
+            keep = (
+                (qx[qpos] >= idx.polys.bbox_min_x[ppos])
+                & (qx[qpos] <= idx.polys.bbox_max_x[ppos])
+                & (qy[qpos] >= idx.polys.bbox_min_y[ppos])
+                & (qy[qpos] <= idx.polys.bbox_max_y[ppos])
+            )
+            qpos, ppos = qpos[keep], ppos[keep]
+        inside = idx.polys.contains_pairs(qx[qpos], qy[qpos], ppos) if len(ppos) else np.zeros(0, bool)
+        qhit, phit = qpos[inside], ppos[inside]
+
+        result = np.full(n, None, object)
+        if len(qhit):
+            pid_str = idx.parcel_ids[phit]
+            order = np.lexsort((pid_str, qhit))  # by query, then parcel_id asc
+            qs, ps = qhit[order], pid_str[order]
+            first = np.concatenate([[True], qs[1:] != qs[:-1]])
+            result[qs[first]] = ps[first]
+        return pa.table(
+            {
+                "query_id": batch["query_id"],
+                "parcel_id": pa.array(result, pa.string()),
+            }
+        )
+
+
+class KnnStage:
+    """(query_id, qx, qy) -> (query_id, nn_point_id, nn_x, nn_y) — exact 1-NN."""
+
+    def __init__(self, index_ref):
+        import ray
+
+        self.index = ray.get(index_ref) if isinstance(index_ref, ray.ObjectRef) else index_ref
+        self.px = self.index.points["x"].to_numpy(np.float64)
+        self.py = self.index.points["y"].to_numpy(np.float64)
+        self.pid = self.index.points["point_id"].to_numpy(np.int64)
+        self.max_radius = 1 << self.index.res  # grid width — absolute upper bound
+
+    def _candidates(self, cell: int, radius: int) -> np.ndarray:
+        return self.index.points_in_cells(disk_cells(cell, radius, self.index.res))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qx = np.asarray(batch["qx"].to_numpy(zero_copy_only=False), np.float64)
+        qy = np.asarray(batch["qy"].to_numpy(zero_copy_only=False), np.float64)
+        n = len(qx)
+        s = cell_size(self.index.res)
+        cells = cell_encode(qx, qy, self.index.res)
+
+        nn_pid = np.zeros(n, np.int64)
+        nn_x = np.zeros(n, np.float64)
+        nn_y = np.zeros(n, np.float64)
+        found = np.zeros(n, bool)
+
+        for cell in np.unique(cells):
+            sel = np.flatnonzero(cells == cell)
+            # expand until any candidate appears
+            radius, cand = 0, self._candidates(int(cell), 0)
+            while len(cand) == 0 and radius < self.max_radius:
+                radius += 1
+                cand = self._candidates(int(cell), radius)
+            if len(cand) == 0:
+                continue
+            d2 = (qx[sel, None] - self.px[cand][None, :]) ** 2 + (
+                qy[sel, None] - self.py[cand][None, :]
+            ) ** 2
+            dmin = np.sqrt(d2.min(axis=1))
+            need = int(np.max(dmin) // s) + 1
+            if need > radius:
+                cand = self._candidates(int(cell), need)
+                d2 = (qx[sel, None] - self.px[cand][None, :]) ** 2 + (
+                    qy[sel, None] - self.py[cand][None, :]
+                ) ** 2
+            # exact argmin with point_id tie-break
+            rowmin = d2.min(axis=1, keepdims=True)
+            is_min = d2 == rowmin
+            pid_m = np.where(is_min, self.pid[cand][None, :], np.iinfo(np.int64).max)
+            win_pid = pid_m.min(axis=1)
+            # map winning point_id back to candidate position
+            pos_of = {int(p): int(c) for p, c in zip(self.pid[cand], cand)}
+            win_pos = np.array([pos_of[int(p)] for p in win_pid], np.int64)
+            nn_pid[sel] = win_pid
+            nn_x[sel] = self.px[win_pos]
+            nn_y[sel] = self.py[win_pos]
+            found[sel] = True
+
+        return pa.table(
+            {
+                "query_id": batch["query_id"],
+                "nn_point_id": pa.array(np.where(found, nn_pid, -1), pa.int64()),
+                "nn_x": pa.array(np.where(found, nn_x, np.nan), pa.float64()),
+                "nn_y": pa.array(np.where(found, nn_y, np.nan), pa.float64()),
+            }
+        )

@@ -78,3 +78,33 @@ def test_cleanse_zone_orders_parity(ray_session, con):
     compare(
         queries.cleanse_zone_orders(SF_DIR), oracle.cleanse_zone_orders_sql(), con
     )
+
+
+def test_pip_join_parity(ray_session, con):
+    from geocoding_toolbox_ray import oracle, queries
+
+    compare(queries.pip_join(SF_DIR), oracle.pip_join_sql(), con)
+
+
+def test_knn_join_parity(ray_session, con):
+    from geocoding_toolbox_ray import oracle, queries
+
+    compare(queries.knn_join(SF_DIR), oracle.knn_join_sql(), con)
+
+
+def test_cell_encode_parity(ray_session, con):
+    from geocoding_toolbox_ray import oracle, queries
+
+    compare(queries.cell_encode_lineitem(SF_DIR), oracle.cell_encode_lineitem_sql(), con)
+
+
+def test_tile_assign_parity(ray_session, con):
+    from geocoding_toolbox_ray import oracle, queries
+
+    compare(queries.tile_assign_lineitem(SF_DIR), oracle.tile_assign_lineitem_sql(), con)
+
+
+def test_tile_counts_parity(ray_session, con):
+    from geocoding_toolbox_ray import oracle, queries
+
+    compare(queries.tile_counts(SF_DIR), oracle.tile_counts_sql(), con)

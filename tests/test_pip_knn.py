@@ -1,0 +1,141 @@
+"""PIP kernel property tests (vs a naive scalar reference) + spatial stage
+unit tests."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from geocoding_toolbox_ray.functions.pip import PackedPolygons
+
+
+def naive_pip(px, py, rings):
+    """Scalar even-odd reference implementation."""
+    inside = False
+    for ring in rings:
+        arr = np.asarray(ring, float).reshape(-1, 2)
+        for (x0, y0), (x1, y1) in zip(arr[:-1], arr[1:]):
+            if (y0 > py) != (y1 > py):
+                xint = (x1 - x0) * (py - y0) / (y1 - y0) + x0
+                if px < xint:
+                    inside = not inside
+    return inside
+
+
+SQUARE = [[0.0, 0.0, 10.0, 0.0, 10.0, 10.0, 0.0, 10.0, 0.0, 0.0]]
+CONCAVE = [[0.0, 0.0, 10.0, 0.0, 10.0, 10.0, 5.0, 5.0, 0.0, 10.0, 0.0, 0.0]]  # notch at top
+HOLED = [
+    [0.0, 0.0, 10.0, 0.0, 10.0, 10.0, 0.0, 10.0, 0.0, 0.0],
+    [4.0, 4.0, 6.0, 4.0, 6.0, 6.0, 4.0, 6.0, 4.0, 4.0],  # hole
+]
+
+
+@pytest.mark.parametrize(
+    "poly,pt,expect",
+    [
+        (SQUARE, (5.0, 5.0), True),
+        (SQUARE, (-1.0, 5.0), False),
+        (SQUARE, (11.0, 5.0), False),
+        (CONCAVE, (5.0, 8.0), False),  # inside notch
+        (CONCAVE, (2.0, 2.0), True),
+        (HOLED, (5.0, 5.0), False),    # inside hole
+        (HOLED, (2.0, 2.0), True),
+        (HOLED, (4.5, 2.0), True),
+    ],
+)
+def test_pip_known_cases(poly, pt, expect):
+    pp = PackedPolygons([poly])
+    got = pp.contains_pairs(np.array([pt[0]]), np.array([pt[1]]), np.array([0]))
+    assert bool(got[0]) == expect
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.floats(-2, 12).filter(lambda v: abs(v - round(v)) > 1e-6),
+    st.floats(-2, 12).filter(lambda v: abs(v - round(v)) > 1e-6),
+    st.sampled_from([SQUARE, CONCAVE, HOLED]),
+)
+def test_pip_matches_naive(px, py, poly):
+    pp = PackedPolygons([poly])
+    got = pp.contains_pairs(np.array([px]), np.array([py]), np.array([0]))
+    assert bool(got[0]) == naive_pip(px, py, poly)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.integers(3, 10), st.integers(0, 1000))
+def test_pip_random_convex_polygons(nv, seed):
+    rng = np.random.default_rng(seed)
+    angles = np.sort(rng.uniform(0, 2 * np.pi, nv))
+    r = rng.uniform(2, 5)
+    cx, cy = rng.uniform(-3, 3, 2)
+    xs = cx + r * np.cos(angles)
+    ys = cy + r * np.sin(angles)
+    ring = np.column_stack([xs, ys])
+    ring = np.vstack([ring, ring[0]])
+    poly = [ring.ravel().tolist()]
+    pp = PackedPolygons([poly])
+    pts = rng.uniform(-8, 8, (50, 2))
+    got = pp.contains_pairs(pts[:, 0], pts[:, 1], np.zeros(50, np.int64))
+    expect = [naive_pip(x, y, poly) for x, y in pts]
+    assert got.tolist() == expect
+
+
+def test_pip_stage_batch():
+    import pyarrow as pa
+
+    from geocoding_toolbox_ray.sources.synthetic import address_points_table, parcels_table
+    from geocoding_toolbox_ray.stages.spatial import ParcelIndex, PipStage
+
+    ap = address_points_table().to_pandas()
+    stage = object.__new__(PipStage)
+    stage.index = ParcelIndex.build(parcels_table())
+
+    batch = pa.table(
+        {
+            "query_id": pa.array([1, 2, 3], pa.int64()),
+            # inside parcel of point 1; far outside; inside parcel of point 480
+            "qx": pa.array(
+                [ap.x[0] + 3.0, ap.x[0] + 100.0, ap.x[479] - 2.0], pa.float64()
+            ),
+            "qy": pa.array([ap.y[0] - 4.0, ap.y[0], ap.y[479] + 4.0], pa.float64()),
+        }
+    )
+    out = stage(batch).to_pandas()
+    assert out["parcel_id"].tolist() == ["P1", None, "P480"]
+
+
+def test_knn_stage_exact_vs_bruteforce():
+    import pyarrow as pa
+
+    from geocoding_toolbox_ray.sources.synthetic import address_points_table
+    from geocoding_toolbox_ray.state.index import GeocodeIndex
+    from geocoding_toolbox_ray.stages.spatial import KnnStage
+
+    idx = GeocodeIndex.build(address_points_table())
+    stage = object.__new__(KnnStage)
+    stage.index = idx
+    stage.px = idx.points["x"].to_numpy(np.float64)
+    stage.py = idx.points["y"].to_numpy(np.float64)
+    stage.pid = idx.points["point_id"].to_numpy(np.int64)
+    stage.max_radius = 1 << idx.res
+
+    rng = np.random.default_rng(7)
+    from geocoding_toolbox_ray.functions.cells import EXTENT, X0, Y0
+
+    qx = rng.uniform(X0, X0 + EXTENT, 300)
+    qy = rng.uniform(Y0, Y0 + EXTENT, 300)
+    out = stage(
+        pa.table(
+            {
+                "query_id": pa.array(np.arange(300), pa.int64()),
+                "qx": pa.array(qx, pa.float64()),
+                "qy": pa.array(qy, pa.float64()),
+            }
+        )
+    ).to_pandas()
+
+    d2 = (qx[:, None] - stage.px[None, :]) ** 2 + (qy[:, None] - stage.py[None, :]) ** 2
+    brute = stage.pid[np.argmin(d2, axis=1)]
+    assert out["nn_point_id"].to_numpy().tolist() == brute.tolist()
