@@ -64,6 +64,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cell_encode_lineitem": q.cell_encode_lineitem,
         "tile_assign_lineitem": q.tile_assign_lineitem,
         "tile_counts": q.tile_counts,
+        # --- text analysis / training-data ops (oracle-checked) ---
+        "token_count_documents": q.token_count_documents,
+        "lang_id_documents": q.lang_id_documents,
+        "quality_documents": q.quality_documents,
+        "doc_fingerprint": q.doc_fingerprint,
+        "dedup_exact": q.dedup_exact,
+        "ann_topk_quantized": q.ann_topk_quantized,
+        "events_window": q.events_window,
+        "sessionize": q.sessionize,
+        "q1_pricing_summary": q.q1_pricing_summary,
+        "top_customers": q.top_customers,
+        # --- near-dup / approximate ops (no SQL equivalent; rows-only) ---
+        "minhash_dup_pairs": q.minhash_dup_pairs,
+        "simhash_dup_pairs": q.simhash_dup_pairs,
+        "ann_topk_cosine": q.ann_topk_cosine,
+        "ann_topk_lsh": q.ann_topk_lsh,
         # --- flagship web pipeline (pages corpus is engine-side; rows-only) ---
         "geocode_pages": _geocode_pages_query,
     }
@@ -82,4 +98,14 @@ def oracle_sql() -> dict[str, str]:
         "cell_encode_lineitem": oracle.cell_encode_lineitem_sql(),
         "tile_assign_lineitem": oracle.tile_assign_lineitem_sql(),
         "tile_counts": oracle.tile_counts_sql(),
+        "token_count_documents": oracle.token_count_documents_sql(),
+        "lang_id_documents": oracle.lang_id_documents_sql(),
+        "quality_documents": oracle.quality_documents_sql(),
+        "doc_fingerprint": oracle.doc_fingerprint_sql(),
+        "dedup_exact": oracle.dedup_exact_sql(),
+        "ann_topk_quantized": oracle.ann_topk_quantized_sql(),
+        "events_window": oracle.events_window_sql(),
+        "sessionize": oracle.sessionize_sql(),
+        "q1_pricing_summary": oracle.q1_pricing_summary_sql(),
+        "top_customers": oracle.top_customers_sql(),
     }

@@ -196,3 +196,109 @@ def tile_counts_sql() -> str:
         f"SELECT {tx} AS tile_x, {ty} AS tile_y, COUNT(*) AS n "
         "FROM qpts GROUP BY 1, 2"
     )
+
+
+# -------------------------------------------------------- text analysis
+
+def token_count_documents_sql() -> str:
+    from .functions.text import token_count_sql
+
+    return f"SELECT doc_id, {token_count_sql('text')} AS n_tokens FROM documents"
+
+
+def lang_id_documents_sql() -> str:
+    from .functions.text import lang_id_sql
+
+    return f"SELECT doc_id, {lang_id_sql('text')} AS lang_pred FROM documents"
+
+
+def quality_documents_sql() -> str:
+    from .functions.text import quality_sql
+
+    cols = ", ".join(f"{expr} AS {name}" for name, expr in quality_sql("text").items())
+    return f"SELECT doc_id, {cols} FROM documents"
+
+
+def doc_fingerprint_sql() -> str:
+    return "SELECT doc_id, md5(text) AS fp FROM documents"
+
+
+def dedup_exact_sql() -> str:
+    return (
+        "SELECT md5(text) AS fp, MIN(doc_id) AS keep_doc_id, COUNT(*) AS dup_count "
+        "FROM documents GROUP BY 1"
+    )
+
+
+# ---------------------------------------------------------------- ANN
+
+def ann_topk_quantized_sql(k: int = 10, n_queries: int = 3, dim: int = 64) -> str:
+    from .stages.ann import QUANT
+
+    def q(col: str, i: int) -> str:
+        return f"CAST(floor({col}.embedding[{i}] * {QUANT!r} + 0.5) AS BIGINT)"
+
+    dot = " + ".join(f"{q('a', i)} * {q('b', i)}" for i in range(1, dim + 1))
+    return f"""
+WITH pairs AS (
+    SELECT a.vec_id AS query_id, b.vec_id AS vec_id, {dot} AS dot_q
+    FROM embeddings a CROSS JOIN embeddings b
+    WHERE a.vec_id < {n_queries}
+),
+ranked AS (
+    SELECT query_id, vec_id, dot_q,
+           row_number() OVER (PARTITION BY query_id ORDER BY dot_q DESC, vec_id ASC) AS rank
+    FROM pairs
+)
+SELECT query_id, rank, vec_id, dot_q FROM ranked WHERE rank <= {k}
+"""
+
+
+# --------------------------------------------------------------- events
+
+def events_window_sql() -> str:
+    return """
+SELECT event_type, date_trunc('hour', ts) AS window_start,
+       COUNT(*) AS n,
+       SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS value_cents
+FROM events GROUP BY 1, 2
+"""
+
+
+def sessionize_sql() -> str:
+    return """
+WITH g AS (
+    SELECT user_id, ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS gap
+    FROM events
+)
+SELECT user_id, COUNT(*) AS n_events,
+       1 + SUM(CASE WHEN gap > INTERVAL 30 MINUTE THEN 1 ELSE 0 END) AS n_sessions
+FROM g GROUP BY user_id
+"""
+
+
+# ------------------------------------------------------------ relational
+
+def q1_pricing_summary_sql() -> str:
+    return """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       SUM(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT)) AS sum_qty_cents,
+       SUM(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS sum_price_cents,
+       SUM(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT))
+           AS sum_disc_price_cents
+FROM lineitem GROUP BY 1, 2
+"""
+
+
+def top_customers_sql() -> str:
+    return """
+WITH agg AS (
+    SELECT o_custkey AS c_custkey, COUNT(*) AS n_orders,
+           SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS revenue_cents
+    FROM orders GROUP BY 1
+)
+SELECT a.c_custkey, c.c_name, a.n_orders, a.revenue_cents
+FROM agg a JOIN customer c ON c.c_custkey = a.c_custkey
+ORDER BY a.revenue_cents DESC, a.c_custkey ASC
+LIMIT 10
+"""

@@ -133,3 +133,233 @@ def tile_counts(sf_dir: str):
     from .pipelines.spatial import tile_counts as _f
 
     return _f(sf_dir)
+
+
+# ------------------------------------------------------- text analysis
+
+def _docs(sf_dir: str, columns=("doc_id", "text")):
+    return _read(sf_dir, "documents", columns=list(columns))
+
+
+def token_count_documents(sf_dir: str):
+    from .functions.text import token_count
+
+    def _f(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"].to_numpy(np.int64), "n_tokens": token_count(df["text"])}
+        )
+
+    return _docs(sf_dir).map_batches(_f, batch_format="pandas")
+
+
+def lang_id_documents(sf_dir: str):
+    from .functions.text import lang_id
+
+    def _f(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"].to_numpy(np.int64), "lang_pred": lang_id(df["text"])}
+        )
+
+    return _docs(sf_dir).map_batches(_f, batch_format="pandas")
+
+
+def quality_documents(sf_dir: str):
+    from .functions.text import quality_features
+
+    def _f(df: pd.DataFrame) -> pd.DataFrame:
+        feats = quality_features(df["text"])
+        out = {"doc_id": df["doc_id"].to_numpy(np.int64)}
+        out.update(feats)
+        return pd.DataFrame(out)
+
+    return _docs(sf_dir).map_batches(_f, batch_format="pandas")
+
+
+def doc_fingerprint(sf_dir: str):
+    from .functions.text import md5_hex
+
+    def _f(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"].to_numpy(np.int64), "fp": md5_hex(df["text"])}
+        )
+
+    return _docs(sf_dir).map_batches(_f, batch_format="pandas")
+
+
+def dedup_exact(sf_dir: str):
+    """Exact dedup: content-hash groups -> representative + multiplicity."""
+    from ray.data.aggregate import Count, Min
+
+    from .functions.text import md5_hex
+
+    def _f(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"fp": md5_hex(df["text"]), "doc_id": df["doc_id"].to_numpy(np.int64)}
+        )
+
+    hashed = _docs(sf_dir).map_batches(_f, batch_format="pandas")
+    return hashed.groupby("fp").aggregate(
+        Min("doc_id", alias_name="keep_doc_id"), Count(alias_name="dup_count")
+    )
+
+
+# ------------------------------------------------------------ dedup (near)
+
+def minhash_dup_pairs(sf_dir: str):
+    from .stages.dedup import minhash_dup_pairs as _f
+
+    return _f(_docs(sf_dir))
+
+
+def simhash_dup_pairs(sf_dir: str):
+    from .stages.dedup import simhash_dup_pairs as _f
+
+    return _f(_docs(sf_dir))
+
+
+# ---------------------------------------------------------------- ANN
+
+def ann_topk_quantized(sf_dir: str):
+    from .stages.ann import topk_quantized_dot
+
+    return topk_quantized_dot(sf_dir)
+
+
+def ann_topk_cosine(sf_dir: str):
+    from .stages.ann import topk_cosine
+
+    return topk_cosine(sf_dir)
+
+
+def ann_topk_lsh(sf_dir: str):
+    from .stages.ann import topk_lsh
+
+    return topk_lsh(sf_dir)
+
+
+# --------------------------------------------------------------- events
+
+def events_window(sf_dir: str):
+    """Tumbling 1-hour windowed aggregate per event_type (int-cents sums —
+    order-independent, hash-safe)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    ev = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def _f(t: pa.Table) -> pa.Table:
+        cents = np.floor(
+            np.asarray(t["value"].to_numpy(zero_copy_only=False), np.float64) * 100.0 + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "window_start": pc.floor_temporal(t["ts"], unit="hour"),
+                "cents": pa.array(cents, pa.int64()),
+            }
+        )
+
+    return (
+        ev.map_batches(_f, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .aggregate(Count(alias_name="n"), Sum("cents", alias_name="value_cents"))
+    )
+
+
+def sessionize(sf_dir: str):
+    """Gap-based sessionization (30-min gap) via per-user map_groups."""
+    ev = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def _f(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        gaps = g["ts"].diff()
+        n_sessions = 1 + int((gaps > pd.Timedelta(minutes=30)).sum())
+        return pd.DataFrame(
+            {
+                "user_id": pd.array([int(g["user_id"].iloc[0])], "int64"),
+                "n_events": pd.array([len(g)], "int64"),
+                "n_sessions": pd.array([n_sessions], "int64"),
+            }
+        )
+
+    return ev.groupby("user_id").map_groups(_f, batch_format="pandas")
+
+
+# ------------------------------------------------------------ relational
+
+def q1_pricing_summary(sf_dir: str):
+    """TPC-H-Q1-shaped grouped aggregate, integer-cents sums."""
+    from ray.data.aggregate import Count, Sum
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def _f(t: pa.Table) -> pa.Table:
+        qty = np.asarray(t["l_quantity"].to_numpy(zero_copy_only=False), np.float64)
+        price = np.asarray(t["l_extendedprice"].to_numpy(zero_copy_only=False), np.float64)
+        disc = np.asarray(t["l_discount"].to_numpy(zero_copy_only=False), np.float64)
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "qty_cents": pa.array(np.floor(qty * 100.0 + 0.5).astype(np.int64), pa.int64()),
+                "price_cents": pa.array(np.floor(price * 100.0 + 0.5).astype(np.int64), pa.int64()),
+                "disc_price_cents": pa.array(
+                    np.floor(price * (1.0 - disc) * 100.0 + 0.5).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    return (
+        li.map_batches(_f, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Count(alias_name="n"),
+            Sum("qty_cents", alias_name="sum_qty_cents"),
+            Sum("price_cents", alias_name="sum_price_cents"),
+            Sum("disc_price_cents", alias_name="sum_disc_price_cents"),
+        )
+    )
+
+
+def top_customers(sf_dir: str) -> pd.DataFrame:
+    """Broadcast hash join (orders x customer) + grouped sum + top-10:
+    the small side is fetched once driver-side and looked up per batch —
+    no shuffle join."""
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Count, Sum
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]).to_pandas()
+    name_of = dict(zip(cust["c_custkey"].astype(np.int64), cust["c_name"]))
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def _f(t: pa.Table) -> pa.Table:
+        ck = np.asarray(t["o_custkey"].to_numpy(zero_copy_only=False), np.int64)
+        cents = np.floor(
+            np.asarray(t["o_totalprice"].to_numpy(zero_copy_only=False), np.float64) * 100.0 + 0.5
+        ).astype(np.int64)
+        # per-batch partial aggregation before the shuffle
+        uniq, inv = np.unique(ck, return_inverse=True)
+        return pa.table(
+            {
+                "c_custkey": pa.array(uniq, pa.int64()),
+                "part_n": pa.array(np.bincount(inv).astype(np.int64), pa.int64()),
+                "part_cents": pa.array(np.bincount(inv, weights=cents).astype(np.int64), pa.int64()),
+            }
+        )
+
+    grouped = (
+        orders.map_batches(_f, batch_format="pyarrow")
+        .groupby("c_custkey")
+        .aggregate(Sum("part_n", alias_name="n_orders"), Sum("part_cents", alias_name="revenue_cents"))
+        .to_pandas()
+    )
+    grouped = grouped.sort_values(
+        ["revenue_cents", "c_custkey"], ascending=[False, True], kind="mergesort"
+    ).head(10)
+    grouped["c_name"] = grouped["c_custkey"].map(name_of)
+    return grouped[["c_custkey", "c_name", "n_orders", "revenue_cents"]].reset_index(drop=True)

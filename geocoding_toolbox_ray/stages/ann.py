@@ -1,0 +1,225 @@
+"""Approximate-nearest-neighbor / similarity-search operators over the
+``embeddings`` table (vec_id, embedding list<float32>, label).
+
+Three tiers:
+
+* ``topk_quantized_dot`` — brute-force top-k by *quantized integer* dot
+  product (elements -> floor(e*1000+0.5) int64).  Integer arithmetic is
+  exact and order-independent, so a DuckDB oracle can hash-match it
+  bit-for-bit (float32 cosine in DuckDB differs from numpy float64 at
+  ~1e-8 — unverifiable; measured, see tests).
+* ``topk_cosine`` — brute-force float64 cosine top-k (the real metric;
+  rows-only check).
+* ``topk_lsh`` — random-hyperplane LSH bucketing, then exact cosine within
+  the query's bucket ring: the scale path (candidates shrink by ~2^bits),
+  rows-only check.
+
+The query matrix is tiny and broadcast per actor; per-batch work is one
+numpy matmul — no Python loop over vectors.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+QUANT = 1000.0
+N_QUERIES = 3  # query vectors = embeddings with vec_id 0..2 (deterministic)
+TOP_K = 10
+LSH_BITS = 8
+_LSH_SEED = 4242
+
+
+def quantize(mat: np.ndarray) -> np.ndarray:
+    return np.floor(mat.astype(np.float64) * QUANT + 0.5).astype(np.int64)
+
+
+def load_query_vectors(sf_dir: str, n: int = N_QUERIES) -> np.ndarray:
+    """Small-side driver read: the first n embeddings by vec_id."""
+    import pyarrow.dataset as pads
+
+    ds = pads.dataset(f"{sf_dir}/embeddings.parquet")
+    t = ds.to_table(filter=pads.field("vec_id") < n, columns=["vec_id", "embedding"])
+    df = t.to_pandas().sort_values("vec_id")
+    return np.stack(df["embedding"].to_numpy())
+
+
+def _emb_matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    ids = np.asarray(batch["vec_id"].to_numpy(zero_copy_only=False), np.int64)
+    flat = np.asarray(batch["embedding"].combine_chunks().flatten(), np.float32)
+    mat = flat.reshape(len(ids), -1)
+    return ids, mat
+
+
+class QuantizedDotTopK:
+    """Per-batch partial top-k rows (query_id, vec_id, dot_q); final top-k is
+    a tiny driver-side reduction over ~k rows per (batch, query)."""
+
+    def __init__(self, query_vectors: np.ndarray, k: int = TOP_K):
+        self.q = quantize(np.asarray(query_vectors))
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, mat = _emb_matrix(batch)
+        dots = quantize(mat) @ self.q.T  # (n, Q) int64 exact
+        qn = self.q.shape[0]
+        out_q, out_v, out_d = [], [], []
+        for qi in range(qn):
+            col = dots[:, qi]
+            k = min(self.k, len(ids))
+            # partial top-k with (dot desc, vec_id asc) tie-break
+            order = np.lexsort((ids, -col))[:k]
+            out_q.append(np.full(k, qi, np.int64))
+            out_v.append(ids[order])
+            out_d.append(col[order])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+                "dot_q": pa.array(np.concatenate(out_d), pa.int64()),
+            }
+        )
+
+
+def finalize_topk(partials: pd.DataFrame, k: int = TOP_K) -> pd.DataFrame:
+    """(query_id, vec_id, dot_q) partials -> ranked exact top-k."""
+    df = partials.sort_values(
+        ["query_id", "dot_q", "vec_id"], ascending=[True, False, True], kind="mergesort"
+    )
+    df = df.groupby("query_id", sort=True).head(k).copy()
+    df["rank"] = df.groupby("query_id").cumcount() + 1
+    return df[["query_id", "rank", "vec_id", "dot_q"]].reset_index(drop=True)
+
+
+def topk_quantized_dot(sf_dir: str, k: int = TOP_K):
+    """Oracle-checked ANN baseline (exact integer arithmetic)."""
+    import ray.data as rd
+
+    q = load_query_vectors(sf_dir)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    partials = ds.map_batches(
+        QuantizedDotTopK,
+        fn_constructor_kwargs={"query_vectors": q, "k": k},
+        batch_format="pyarrow",
+        batch_size=8192,
+        concurrency=(1, 4),
+    )
+    # ~k rows per (query, batch): small -> finalize on the driver
+    return finalize_topk(partials.to_pandas(), k)
+
+
+class CosineTopK:
+    """Float64 cosine partial top-k (real metric; rows-only check)."""
+
+    def __init__(self, query_vectors: np.ndarray, k: int = TOP_K):
+        q = np.asarray(query_vectors, np.float64)
+        self.q = q / np.linalg.norm(q, axis=1, keepdims=True)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, mat = _emb_matrix(batch)
+        m = mat.astype(np.float64)
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        sims = (m / norms[:, None]) @ self.q.T
+        out_q, out_v, out_s = [], [], []
+        for qi in range(self.q.shape[0]):
+            col = sims[:, qi]
+            k = min(self.k, len(ids))
+            order = np.lexsort((ids, -col))[:k]
+            out_q.append(np.full(k, qi, np.int64))
+            out_v.append(ids[order])
+            out_s.append(col[order])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+                "sim": pa.array(np.concatenate(out_s), pa.float64()),
+            }
+        )
+
+
+def topk_cosine(sf_dir: str, k: int = TOP_K) -> pd.DataFrame:
+    import ray.data as rd
+
+    q = load_query_vectors(sf_dir)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    partials = ds.map_batches(
+        CosineTopK,
+        fn_constructor_kwargs={"query_vectors": q, "k": k},
+        batch_format="pyarrow",
+        batch_size=8192,
+        concurrency=(1, 4),
+    ).to_pandas()
+    df = partials.sort_values(
+        ["query_id", "sim", "vec_id"], ascending=[True, False, True], kind="mergesort"
+    )
+    df = df.groupby("query_id", sort=True).head(k).copy()
+    df["rank"] = df.groupby("query_id").cumcount() + 1
+    return df[["query_id", "rank", "vec_id", "sim"]].reset_index(drop=True)
+
+
+def lsh_planes(dim: int, bits: int = LSH_BITS) -> np.ndarray:
+    rng = np.random.RandomState(_LSH_SEED)
+    return rng.standard_normal((bits, dim))
+
+
+def lsh_bucket(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    proj = mat.astype(np.float64) @ planes.T  # (n, bits)
+    bits = (proj > 0).astype(np.int64)
+    return (bits * (1 << np.arange(planes.shape[0], dtype=np.int64))[None, :]).sum(axis=1)
+
+
+def topk_lsh(sf_dir: str, k: int = TOP_K) -> pd.DataFrame:
+    """LSH-bucketed ANN: exact cosine only within the query's hyperplane
+    bucket — the candidate set shrinks ~2^bits, the scale path for 10^12
+    rows.  Approximate: recall < 1 by design (rows-only check)."""
+    import ray.data as rd
+
+    q = load_query_vectors(sf_dir)
+    planes = lsh_planes(q.shape[1])
+    qbuckets = lsh_bucket(q, planes)
+
+    class _Stage:
+        def __init__(self):
+            self.inner = CosineTopK(q, k)
+            self.planes = planes
+            self.qb = qbuckets
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids, mat = _emb_matrix(batch)
+            b = lsh_bucket(mat, self.planes)
+            keep = np.isin(b, self.qb)
+            if not keep.any():
+                return pa.table(
+                    {
+                        "query_id": pa.array([], pa.int64()),
+                        "vec_id": pa.array([], pa.int64()),
+                        "sim": pa.array([], pa.float64()),
+                    }
+                )
+            sub = batch.filter(pa.array(keep))
+            out = self.inner(sub)
+            # drop rows whose vector bucket != that query's bucket
+            sub_ids, sub_mat = _emb_matrix(sub)
+            bucket_of = dict(zip(sub_ids.tolist(), lsh_bucket(sub_mat, self.planes).tolist()))
+            df = out.to_pandas()
+            df = df[df.apply(lambda r: bucket_of[r["vec_id"]] == self.qb[int(r["query_id"])], axis=1)]
+            return pa.Table.from_pandas(df, preserve_index=False)
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    partials = ds.map_batches(
+        _Stage, batch_format="pyarrow", batch_size=8192, concurrency=(1, 4)
+    ).to_pandas()
+    if partials.empty:
+        return pd.DataFrame(
+            {"query_id": pd.array([], "int64"), "rank": pd.array([], "int64"),
+             "vec_id": pd.array([], "int64"), "sim": pd.array([], "float64")}
+        )
+    df = partials.sort_values(
+        ["query_id", "sim", "vec_id"], ascending=[True, False, True], kind="mergesort"
+    )
+    df = df.groupby("query_id", sort=True).head(k).copy()
+    df["rank"] = df.groupby("query_id").cumcount() + 1
+    return df[["query_id", "rank", "vec_id", "sim"]].reset_index(drop=True)

@@ -1,0 +1,187 @@
+"""Deduplication operators for the training-data pipeline.
+
+* exact dedup — content hash (md5) + hash-partitioned first-per-group;
+  fully SQL-checkable.
+* MinHash + LSH near-dup — shingle -> 64-perm minhash signature -> banded
+  LSH bucketing -> candidate pairs -> signature-overlap verification.
+  Signatures (not raw text) flow through the shuffle, so the verify stage
+  needs no join back to the documents — the pattern that scales to 10^12
+  docs (pairs are verified from the 512-byte signatures carried with the
+  banded rows).
+* SimHash near-dup — 64-bit sign-aggregated token hashes, blocked on
+  16-bit bands (any pair at Hamming distance <= 3 shares at least one of
+  the 4 bands by pigeonhole).
+
+All hashes are crc32/md5-based — deterministic across processes (no
+Python ``hash()``, which is salted per process).
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+MINHASH_PERMS = 64
+LSH_BANDS = 16
+ROWS_PER_BAND = MINHASH_PERMS // LSH_BANDS
+_MERSENNE = (1 << 61) - 1
+
+# deterministic permutation parameters (fixed seed)
+_rng = np.random.RandomState(1234)
+_A = _rng.randint(1, _MERSENNE, MINHASH_PERMS).astype(np.uint64)
+_B = _rng.randint(0, _MERSENNE, MINHASH_PERMS).astype(np.uint64)
+
+SHINGLE_WORDS = 3
+
+
+def _shingle_hashes(text: str) -> np.ndarray:
+    """crc32 of each word 3-gram (uint64)."""
+    toks = text.lower().split()
+    if len(toks) < SHINGLE_WORDS:
+        toks = toks + [""] * (SHINGLE_WORDS - len(toks))
+    out = np.empty(max(1, len(toks) - SHINGLE_WORDS + 1), np.uint64)
+    for i in range(len(out)):
+        out[i] = zlib.crc32(" ".join(toks[i : i + SHINGLE_WORDS]).encode("utf-8"))
+    return out
+
+
+def minhash_signature(text: str) -> np.ndarray:
+    """(MINHASH_PERMS,) uint64 signature."""
+    h = _shingle_hashes(text)
+    # (perms, shingles) universal hashing mod Mersenne prime
+    v = (_A[:, None] * h[None, :] + _B[:, None]) % np.uint64(_MERSENNE)
+    return v.min(axis=1)
+
+
+def band_rows(batch: pa.Table, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
+    """docs batch -> (band_id, band_hash, doc_id, sig) LSH rows."""
+    ids = batch[id_col].to_pylist()
+    texts = batch[text_col].to_pylist()
+    band_id, band_hash, doc_id, sigs = [], [], [], []
+    for did, txt in zip(ids, texts):
+        sig = minhash_signature(txt)
+        sb = sig.tobytes()
+        for b in range(LSH_BANDS):
+            chunk = sig[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND].tobytes()
+            band_id.append(b)
+            band_hash.append(zlib.crc32(chunk))
+            doc_id.append(did)
+            sigs.append(sb)
+    return pa.table(
+        {
+            "band_id": pa.array(band_id, pa.int32()),
+            "band_hash": pa.array(band_hash, pa.int64()),
+            "doc_id": pa.array(doc_id, pa.int64()),
+            "sig": pa.array(sigs, pa.binary()),
+        }
+    )
+
+
+def bucket_pairs(group: pd.DataFrame, est_threshold: float = 0.5) -> pd.DataFrame:
+    """map_groups body over (band_id, band_hash) buckets: emit verified
+    candidate pairs with the estimated Jaccard (= fraction of equal
+    minhashes) in permille."""
+    if len(group) < 2:
+        return pd.DataFrame({"doc_a": [], "doc_b": [], "est_jaccard_permille": []}).astype(
+            {"doc_a": np.int64, "doc_b": np.int64, "est_jaccard_permille": np.int64}
+        )
+    g = group.sort_values("doc_id").drop_duplicates("doc_id")
+    ids = g["doc_id"].to_numpy(np.int64)
+    sigs = np.stack([np.frombuffer(s, np.uint64) for s in g["sig"]])
+    n = len(ids)
+    ia, ib = np.triu_indices(n, k=1)
+    frac = (sigs[ia] == sigs[ib]).mean(axis=1)
+    keep = frac >= est_threshold
+    return pd.DataFrame(
+        {
+            "doc_a": ids[ia[keep]],
+            "doc_b": ids[ib[keep]],
+            "est_jaccard_permille": np.floor(1000.0 * frac[keep] + 0.5).astype(np.int64),
+        }
+    )
+
+
+def minhash_dup_pairs(docs, est_threshold: float = 0.5):
+    """documents Dataset -> near-dup pairs Dataset (distinct doc_a < doc_b)."""
+    banded = docs.map_batches(band_rows, batch_format="pyarrow", batch_size=2048)
+    pairs = banded.groupby(["band_id", "band_hash"]).map_groups(
+        lambda g: bucket_pairs(g, est_threshold), batch_format="pandas"
+    )
+    # a pair can surface from several bands -> distinct
+    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )
+
+
+# ------------------------------------------------------------------ simhash
+
+def simhash64(text: str) -> np.uint64:
+    toks = text.lower().split()
+    if not toks:
+        return np.uint64(0)
+    acc = np.zeros(64, np.int64)
+    for t in toks:
+        h = (np.uint64(zlib.crc32(t.encode())) << np.uint64(32)) | np.uint64(
+            zlib.crc32((t + "#").encode())
+        )
+        bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+        acc += np.where(bits == 1, 1, -1)
+    out = np.uint64(0)
+    for i in range(64):
+        if acc[i] > 0:
+            out |= np.uint64(1) << np.uint64(i)
+    return out
+
+
+def simhash_rows(batch: pa.Table, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
+    ids = batch[id_col].to_pylist()
+    texts = batch[text_col].to_pylist()
+    hs = np.array([simhash64(t) for t in texts], np.uint64)
+    band_id, band_val, doc_id, sim = [], [], [], []
+    for did, h in zip(ids, hs):
+        for b in range(4):
+            band_id.append(b)
+            band_val.append(int((h >> np.uint64(16 * b)) & np.uint64(0xFFFF)))
+            doc_id.append(did)
+            sim.append(int(h.astype(np.int64)))  # two's-complement int64 view
+    return pa.table(
+        {
+            "band_id": pa.array(band_id, pa.int32()),
+            "band_val": pa.array(band_val, pa.int64()),
+            "doc_id": pa.array(doc_id, pa.int64()),
+            "simhash": pa.array(sim, pa.int64()),
+        }
+    )
+
+
+def simhash_pairs(group: pd.DataFrame, max_hamming: int = 3) -> pd.DataFrame:
+    if len(group) < 2:
+        return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []}).astype(
+            {"doc_a": np.int64, "doc_b": np.int64, "hamming": np.int64}
+        )
+    g = group.sort_values("doc_id").drop_duplicates("doc_id")
+    ids = g["doc_id"].to_numpy(np.int64)
+    hs = g["simhash"].to_numpy(np.int64).astype(np.uint64)
+    ia, ib = np.triu_indices(len(ids), k=1)
+    x = hs[ia] ^ hs[ib]
+    # popcount via bit tricks (no np.popcount in numpy 1.26)
+    ham = np.zeros(len(x), np.int64)
+    for s in range(64):
+        ham += ((x >> np.uint64(s)) & np.uint64(1)).astype(np.int64)
+    keep = ham <= max_hamming
+    return pd.DataFrame(
+        {"doc_a": ids[ia[keep]], "doc_b": ids[ib[keep]], "hamming": ham[keep]}
+    )
+
+
+def simhash_dup_pairs(docs, max_hamming: int = 3):
+    rows = docs.map_batches(simhash_rows, batch_format="pyarrow", batch_size=2048)
+    pairs = rows.groupby(["band_id", "band_val"]).map_groups(
+        lambda g: simhash_pairs(g, max_hamming), batch_format="pandas"
+    )
+    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )

@@ -1,0 +1,87 @@
+"""Near-dup (MinHash/SimHash) and ANN operator behavior tests."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from geocoding_toolbox_ray.stages import dedup
+
+
+def test_minhash_identical_docs_full_match():
+    sig_a = dedup.minhash_signature("the quick brown fox jumps over the lazy dog")
+    sig_b = dedup.minhash_signature("the quick brown fox jumps over the lazy dog")
+    assert np.array_equal(sig_a, sig_b)
+
+
+def test_minhash_similar_docs_high_overlap():
+    a = "the quick brown fox jumps over the lazy dog again and again today"
+    b = "the quick brown fox jumps over the lazy dog again and again tomorrow"
+    sig_a = dedup.minhash_signature(a)
+    sig_b = dedup.minhash_signature(b)
+    frac = (sig_a == sig_b).mean()
+    assert frac > 0.5
+    c = "completely different words entirely unrelated content here now"
+    frac2 = (sig_a == dedup.minhash_signature(c)).mean()
+    assert frac2 < 0.2
+
+
+def test_minhash_pipeline_finds_planted_dups(ray_session):
+    import ray.data as rd
+
+    base = [
+        f"document number {i} with shared boilerplate text about data processing "
+        f"pipelines and distributed systems plus unique token u{i}"
+        for i in range(20)
+    ]
+    # plant near-identical pairs (2i, 2i+1000)
+    rows = [{"doc_id": i, "text": t} for i, t in enumerate(base)]
+    rows += [{"doc_id": 1000 + i, "text": base[i] + " extra"} for i in range(5)]
+    docs = rd.from_items(rows)
+    pairs = dedup.minhash_dup_pairs(docs, est_threshold=0.5).to_pandas()
+    found = set(zip(pairs["doc_a"], pairs["doc_b"]))
+    for i in range(5):
+        assert (i, 1000 + i) in found
+
+
+def test_simhash_hamming_zero_for_identical():
+    h1 = dedup.simhash64("alpha beta gamma delta")
+    h2 = dedup.simhash64("alpha beta gamma delta")
+    assert h1 == h2
+
+
+def test_simhash_pipeline_detects_dups(ray_session):
+    import ray.data as rd
+
+    rows = [{"doc_id": i, "text": f"totally distinct content item {i} " + "x" * i} for i in range(10)]
+    rows += [{"doc_id": 100 + i, "text": rows[i]["text"]} for i in range(3)]
+    pairs = dedup.simhash_dup_pairs(rd.from_items(rows), max_hamming=3).to_pandas()
+    found = set(zip(pairs["doc_a"], pairs["doc_b"]))
+    for i in range(3):
+        assert (i, 100 + i) in found
+
+
+def test_ann_quantized_vs_cosine_agree_on_top1(ray_session):
+    from geocoding_toolbox_ray.stages.ann import topk_cosine, topk_quantized_dot
+
+    sf = "/root/testdata/sf0.001"
+    qd = topk_quantized_dot(sf)
+    cs = topk_cosine(sf)
+    # rank-1 of each query is the query vector itself under both metrics
+    for qid in (0, 1, 2):
+        top_q = qd[(qd["query_id"] == qid) & (qd["rank"] == 1)]["vec_id"].iloc[0]
+        top_c = cs[(cs["query_id"] == qid) & (cs["rank"] == 1)]["vec_id"].iloc[0]
+        assert top_q == qid or top_c == qid
+
+
+def test_ann_lsh_subset_of_bruteforce(ray_session):
+    from geocoding_toolbox_ray.stages.ann import topk_cosine, topk_lsh
+
+    sf = "/root/testdata/sf0.001"
+    lsh = topk_lsh(sf)
+    brute = topk_cosine(sf, k=500)
+    # every LSH hit is a real vector with the same sim as brute force
+    merged = lsh.merge(brute, on=["query_id", "vec_id"], suffixes=("_l", "_b"))
+    assert len(merged) == len(lsh)
+    assert np.allclose(merged["sim_l"], merged["sim_b"])

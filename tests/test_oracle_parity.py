@@ -108,3 +108,36 @@ def test_tile_counts_parity(ray_session, con):
     from geocoding_toolbox_ray import oracle, queries
 
     compare(queries.tile_counts(SF_DIR), oracle.tile_counts_sql(), con)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "token_count_documents",
+        "lang_id_documents",
+        "quality_documents",
+        "doc_fingerprint",
+        "dedup_exact",
+        "ann_topk_quantized",
+        "events_window",
+        "sessionize",
+        "q1_pricing_summary",
+        "top_customers",
+    ],
+)
+def test_query_parity(name, ray_session, con):
+    import __ray_entry__ as entrymod
+
+    ray_fn = entrymod.queries()[name]
+    sql = entrymod.oracle_sql()[name]
+    compare(ray_fn(SF_DIR), sql, con)
+
+
+def test_rows_only_queries_run(ray_session):
+    import __ray_entry__ as entrymod
+
+    qs = entrymod.queries()
+    for name in ("minhash_dup_pairs", "simhash_dup_pairs", "ann_topk_cosine", "ann_topk_lsh"):
+        res = qs[name](SF_DIR)
+        n = len(res) if isinstance(res, pd.DataFrame) else res.count()
+        assert n >= 0
