@@ -147,10 +147,14 @@ def test_frame_sample_stage(ray_session):
 
     media = rd.from_arrow(synthetic_media_table(12))
     out = media.map_batches(
-        FrameSampleStage, batch_format="pyarrow", batch_size=8, concurrency=(1, 2)
+        FrameSampleStage,
+        fn_constructor_kwargs={"frame_bytes": 32, "every": 2},
+        batch_format="pyarrow",
+        batch_size=8,
+        concurrency=(1, 2),
     ).to_pandas()
     assert len(out) > 12  # 1 row in -> many frames out
-    assert (out["frame_index"] % 4 == 0).all()
+    assert (out["frame_index"] % 2 == 0).all()
 
 
 def test_pillow_decoder_is_gated():
