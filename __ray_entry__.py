@@ -30,12 +30,12 @@ def entry() -> Any:
 
 
 def _pages_count_for(sf_dir: str) -> int:
-    """Deterministic pages-corpus size proportional to the sf (4 pages per
-    documents row, read from parquet metadata only)."""
+    """Deterministic pages-corpus size proportional to the sf (2 pages per
+    orders row, read from parquet metadata only)."""
     import pyarrow.parquet as pq
 
-    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
-    return int(n_docs) * 4
+    n_orders = pq.read_metadata(f"{sf_dir}/orders.parquet").num_rows
+    return int(n_orders) * 2
 
 
 def _geocode_pages_query(sf_dir: str):

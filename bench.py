@@ -1,0 +1,163 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Runs the headline pipelines over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) under ``ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and prints ONE JSON line::
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N, ...}
+
+``bench.py --scaling`` runs the same bench in two fresh processes at
+num_cpus=8 and num_cpus=32 on the same input and reports both throughputs
+plus the scaling efficiency (the sandbox stand-in for the north rule's
+N vs 4N cluster-size criterion; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+PAGES_CACHE_ROOT = os.environ.get("GRAFT_PAGES_CACHE", "/tmp/graft_pages")
+
+
+def _pages_count() -> int:
+    import pyarrow.parquet as pq
+
+    n_orders = pq.read_metadata(f"{SF_DIR}/orders.parquet").num_rows
+    return int(n_orders) * 2
+
+
+def _consume(result) -> int:
+    """Force full execution; return row count."""
+    import pandas as pd
+
+    if isinstance(result, pd.DataFrame):
+        return len(result)
+    return result.count()
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from geocoding_toolbox_ray import queries as q
+    from geocoding_toolbox_ray.config import PipelineConfig
+    from geocoding_toolbox_ray.pipelines.geocode import geocode_pages, read_pages
+    from geocoding_toolbox_ray.sources.pages import materialize_pages_parquet
+
+    n_pages = _pages_count()
+    pages_dir = os.path.join(PAGES_CACHE_ROOT, f"n{n_pages}")
+    materialize_pages_parquet(n_pages, pages_dir)  # cached, untimed
+
+    # warm the OS page cache so we measure compute + shuffle, not cold disk
+    for t in ("orders", "lineitem", "documents", "embeddings", "events"):
+        with open(f"{SF_DIR}/{t}.parquet", "rb") as fh:
+            fh.read()
+    for root, _, fs in os.walk(pages_dir):
+        for f in fs:
+            with open(os.path.join(root, f), "rb") as fh:
+                fh.read()
+
+    # untimed warmup: spin up worker processes so timings are steady-state
+    import ray.data as rd
+
+    rd.range(100_000).map_batches(lambda t: t, batch_format="pyarrow").count()
+
+    timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        rows[name] = _consume(fn())
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    cfg = PipelineConfig(concurrency=max(2, NUM_CPUS - 2), batch_size=8192)
+    timed("geocode_pages", lambda: geocode_pages(read_pages(pages_dir), cfg))
+    timed("geocode_orders", lambda: q.geocode_orders(SF_DIR))
+    timed("knn_join", lambda: q.knn_join(SF_DIR))
+    timed("pip_join", lambda: q.pip_join(SF_DIR))
+    timed("tile_counts", lambda: q.tile_counts(SF_DIR))
+    timed("dedup_exact", lambda: q.dedup_exact(SF_DIR))
+    timed("minhash_dup_pairs", lambda: q.minhash_dup_pairs(SF_DIR))
+    timed("ann_topk_quantized", lambda: q.ann_topk_quantized(SF_DIR))
+    timed("events_window", lambda: q.events_window(SF_DIR))
+    timed("q1_pricing_summary", lambda: q.q1_pricing_summary(SF_DIR))
+
+    total = round(sum(timings.values()), 3)
+    geocode_rows_per_s = (
+        round(rows["geocode_pages"] / timings["geocode_pages"], 1)
+        if timings["geocode_pages"] > 0
+        else None
+    )
+    out = {
+        "metric": "graft_bench_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "rows": rows,
+        "geocode_pages_rows_per_s": geocode_rows_per_s,
+        "n_pages": n_pages,
+    }
+    ray.shutdown()
+    return out
+
+
+def run_scaling() -> dict:
+    import subprocess
+
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        )
+        return json.loads(proc.stdout.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = one(lo)
+    r_hi = one(hi)
+    # throughput = headline geocode rows/s; efficiency vs ideal linear scaling
+    tp_lo = r_lo["geocode_pages_rows_per_s"]
+    tp_hi = r_hi["geocode_pages_rows_per_s"]
+    eff = round((tp_hi / tp_lo) / (hi / lo), 3)
+    return {
+        "metric": "scaling_efficiency",
+        "value": eff,
+        "unit": "ratio",
+        "num_cpus_lo": lo,
+        "num_cpus_hi": hi,
+        "rows_per_s_lo": tp_lo,
+        "rows_per_s_hi": tp_hi,
+        "total_sec_lo": r_lo["value"],
+        "total_sec_hi": r_hi["value"],
+        "sf": SF_DIR,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

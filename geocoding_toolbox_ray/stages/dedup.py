@@ -56,8 +56,15 @@ def minhash_signature(text: str) -> np.ndarray:
     return v.min(axis=1)
 
 
+#: coarse shuffle key: (band_id, band_hash) buckets are hashed into NBUCKETS
+#: groups so the wide step has few, balanced groups (per-group dispatch
+#: overhead is paid NBUCKETS times, not once per LSH bucket) while true
+#: LSH-bucket granularity is recovered vectorized inside each group.
+NBUCKETS = 64
+
+
 def band_rows(batch: pa.Table, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
-    """docs batch -> (band_id, band_hash, doc_id, sig) LSH rows."""
+    """docs batch -> (bucket, band_id, band_hash, doc_id, sig) LSH rows."""
     ids = batch[id_col].to_pylist()
     texts = batch[text_col].to_pylist()
     band_id, band_hash, doc_id, sigs = [], [], [], []
@@ -70,8 +77,12 @@ def band_rows(batch: pa.Table, id_col: str = "doc_id", text_col: str = "text") -
             band_hash.append(zlib.crc32(chunk))
             doc_id.append(did)
             sigs.append(sb)
+    band_id = np.asarray(band_id, np.int32)
+    band_hash = np.asarray(band_hash, np.int64)
+    bucket = (band_hash * LSH_BANDS + band_id) % NBUCKETS
     return pa.table(
         {
+            "bucket": pa.array(bucket, pa.int64()),
             "band_id": pa.array(band_id, pa.int32()),
             "band_hash": pa.array(band_hash, pa.int64()),
             "doc_id": pa.array(doc_id, pa.int64()),
@@ -80,39 +91,67 @@ def band_rows(batch: pa.Table, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
-def bucket_pairs(group: pd.DataFrame, est_threshold: float = 0.5) -> pd.DataFrame:
-    """map_groups body over (band_id, band_hash) buckets: emit verified
-    candidate pairs with the estimated Jaccard (= fraction of equal
-    minhashes) in permille."""
-    if len(group) < 2:
-        return pd.DataFrame({"doc_a": [], "doc_b": [], "est_jaccard_permille": []}).astype(
-            {"doc_a": np.int64, "doc_b": np.int64, "est_jaccard_permille": np.int64}
-        )
-    g = group.sort_values("doc_id").drop_duplicates("doc_id")
-    ids = g["doc_id"].to_numpy(np.int64)
-    sigs = np.stack([np.frombuffer(s, np.uint64) for s in g["sig"]])
-    n = len(ids)
-    ia, ib = np.triu_indices(n, k=1)
-    frac = (sigs[ia] == sigs[ib]).mean(axis=1)
-    keep = frac >= est_threshold
-    return pd.DataFrame(
-        {
-            "doc_a": ids[ia[keep]],
-            "doc_b": ids[ib[keep]],
-            "est_jaccard_permille": np.floor(1000.0 * frac[keep] + 0.5).astype(np.int64),
-        }
+def _empty_pairs() -> pd.DataFrame:
+    return pd.DataFrame({"doc_a": [], "doc_b": [], "est_jaccard_permille": []}).astype(
+        {"doc_a": np.int64, "doc_b": np.int64, "est_jaccard_permille": np.int64}
     )
+
+
+def bucket_pairs(group: pd.DataFrame, est_threshold: float = 0.5) -> pd.DataFrame:
+    """map_groups body over one hash BUCKET (many LSH buckets): detect runs
+    of equal (band_id, band_hash) vectorized, enumerate pairs only inside
+    runs of length > 1, verify with the signature-overlap estimate."""
+    if len(group) < 2:
+        return _empty_pairs()
+    g = group.sort_values(["band_id", "band_hash", "doc_id"], kind="mergesort")
+    bid = g["band_id"].to_numpy(np.int64)
+    bh = g["band_hash"].to_numpy(np.int64)
+    ids = g["doc_id"].to_numpy(np.int64)
+    same = (bid[1:] == bid[:-1]) & (bh[1:] == bh[:-1])
+    bounds = np.flatnonzero(~same) + 1
+    starts = np.concatenate([[0], bounds])
+    ends = np.concatenate([bounds, [len(g)]])
+    frames = []
+    sig_list = g["sig"].to_numpy(object)
+    for s, e in zip(starts, ends):
+        n = e - s
+        if n < 2:
+            continue
+        run_ids = ids[s:e]
+        # duplicate doc in the same LSH bucket (same doc, several rows) guard
+        uniq, upos = np.unique(run_ids, return_index=True)
+        if len(uniq) < 2:
+            continue
+        sigs = np.stack([np.frombuffer(sig_list[s + p], np.uint64) for p in upos])
+        ia, ib = np.triu_indices(len(uniq), k=1)
+        frac = (sigs[ia] == sigs[ib]).mean(axis=1)
+        keep = frac >= est_threshold
+        if keep.any():
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "doc_a": uniq[ia[keep]],
+                        "doc_b": uniq[ib[keep]],
+                        "est_jaccard_permille": np.floor(1000.0 * frac[keep] + 0.5).astype(
+                            np.int64
+                        ),
+                    }
+                )
+            )
+    return pd.concat(frames, ignore_index=True) if frames else _empty_pairs()
 
 
 def minhash_dup_pairs(docs, est_threshold: float = 0.5):
     """documents Dataset -> near-dup pairs Dataset (distinct doc_a < doc_b)."""
+    from ray.data.aggregate import Min
+
     banded = docs.map_batches(band_rows, batch_format="pyarrow", batch_size=2048)
-    pairs = banded.groupby(["band_id", "band_hash"]).map_groups(
+    pairs = banded.groupby("bucket").map_groups(
         lambda g: bucket_pairs(g, est_threshold), batch_format="pandas"
     )
-    # a pair can surface from several bands -> distinct
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+    # a pair can surface from several bands (identical estimate) -> distinct
+    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
+        Min("est_jaccard_permille", alias_name="est_jaccard_permille")
     )
 
 
@@ -147,8 +186,12 @@ def simhash_rows(batch: pa.Table, id_col: str = "doc_id", text_col: str = "text"
             band_val.append(int((h >> np.uint64(16 * b)) & np.uint64(0xFFFF)))
             doc_id.append(did)
             sim.append(int(h.astype(np.int64)))  # two's-complement int64 view
+    band_id = np.asarray(band_id, np.int32)
+    band_val = np.asarray(band_val, np.int64)
+    bucket = (band_val * 4 + band_id) % NBUCKETS
     return pa.table(
         {
+            "bucket": pa.array(bucket, pa.int64()),
             "band_id": pa.array(band_id, pa.int32()),
             "band_val": pa.array(band_val, pa.int64()),
             "doc_id": pa.array(doc_id, pa.int64()),
@@ -157,31 +200,57 @@ def simhash_rows(batch: pa.Table, id_col: str = "doc_id", text_col: str = "text"
     )
 
 
+def _empty_sim_pairs() -> pd.DataFrame:
+    return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []}).astype(
+        {"doc_a": np.int64, "doc_b": np.int64, "hamming": np.int64}
+    )
+
+
 def simhash_pairs(group: pd.DataFrame, max_hamming: int = 3) -> pd.DataFrame:
+    """Run-detection over one hash bucket, pairs only within equal
+    (band_id, band_val) runs, exact Hamming verification."""
     if len(group) < 2:
-        return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []}).astype(
-            {"doc_a": np.int64, "doc_b": np.int64, "hamming": np.int64}
-        )
-    g = group.sort_values("doc_id").drop_duplicates("doc_id")
+        return _empty_sim_pairs()
+    g = group.sort_values(["band_id", "band_val", "doc_id"], kind="mergesort")
+    bid = g["band_id"].to_numpy(np.int64)
+    bv = g["band_val"].to_numpy(np.int64)
     ids = g["doc_id"].to_numpy(np.int64)
     hs = g["simhash"].to_numpy(np.int64).astype(np.uint64)
-    ia, ib = np.triu_indices(len(ids), k=1)
-    x = hs[ia] ^ hs[ib]
-    # popcount via bit tricks (no np.popcount in numpy 1.26)
-    ham = np.zeros(len(x), np.int64)
-    for s in range(64):
-        ham += ((x >> np.uint64(s)) & np.uint64(1)).astype(np.int64)
-    keep = ham <= max_hamming
-    return pd.DataFrame(
-        {"doc_a": ids[ia[keep]], "doc_b": ids[ib[keep]], "hamming": ham[keep]}
-    )
+    same = (bid[1:] == bid[:-1]) & (bv[1:] == bv[:-1])
+    bounds = np.flatnonzero(~same) + 1
+    starts = np.concatenate([[0], bounds])
+    ends = np.concatenate([bounds, [len(g)]])
+    frames = []
+    for s, e in zip(starts, ends):
+        if e - s < 2:
+            continue
+        run_ids = ids[s:e]
+        uniq, upos = np.unique(run_ids, return_index=True)
+        if len(uniq) < 2:
+            continue
+        run_hs = hs[s:e][upos]
+        ia, ib = np.triu_indices(len(uniq), k=1)
+        x = run_hs[ia] ^ run_hs[ib]
+        ham = np.zeros(len(x), np.int64)
+        for sh in range(64):
+            ham += ((x >> np.uint64(sh)) & np.uint64(1)).astype(np.int64)
+        keep = ham <= max_hamming
+        if keep.any():
+            frames.append(
+                pd.DataFrame(
+                    {"doc_a": uniq[ia[keep]], "doc_b": uniq[ib[keep]], "hamming": ham[keep]}
+                )
+            )
+    return pd.concat(frames, ignore_index=True) if frames else _empty_sim_pairs()
 
 
 def simhash_dup_pairs(docs, max_hamming: int = 3):
+    from ray.data.aggregate import Min
+
     rows = docs.map_batches(simhash_rows, batch_format="pyarrow", batch_size=2048)
-    pairs = rows.groupby(["band_id", "band_val"]).map_groups(
+    pairs = rows.groupby("bucket").map_groups(
         lambda g: simhash_pairs(g, max_hamming), batch_format="pandas"
     )
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
+        Min("hamming", alias_name="hamming")
     )

@@ -105,21 +105,29 @@ class MatcherStage:
         hits = merged.loc[hit_mask]
         misses = merged.loc[~hit_mask, ["__row", "addr_std", "zone_key"]]
 
-        # ---- fuzzy tier: zone-local scored join over the residual misses
+        # ---- fuzzy tier: zone-local scored join over the residual misses.
+        # Millions of extracted candidates collapse to few distinct
+        # (addr_std, zone) keys (SURVEY.md N1): score each DISTINCT key once,
+        # then broadcast the winner back to every duplicate row.
         fuzzy_frames = []
-        if len(misses):
-            for zk, grp in misses.groupby("zone_key", sort=False):
+        uniq = (
+            misses.drop_duplicates(["zone_key", "addr_std"])[["zone_key", "addr_std"]]
+            if len(misses)
+            else misses
+        )
+        if len(uniq):
+            for zk, grp in uniq.groupby("zone_key", sort=False):
                 cand_pos = self.index.zone_groups.get(zk)
                 if cand_pos is None or len(cand_pos) == 0:
                     continue
                 nq, nc = len(grp), len(cand_pos)
                 q_std = np.repeat(grp["addr_std"].to_numpy(), nc)
-                q_row = np.repeat(grp["__row"].to_numpy(), nc)
                 cand = self.index.points.iloc[np.tile(cand_pos, nq)].reset_index(drop=True)
                 sc = score_batch(q_std, cand["addr_std"].to_numpy())
                 pairs = pd.DataFrame(
                     {
-                        "__row": q_row,
+                        "zone_key": zk,
+                        "q_addr_std": q_std,
                         "score": sc,
                         "addr_std": cand["addr_std"].to_numpy(),
                         "point_id": cand["point_id"].to_numpy(),
@@ -134,11 +142,18 @@ class MatcherStage:
         if fuzzy_frames:
             allp = pd.concat(fuzzy_frames, ignore_index=True)
             allp = allp.sort_values(
-                ["__row", "score", "addr_std", "point_id"],
-                ascending=[True, False, True, True],
+                ["score", "addr_std", "point_id"],
+                ascending=[False, True, True],
                 kind="mergesort",
-            ).drop_duplicates("__row")
-            best_fuzzy = allp[allp["score"] >= self.accept]
+            ).drop_duplicates(["zone_key", "q_addr_std"])
+            winners = allp[allp["score"] >= self.accept]
+            best_fuzzy = misses.merge(
+                winners,
+                left_on=["zone_key", "addr_std"],
+                right_on=["zone_key", "q_addr_std"],
+                how="inner",
+                suffixes=("", "_ref"),
+            )
         else:
             best_fuzzy = pd.DataFrame(
                 columns=["__row", "score", "x", "y", "match_address", "address_grid", "locator"]
