@@ -22,7 +22,6 @@ from ..config import HEALTH_PROBE_COUNT, PipelineConfig
 from ..errors import ContinuousFailThresholdExceeded
 from ..sources.synthetic import address_points_table
 from ..stages.extract import extract_candidates, filter_lang
-from ..stages.matcher import MatcherStage
 from ..state.index import GeocodeIndex
 
 
@@ -35,18 +34,24 @@ def build_index_ref(locators: str = "all", address_points: pa.Table | None = Non
 
 
 def geocode_candidates(candidates, config: PipelineConfig | None = None, index_ref=None):
-    """candidates Dataset (primary_key, input_street, input_zone, ...) -> 11-col output."""
+    """candidates Dataset (primary_key, input_street, input_zone, ...) -> 11-col output.
+
+    The matcher runs as a stateless TASK stage with the broadcast index
+    cached once per worker process (``make_matcher_fn``): same state
+    amortization as an actor pool, but elastic — no pool spin-up latency
+    and no fixed CPU reservation that could starve upstream stages (a
+    fixed pool of num_cpus actors deadlocked the 4-cpu test session; an
+    autoscaling pool paid ~1 s per actor on short jobs).
+    """
     config = config or PipelineConfig()
     if index_ref is None:
         index_ref = build_index_ref(config.locators)
-    # autoscaling pool (1, N): a fixed-size pool of N can grab every CPU and
-    # starve the upstream read/extract tasks (observed deadlock at num_cpus=4)
+    from ..stages.matcher import make_matcher_fn
+
     return candidates.map_batches(
-        MatcherStage,
-        fn_constructor_kwargs={"index_ref": index_ref, "accept_score": config.accept_score},
+        make_matcher_fn(index_ref, config.accept_score),
         batch_format="pyarrow",
         batch_size=config.batch_size,
-        concurrency=(1, config.concurrency),
     )
 
 

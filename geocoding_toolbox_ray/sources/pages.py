@@ -138,7 +138,10 @@ def materialize_pages_parquet(n: int, out_dir: str, *, force: bool = False) -> s
 
     shutil.rmtree(out_dir, ignore_errors=True)
     os.makedirs(out_dir, exist_ok=True)
-    generate_pages_dataset(n).write_parquet(out_dir)
+    # one file per ~8k pages: enough read blocks that downstream fused map
+    # stages can use every core (a 17-file corpus capped parallelism at 17)
+    blocks = max(32, n // 8192)
+    generate_pages_dataset(n, override_num_blocks=blocks).write_parquet(out_dir)
     with open(marker, "w", encoding="utf-8") as fh:
         fh.write(str(n))
     return out_dir

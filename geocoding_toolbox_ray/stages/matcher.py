@@ -1,4 +1,4 @@
-"""The matcher — exact + fuzzy scored lookup as an actor-pool stage.
+"""The matcher — exact + fuzzy scored lookup as a broadcast-state stage.
 
 Reproduces, locally and vectorized, the per-row join the reference
 delegates to the AGRC API (``/root/reference/src/agrcgeocoding/geocode.py:
@@ -6,27 +6,25 @@ delegates to the AGRC API (``/root/reference/src/agrcgeocoding/geocode.py:
 (score >= acceptScore) or an error row with the reference's message shape
 (geocode.py:180-187, 221-226; 404 text at tests/test_geocode.py:89).
 
-Usage::
+Hot path is Arrow-native end to end: cleanse/standardize are
+pyarrow.compute kernel chains, the exact tier is an Acero hash join
+against the broadcast reference table, and output assembly is
+``if_else``/``coalesce`` — no pandas and no per-row Python objects (the
+earlier pandas implementation spent ~80% of its time building object
+arrays, which also throttled multi-core scaling via allocator pressure).
+Only the fuzzy tier touches Python strings, and only for the DISTINCT
+(addr_std, zone) miss keys (SURVEY.md N1) — a few hundred per batch even
+when millions of rows flow through.
 
-    index_ref = ray.put(GeocodeIndex.build(address_points, locators))
-    out = candidates.map_batches(
-        MatcherStage,
-        fn_constructor_kwargs={"index_ref": index_ref, "accept_score": 70},
-        batch_format="pyarrow", batch_size=B, concurrency=N,
-    )
-
-The compiled index is fetched ONCE per actor in ``__init__`` (broadcast
-via the object store), never per batch.  The exact tier is a vectorized
-hash probe (pandas merge); only the residual misses take the fuzzy scored
-tier (batched-DP Levenshtein against the zone-local candidate arrays,
-best-per-key with the deterministic tie-break score DESC, addr_std ASC,
-point_id ASC — the same ORDER BY the DuckDB oracle uses).
+Deterministic tie-break everywhere: score DESC, addr_std ASC, point_id
+ASC — the same ORDER BY the DuckDB oracle uses (candidates are pre-sorted
+by (addr_std, point_id) per zone, so ``argmax`` picks the tie-break
+winner for free).
 """
 
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -61,6 +59,43 @@ OUTPUT_FIELDS = [
 OUTPUT_SCHEMA = pa.schema(OUTPUT_FIELDS)
 assert tuple(OUTPUT_SCHEMA.names) == HEADER
 
+_WINNER_SCHEMA = pa.schema(
+    [
+        ("zone_key", pa.string()),
+        ("addr_std", pa.string()),
+        ("fz_score", pa.int64()),
+        ("fz_x", pa.float64()),
+        ("fz_y", pa.float64()),
+        ("fz_match_address", pa.string()),
+        ("fz_address_grid", pa.string()),
+        ("fz_locator", pa.string()),
+    ]
+)
+
+
+#: per-worker-process cache for the broadcast index: a task-based matcher
+#: fetches the index from the object store ONCE per worker (worker
+#: processes persist across tasks), giving actor-pool state amortization
+#: with task-pool elasticity — no pool spin-up, no fixed reservation.
+_INDEX_CACHE: dict = {}
+
+
+def make_matcher_fn(index_ref, accept_score: int = DEFAULT_ACCEPT_SCORE):
+    """Stateless-task matcher: plain function for ``map_batches`` with the
+    compiled index lazily ray.get() once per worker process."""
+
+    def _matcher(batch: pa.Table) -> pa.Table:
+        import ray
+
+        key = index_ref.hex() if isinstance(index_ref, ray.ObjectRef) else id(index_ref)
+        stage = _INDEX_CACHE.get(key)
+        if stage is None:
+            stage = MatcherStage(index_ref, accept_score)
+            _INDEX_CACHE[key] = stage
+        return stage(batch)
+
+    return _matcher
+
 
 class MatcherStage:
     """Callable-class stage for ``map_batches`` (one compiled index per actor)."""
@@ -72,142 +107,150 @@ class MatcherStage:
         self.accept = int(accept_score)
         self.miss_message = no_candidates_message(self.accept)
 
+        # broadcast exact-probe table as Arrow (join right side), built once
+        ex = self.index.exact
+        self.exact_arrow = pa.table(
+            {
+                "zone_key": pa.array(ex["zone_key"], pa.string()),
+                "addr_std": pa.array(ex["addr_std"], pa.string()),
+                "ex_x": pa.array(ex["x"], pa.float64()),
+                "ex_y": pa.array(ex["y"], pa.float64()),
+                "ex_match_address": pa.array(ex["match_address"], pa.string()),
+                "ex_address_grid": pa.array(ex["address_grid"], pa.string()),
+                "ex_locator": pa.array(ex["locator"], pa.string()),
+            }
+        )
+        # per-zone fuzzy candidates pre-sorted by (addr_std, point_id) so a
+        # plain argmax realizes the deterministic tie-break
+        pts = self.index.points
+        self._zone_cand = {}
+        for zk, pos in self.index.zone_groups.items():
+            sub = pts.iloc[pos]
+            sub = sub.sort_values(["addr_std", "point_id"], kind="mergesort")
+            self._zone_cand[zk] = {
+                "addr_std": sub["addr_std"].to_numpy(object),
+                "x": sub["x"].to_numpy(np.float64),
+                "y": sub["y"].to_numpy(np.float64),
+                "match_address": sub["match_address"].to_numpy(object),
+                "address_grid": sub["address_grid"].to_numpy(object),
+                "locator": sub["locator"].to_numpy(object),
+            }
+
+    # ------------------------------------------------------------------
+    def _fuzzy_winners(self, distinct_keys: pa.Table) -> pa.Table:
+        """DISTINCT miss (zone_key, addr_std) -> accepted winners table."""
+        zk_list = distinct_keys["zone_key"].to_pylist()
+        q_list = distinct_keys["addr_std"].to_pylist()
+        by_zone: dict[str, list[str]] = {}
+        for zk, q in zip(zk_list, q_list):
+            if zk is not None and q is not None:
+                by_zone.setdefault(zk, []).append(q)
+
+        w_zone, w_q, w_sc, w_x, w_y, w_ma, w_ag, w_loc = [], [], [], [], [], [], [], []
+        for zk, qs in by_zone.items():
+            cand = self._zone_cand.get(zk)
+            if cand is None:
+                continue
+            astd = cand["addr_std"]
+            nq, nc = len(qs), len(astd)
+            sc = score_batch(
+                np.repeat(np.array(qs, object), nc), np.tile(astd, nq)
+            ).reshape(nq, nc)
+            best = sc.argmax(axis=1)  # first max = (addr_std, point_id) tie-break
+            bsc = sc[np.arange(nq), best]
+            for i in range(nq):
+                if bsc[i] >= self.accept:
+                    b = best[i]
+                    w_zone.append(zk)
+                    w_q.append(qs[i])
+                    w_sc.append(int(bsc[i]))
+                    w_x.append(float(cand["x"][b]))
+                    w_y.append(float(cand["y"][b]))
+                    w_ma.append(cand["match_address"][b])
+                    w_ag.append(cand["address_grid"][b])
+                    w_loc.append(cand["locator"][b])
+        return pa.table(
+            {
+                "zone_key": pa.array(w_zone, pa.string()),
+                "addr_std": pa.array(w_q, pa.string()),
+                "fz_score": pa.array(w_sc, pa.int64()),
+                "fz_x": pa.array(w_x, pa.float64()),
+                "fz_y": pa.array(w_y, pa.float64()),
+                "fz_match_address": pa.array(w_ma, pa.string()),
+                "fz_address_grid": pa.array(w_ag, pa.string()),
+                "fz_locator": pa.array(w_loc, pa.string()),
+            },
+            schema=_WINNER_SCHEMA,
+        )
+
     # ------------------------------------------------------------------
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         if n == 0:
             return pa.table({f.name: pa.array([], f.type) for f in OUTPUT_SCHEMA})
 
-        street_raw = batch["input_street"]
-        zone_raw = batch["input_zone"]
-        street_clean = cleanse_street_arrow(street_raw)
-        addr_std = standardize_arrow(street_clean)
-        zone_clean = cleanse_zone_arrow(zone_raw)
-        zone_key = pc.utf8_lower(zone_clean)
+        addr_std = standardize_arrow(cleanse_street_arrow(batch["input_street"]))
+        zone_key = pc.utf8_lower(cleanse_zone_arrow(batch["input_zone"]))
 
-        df = pd.DataFrame(
+        probe = pa.table(
             {
-                "primary_key": pc.cast(batch["primary_key"], pa.string()).to_pandas(),
-                "input_street": street_raw.to_pandas(),
-                "input_zone": pc.cast(zone_raw, pa.string()).to_pandas(),
-                "addr_std": addr_std.to_pandas(),
-                "zone_key": zone_key.to_pandas(),
+                "__row": pa.array(np.arange(n, dtype=np.int64)),
+                "zone_key": pa.array(zone_key.combine_chunks() if isinstance(zone_key, pa.ChunkedArray) else zone_key),
+                "addr_std": pa.array(addr_std.combine_chunks() if isinstance(addr_std, pa.ChunkedArray) else addr_std),
             }
         )
-        df["__row"] = np.arange(n, dtype=np.int64)
+        # exact tier: Acero hash join vs the broadcast reference (right unique)
+        joined = probe.join(self.exact_arrow, keys=["zone_key", "addr_std"], join_type="left outer")
 
-        null_street = df["addr_std"].isna()
-
-        # ---- exact tier: vectorized hash probe
-        probe = df.loc[~null_street]
-        merged = probe.merge(self.index.exact, on=["zone_key", "addr_std"], how="left")
-        hit_mask = merged["x"].notna().to_numpy()
-        hits = merged.loc[hit_mask]
-        misses = merged.loc[~hit_mask, ["__row", "addr_std", "zone_key"]]
-
-        # ---- fuzzy tier: zone-local scored join over the residual misses.
-        # Millions of extracted candidates collapse to few distinct
-        # (addr_std, zone) keys (SURVEY.md N1): score each DISTINCT key once,
-        # then broadcast the winner back to every duplicate row.
-        fuzzy_frames = []
-        uniq = (
-            misses.drop_duplicates(["zone_key", "addr_std"])[["zone_key", "addr_std"]]
-            if len(misses)
-            else misses
+        ex_valid = pc.is_valid(joined["ex_x"])
+        miss = pc.and_kleene(pc.invert(ex_valid), pc.is_valid(joined["addr_std"]))
+        miss_keys = joined.filter(pc.fill_null(miss, False)).select(["zone_key", "addr_std"])
+        distinct = miss_keys.group_by(["zone_key", "addr_std"]).aggregate([])
+        winners = (
+            self._fuzzy_winners(distinct)
+            if distinct.num_rows
+            else pa.table({f.name: pa.array([], f.type) for f in _WINNER_SCHEMA})
         )
-        if len(uniq):
-            for zk, grp in uniq.groupby("zone_key", sort=False):
-                cand_pos = self.index.zone_groups.get(zk)
-                if cand_pos is None or len(cand_pos) == 0:
-                    continue
-                nq, nc = len(grp), len(cand_pos)
-                q_std = np.repeat(grp["addr_std"].to_numpy(), nc)
-                cand = self.index.points.iloc[np.tile(cand_pos, nq)].reset_index(drop=True)
-                sc = score_batch(q_std, cand["addr_std"].to_numpy())
-                pairs = pd.DataFrame(
-                    {
-                        "zone_key": zk,
-                        "q_addr_std": q_std,
-                        "score": sc,
-                        "addr_std": cand["addr_std"].to_numpy(),
-                        "point_id": cand["point_id"].to_numpy(),
-                        "x": cand["x"].to_numpy(),
-                        "y": cand["y"].to_numpy(),
-                        "match_address": cand["match_address"].to_numpy(),
-                        "address_grid": cand["address_grid"].to_numpy(),
-                        "locator": cand["locator"].to_numpy(),
-                    }
-                )
-                fuzzy_frames.append(pairs)
-        if fuzzy_frames:
-            allp = pd.concat(fuzzy_frames, ignore_index=True)
-            allp = allp.sort_values(
-                ["score", "addr_std", "point_id"],
-                ascending=[False, True, True],
-                kind="mergesort",
-            ).drop_duplicates(["zone_key", "q_addr_std"])
-            winners = allp[allp["score"] >= self.accept]
-            best_fuzzy = misses.merge(
-                winners,
-                left_on=["zone_key", "addr_std"],
-                right_on=["zone_key", "q_addr_std"],
-                how="inner",
-                suffixes=("", "_ref"),
-            )
-        else:
-            best_fuzzy = pd.DataFrame(
-                columns=["__row", "score", "x", "y", "match_address", "address_grid", "locator"]
-            )
+        joined = joined.join(winners, keys=["zone_key", "addr_std"], join_type="left outer")
+        # joins scramble row order: one sort restores the input order
+        joined = joined.sort_by("__row")
 
-        # ---- assemble: one output row per input row, original batch order
-        x = np.zeros(n, np.float64)
-        y = np.zeros(n, np.float64)
-        score = np.zeros(n, np.int64)
-        locator = np.full(n, None, object)
-        match_address = np.full(n, None, object)
-        standardized = np.full(n, None, object)
-        address_grid = np.full(n, None, object)
-        message = np.full(n, None, object)
+        ex_valid = pc.is_valid(joined["ex_x"])
+        fz_valid = pc.is_valid(joined["fz_score"])
+        matched = pc.or_(ex_valid, fz_valid)
+        null_street = pc.is_null(joined["addr_std"])
 
-        hr = hits["__row"].to_numpy(np.int64)
-        x[hr] = hits["x"].to_numpy(np.float64)
-        y[hr] = hits["y"].to_numpy(np.float64)
-        score[hr] = 100
-        locator[hr] = hits["locator"].to_numpy(object)
-        match_address[hr] = hits["match_address"].to_numpy(object)
-        address_grid[hr] = hits["address_grid"].to_numpy(object)
-
-        fr = best_fuzzy["__row"].to_numpy(np.int64)
-        x[fr] = best_fuzzy["x"].to_numpy(np.float64)
-        y[fr] = best_fuzzy["y"].to_numpy(np.float64)
-        score[fr] = best_fuzzy["score"].to_numpy(np.int64)
-        locator[fr] = best_fuzzy["locator"].to_numpy(object)
-        match_address[fr] = best_fuzzy["match_address"].to_numpy(object)
-        address_grid[fr] = best_fuzzy["address_grid"].to_numpy(object)
-
-        matched = np.zeros(n, bool)
-        matched[hr] = True
-        matched[fr] = True
-        std_all = df["addr_std"].to_numpy(object)
-        standardized[matched] = std_all[matched]
-
-        unmatched = ~matched
-        message[unmatched] = self.miss_message
-        ns_rows = df.loc[null_street, "__row"].to_numpy(np.int64)
-        message[ns_rows] = NULL_STREET_MESSAGE
+        x = pc.coalesce(joined["ex_x"], joined["fz_x"], pa.scalar(0.0, pa.float64()))
+        y = pc.coalesce(joined["ex_y"], joined["fz_y"], pa.scalar(0.0, pa.float64()))
+        score = pc.if_else(
+            ex_valid,
+            pa.scalar(100, pa.int64()),
+            pc.coalesce(joined["fz_score"], pa.scalar(0, pa.int64())),
+        )
+        locator = pc.coalesce(joined["ex_locator"], joined["fz_locator"])
+        match_address = pc.coalesce(joined["ex_match_address"], joined["fz_match_address"])
+        address_grid = pc.coalesce(joined["ex_address_grid"], joined["fz_address_grid"])
+        standardized = pc.if_else(matched, joined["addr_std"], pa.scalar(None, pa.string()))
+        message = pc.if_else(
+            null_street,
+            pa.scalar(NULL_STREET_MESSAGE, pa.string()),
+            pc.if_else(
+                matched, pa.scalar(None, pa.string()), pa.scalar(self.miss_message, pa.string())
+            ),
+        )
 
         out = {
-            "primary_key": pa.array(df["primary_key"], pa.string()),
-            "input_street": pa.array(df["input_street"], pa.string()),
-            "input_zone": pa.array(df["input_zone"], pa.string()),
-            "x": pa.array(x, pa.float64()),
-            "y": pa.array(y, pa.float64()),
-            "score": pa.array(score, pa.int64()),
-            "locator": pa.array(locator, pa.string()),
-            "matchAddress": pa.array(match_address, pa.string()),
-            "standardizedAddress": pa.array(standardized, pa.string()),
-            "addressGrid": pa.array(address_grid, pa.string()),
-            "message": pa.array(message, pa.string()),
+            "primary_key": pc.cast(batch["primary_key"], pa.string()),
+            "input_street": pc.cast(batch["input_street"], pa.string()),
+            "input_zone": pc.cast(batch["input_zone"], pa.string()),
+            "x": x,
+            "y": y,
+            "score": score,
+            "locator": locator,
+            "matchAddress": match_address,
+            "standardizedAddress": standardized,
+            "addressGrid": address_grid,
+            "message": message,
         }
         # pass any extra input columns through (url, warc_ts, ... — SURVEY.md J5)
         for name in batch.schema.names:

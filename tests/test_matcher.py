@@ -22,11 +22,9 @@ from geocoding_toolbox_ray.state.index import GeocodeIndex
 
 
 def make_matcher(accept=70, locators="all"):
-    m = object.__new__(MatcherStage)
-    m.index = GeocodeIndex.build(address_points_table(), locators=locators)
-    m.accept = accept
-    m.miss_message = no_candidates_message(accept)
-    return m
+    return MatcherStage(
+        GeocodeIndex.build(address_points_table(), locators=locators), accept
+    )
 
 
 def _batch(rows):
