@@ -64,6 +64,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cell_encode_lineitem": q.cell_encode_lineitem,
         "tile_assign_lineitem": q.tile_assign_lineitem,
         "tile_counts": q.tile_counts,
+        # --- geocode parameter variants + join/skew/sampling (oracle-checked) ---
+        "geocode_orders_centerlines": q.geocode_orders_centerlines,
+        "geocode_orders_wgs84": q.geocode_orders_wgs84,
+        "geocode_pobox": q.geocode_pobox,
+        "geocode_join_orders": q.geocode_join_orders,
+        "cell_skew_topk": q.cell_skew_topk,
+        "sample_orders": q.sample_orders,
         # --- text analysis / training-data ops (oracle-checked) ---
         "token_count_documents": q.token_count_documents,
         "lang_id_documents": q.lang_id_documents,
@@ -98,6 +105,12 @@ def oracle_sql() -> dict[str, str]:
         "cell_encode_lineitem": oracle.cell_encode_lineitem_sql(),
         "tile_assign_lineitem": oracle.tile_assign_lineitem_sql(),
         "tile_counts": oracle.tile_counts_sql(),
+        "geocode_orders_centerlines": oracle.geocode_orders_centerlines_sql(),
+        "geocode_orders_wgs84": oracle.geocode_orders_wgs84_sql(),
+        "geocode_pobox": oracle.geocode_pobox_sql(),
+        "geocode_join_orders": oracle.geocode_join_orders_sql(),
+        "cell_skew_topk": oracle.cell_skew_topk_sql(),
+        "sample_orders": oracle.sample_orders_sql(),
         "token_count_documents": oracle.token_count_documents_sql(),
         "lang_id_documents": oracle.lang_id_documents_sql(),
         "quality_documents": oracle.quality_documents_sql(),

@@ -19,11 +19,29 @@ from .sources.synthetic import address_points_values_sql, parcels_bbox_values_sq
 from .stages.matcher import no_candidates_message
 
 
-def geocode_orders_sql(accept_score: int = 70) -> str:
-    """Full 11-column geocode output over candidates derived from ``orders``."""
+def geocode_orders_sql(
+    accept_score: int = 70,
+    locators: str = "all",
+    pobox: str = "false",
+    wkid: int = 26912,
+    candidates_sql: str | None = None,
+) -> str:
+    """Full 11-column geocode output over candidates derived from ``orders``,
+    parameterized exactly like the engine: locator-tier selection, PO Box
+    admission, output spatial reference."""
+    from .functions.project import project_xy_sql
+
     msg = no_candidates_message(accept_score).replace("'", "''")
+    locator_filter = ""
+    if locators == "addressPoints":
+        locator_filter = " AND ap.locator = 'AddressPoints'"
+    elif locators == "roadCenterlines":
+        locator_filter = " AND ap.locator = 'RoadCenterlines'"
+    x_out, y_out = "w.x", "w.y"
+    if wkid != 26912:
+        x_out, y_out = project_xy_sql("w.x", "w.y", wkid)
     return f"""
-WITH candidates AS ({derive_sql()}),
+WITH candidates AS ({candidates_sql or derive_sql()}),
 cleansed AS (
     SELECT primary_key, input_street, input_zone,
            {cleanse_street_sql('input_street')} AS street_clean,
@@ -35,14 +53,14 @@ std AS (
            lower(zone_clean) AS zone_key
     FROM cleansed
 ),
-{address_points_values_sql('ap')},
+{address_points_values_sql('ap', include_pobox=(pobox == 'true'))},
 scored AS (
     SELECT s.primary_key, s.addr_std_in,
            ap.point_id, ap.addr_std, ap.match_address, ap.x, ap.y,
            ap.address_grid, ap.locator,
            {score_sql('s.addr_std_in', 'ap.addr_std')} AS score
     FROM std s
-    JOIN ap ON (ap.zone = s.zone_key OR ap.zip = s.zone_key)
+    JOIN ap ON (ap.zone = s.zone_key OR ap.zip = s.zone_key){locator_filter}
 ),
 best AS (
     SELECT *, row_number() OVER (
@@ -55,8 +73,8 @@ winners AS (SELECT * FROM best WHERE rn = 1 AND score >= {accept_score})
 SELECT s.primary_key,
        s.input_street,
        s.input_zone,
-       COALESCE(w.x, 0.0) AS x,
-       COALESCE(w.y, 0.0) AS y,
+       COALESCE({x_out}, 0.0) AS x,
+       COALESCE({y_out}, 0.0) AS y,
        COALESCE(w.score, 0) AS score,
        w.locator AS "locator",
        w.match_address AS "matchAddress",
@@ -302,3 +320,55 @@ FROM agg a JOIN customer c ON c.c_custkey = a.c_custkey
 ORDER BY a.revenue_cents DESC, a.c_custkey ASC
 LIMIT 10
 """
+
+
+# ------------------------------------------ geocode parameter variants
+
+def geocode_orders_centerlines_sql() -> str:
+    return geocode_orders_sql(locators="roadCenterlines")
+
+
+def geocode_orders_wgs84_sql() -> str:
+    return geocode_orders_sql(wkid=4326)
+
+
+def geocode_pobox_sql() -> str:
+    from .pipelines.candidates import derive_pobox_sql
+
+    return geocode_orders_sql(pobox="true", candidates_sql=derive_pobox_sql())
+
+
+def geocode_join_orders_sql() -> str:
+    """J5: join the geocode output back to its source rows on primary_key —
+    the large-large hash-join path."""
+    return f"""
+WITH output AS ({geocode_orders_sql()})
+SELECT o.primary_key, o.score, o.message,
+       CAST(floor(r.o_totalprice * 100.0 + 0.5) AS BIGINT) AS o_totalprice_cents,
+       r.o_orderpriority
+FROM output o
+JOIN orders r ON CAST(r.o_orderkey AS VARCHAR) = o.primary_key
+"""
+
+
+def cell_skew_topk_sql(k: int = 20) -> str:
+    """N2 skew report: top-k cells by matched-candidate count."""
+    return f"""
+WITH output AS ({geocode_orders_sql()}),
+cells AS (
+    SELECT {cell_encode_sql('x', 'y')} AS cell
+    FROM output WHERE message IS NULL
+),
+counts AS (SELECT cell, COUNT(*) AS n FROM cells GROUP BY 1)
+SELECT cell, n FROM counts ORDER BY n DESC, cell ASC LIMIT {k}
+"""
+
+
+def sample_orders_sql(pct: int = 5) -> str:
+    """N3 deterministic sampling: multiplicative-hash mod-100 filter (the
+    same integer arithmetic on both engines — unlike engine-native RNG
+    sampling, this is oracle-checkable)."""
+    return (
+        "SELECT o_orderkey, o_custkey FROM orders "
+        f"WHERE ((o_orderkey * 2654435761) % 4294967296) % 100 < {pct}"
+    )

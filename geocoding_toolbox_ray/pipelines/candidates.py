@@ -84,3 +84,33 @@ def derive_sql() -> str:
         "SELECT CAST(o_orderkey AS VARCHAR) AS primary_key, "
         f"{street} AS input_street, {zone} AS input_zone FROM orders"
     )
+
+
+def derive_pobox_candidates(batch: pa.Table) -> pa.Table:
+    """PO Box candidate rows: 'PO Box {1 + i%8}' (reference points hold
+    boxes 1..5, so 6..8 exercise the fuzzy tier)."""
+    i = np.asarray(batch["o_orderkey"].to_numpy(zero_copy_only=False), np.int64)
+    street = "PO Box " + pd.Series(1 + i % 8).astype(str)
+    zone = pd.Series(np.array(ZONES6, object)[(i // 3) % 6])
+    return pa.table(
+        {
+            "primary_key": pa.array(i.astype(str), pa.string()),
+            "input_street": pa.array(street, pa.string()),
+            "input_zone": pa.array(zone, pa.string()),
+        }
+    )
+
+
+def derive_pobox_sql() -> str:
+    def _case(expr: str, options: tuple[str, ...]) -> str:
+        whens = " ".join(
+            f"WHEN {k} THEN '{v.replace(chr(39), chr(39) * 2)}'" for k, v in enumerate(options)
+        )
+        return f"CASE {expr} {whens} END"
+
+    zone = _case("(o_orderkey // 3) % 6", ZONES6)
+    return (
+        "SELECT CAST(o_orderkey AS VARCHAR) AS primary_key, "
+        "'PO Box ' || CAST(1 + o_orderkey % 8 AS VARCHAR) AS input_street, "
+        f"{zone} AS input_zone FROM orders"
+    )

@@ -25,11 +25,21 @@ from ..stages.extract import extract_candidates, filter_lang
 from ..state.index import GeocodeIndex
 
 
-def build_index_ref(locators: str = "all", address_points: pa.Table | None = None):
-    """Compile the broadcast index and put it in the object store (once)."""
+def build_index_ref(
+    locators: str = "all",
+    address_points: pa.Table | None = None,
+    pobox: str = "false",
+):
+    """Compile the broadcast index and put it in the object store (once).
+    ``pobox='true'`` admits PO Box delivery points into the locator layer
+    (the reference's pobox request flag, geocode.py:27,117,205)."""
     import ray
 
-    table = address_points if address_points is not None else address_points_table()
+    table = (
+        address_points
+        if address_points is not None
+        else address_points_table(include_pobox=(pobox == "true"))
+    )
     return ray.put(GeocodeIndex.build(table, locators=locators))
 
 
@@ -45,14 +55,24 @@ def geocode_candidates(candidates, config: PipelineConfig | None = None, index_r
     """
     config = config or PipelineConfig()
     if index_ref is None:
-        index_ref = build_index_ref(config.locators)
+        index_ref = build_index_ref(config.locators, pobox=config.pobox)
     from ..stages.matcher import make_matcher_fn
 
-    return candidates.map_batches(
+    out = candidates.map_batches(
         make_matcher_fn(index_ref, config.accept_score),
         batch_format="pyarrow",
         batch_size=config.batch_size,
     )
+    if config.spatial_reference != 26912:
+        from ..functions.project import project_output_batch
+
+        wkid = config.spatial_reference
+        out = out.map_batches(
+            lambda t: project_output_batch(t, wkid),
+            batch_format="pyarrow",
+            batch_size=config.batch_size,
+        )
+    return out
 
 
 def geocode_pages(pages, config: PipelineConfig | None = None, index_ref=None, lang: str = "en"):

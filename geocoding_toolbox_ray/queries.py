@@ -363,3 +363,99 @@ def top_customers(sf_dir: str) -> pd.DataFrame:
     ).head(10)
     grouped["c_name"] = grouped["c_custkey"].map(name_of)
     return grouped[["c_custkey", "c_name", "n_orders", "revenue_cents"]].reset_index(drop=True)
+
+
+# ----------------------------------------- geocode parameter variants
+
+def geocode_orders_centerlines(sf_dir: str):
+    """Locator-tier selection ('roadCenterlines', reference geocode.py:26,128)."""
+    orders = _read(sf_dir, "orders", columns=["o_orderkey"])
+    cands = orders.map_batches(derive_candidates, batch_format="pyarrow")
+    return geocode_candidates(cands, PipelineConfig(locators="roadCenterlines"))
+
+
+def geocode_orders_wgs84(sf_dir: str):
+    """Output spatial_reference 4326 (reference wkid param, geocode.py:25,115)."""
+    orders = _read(sf_dir, "orders", columns=["o_orderkey"])
+    cands = orders.map_batches(derive_candidates, batch_format="pyarrow")
+    return geocode_candidates(cands, PipelineConfig(spatial_reference=4326))
+
+
+def geocode_pobox(sf_dir: str):
+    """pobox='true' admits PO Box delivery points (geocode.py:27,117,205)."""
+    from .pipelines.candidates import derive_pobox_candidates
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey"])
+    cands = orders.map_batches(derive_pobox_candidates, batch_format="pyarrow")
+    return geocode_candidates(cands, PipelineConfig(pobox="true"))
+
+
+def geocode_join_orders(sf_dir: str):
+    """J5 re-join: geocode output x orders on primary_key via the native
+    hash-partitioned Dataset.join (both sides large -> shuffle join)."""
+    out = geocode_orders(sf_dir).select_columns(["primary_key", "score", "message"])
+
+    def _orders_side(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        cents = np.floor(
+            np.asarray(t["o_totalprice"].to_numpy(zero_copy_only=False), np.float64) * 100.0
+            + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "primary_key": pc.cast(t["o_orderkey"], pa.string()),
+                "o_totalprice_cents": pa.array(cents, pa.int64()),
+                "o_orderpriority": t["o_orderpriority"],
+            }
+        )
+
+    right = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice", "o_orderpriority"]).map_batches(
+        _orders_side, batch_format="pyarrow"
+    )
+    return out.join(right, "inner", num_partitions=16, on=("primary_key",))
+
+
+def cell_skew_topk(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """N2 skew report: top-k cells by matched-candidate count — the pre-pass
+    that feeds hot-cell salting (SURVEY.md §4.1)."""
+    from ray.data.aggregate import Sum
+
+    from .functions.cells import cell_encode
+
+    out = geocode_orders(sf_dir)
+
+    def _cells(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        m = t.filter(pc.is_null(t["message"]))
+        cell = cell_encode(
+            np.asarray(m["x"].to_numpy(zero_copy_only=False), np.float64),
+            np.asarray(m["y"].to_numpy(zero_copy_only=False), np.float64),
+        )
+        uniq, counts = np.unique(cell, return_counts=True)
+        return pa.table(
+            {"cell": pa.array(uniq, pa.int64()), "part_n": pa.array(counts.astype(np.int64))}
+        )
+
+    grouped = (
+        out.map_batches(_cells, batch_format="pyarrow")
+        .groupby("cell")
+        .aggregate(Sum("part_n", alias_name="n"))
+        .to_pandas()
+    )
+    grouped = grouped.sort_values(["n", "cell"], ascending=[False, True], kind="mergesort").head(k)
+    return grouped[["cell", "n"]].reset_index(drop=True)
+
+
+def sample_orders(sf_dir: str, pct: int = 5):
+    """N3 deterministic sampling via multiplicative hash (oracle-checkable,
+    unlike RNG-based random_sample)."""
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+
+    def _f(t: pa.Table) -> pa.Table:
+        k = np.asarray(t["o_orderkey"].to_numpy(zero_copy_only=False), np.int64)
+        keep = ((k * 2654435761) % 4294967296) % 100 < pct
+        return t.filter(pa.array(keep))
+
+    return orders.map_batches(_f, batch_format="pyarrow")

@@ -71,7 +71,10 @@ ADDRESS_POINTS_SCHEMA = pa.schema(
 )
 
 
-def _address_point_rows() -> list[dict]:
+POBOX_PER_CITY = 5
+
+
+def _address_point_rows(include_pobox: bool = False) -> list[dict]:
     rows = []
     pid = 0
     for ci, (city, zip5, cx, cy) in enumerate(CITIES):
@@ -111,19 +114,40 @@ def _address_point_rows() -> list[dict]:
                 "locator": "AddressPoints",
             }
         )
+    if include_pobox:
+        # PO Box delivery points, reachable only when the reference's
+        # ``pobox`` flag is 'true' (geocode.py:27,117,205 — default 'false')
+        for ci, (city, zip5, cx, cy) in enumerate(CITIES):
+            for k in range(1, POBOX_PER_CITY + 1):
+                pid += 1
+                raw = f"PO BOX {k}"
+                rows.append(
+                    {
+                        "point_id": pid,
+                        "addr_std": standardize(cleanse_street(raw)),
+                        "match_address": raw,
+                        "zone": city,
+                        "zip": zip5,
+                        "x": cx - 3000.0 - k * 40.0,
+                        "y": cy - 3000.0 - k * 55.0,
+                        "address_grid": city.upper(),
+                        "locator": "AddressPoints",
+                    }
+                )
     return rows
 
 
-def address_points_table() -> pa.Table:
-    """The full deterministic address-point reference layer (480 rows)."""
-    rows = _address_point_rows()
+def address_points_table(include_pobox: bool = False) -> pa.Table:
+    """The deterministic address-point reference layer (485 rows; +40 PO Box
+    delivery points when ``include_pobox``)."""
+    rows = _address_point_rows(include_pobox)
     cols = {name: [r[name] for r in rows] for name in ADDRESS_POINTS_SCHEMA.names}
     return pa.table(cols, schema=ADDRESS_POINTS_SCHEMA)
 
 
-def address_points_values_sql(alias: str = "ap") -> str:
+def address_points_values_sql(alias: str = "ap", include_pobox: bool = False) -> str:
     """The same table as a DuckDB VALUES CTE body: ``{alias}(cols...) AS (VALUES ...)``."""
-    rows = _address_point_rows()
+    rows = _address_point_rows(include_pobox)
     parts = []
     for r in rows:
         parts.append(

@@ -141,3 +141,20 @@ def test_rows_only_queries_run(ray_session):
         res = qs[name](SF_DIR)
         n = len(res) if isinstance(res, pd.DataFrame) else res.count()
         assert n >= 0
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "geocode_orders_centerlines",
+        "geocode_orders_wgs84",
+        "geocode_pobox",
+        "geocode_join_orders",
+        "cell_skew_topk",
+        "sample_orders",
+    ],
+)
+def test_variant_query_parity(name, ray_session, con):
+    import __ray_entry__ as entrymod
+
+    compare(entrymod.queries()[name](SF_DIR), entrymod.oracle_sql()[name], con)
