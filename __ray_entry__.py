@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geocode_join_orders": q.geocode_join_orders,
         "cell_skew_topk": q.cell_skew_topk,
         "sample_orders": q.sample_orders,
+        "tile_raster_sparse": q.tile_raster_sparse,
         # --- text analysis / training-data ops (oracle-checked) ---
         "token_count_documents": q.token_count_documents,
         "lang_id_documents": q.lang_id_documents,
@@ -111,6 +112,7 @@ def oracle_sql() -> dict[str, str]:
         "geocode_join_orders": oracle.geocode_join_orders_sql(),
         "cell_skew_topk": oracle.cell_skew_topk_sql(),
         "sample_orders": oracle.sample_orders_sql(),
+        "tile_raster_sparse": oracle.tile_raster_sparse_sql(),
         "token_count_documents": oracle.token_count_documents_sql(),
         "lang_id_documents": oracle.lang_id_documents_sql(),
         "quality_documents": oracle.quality_documents_sql(),

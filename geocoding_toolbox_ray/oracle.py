@@ -372,3 +372,17 @@ def sample_orders_sql(pct: int = 5) -> str:
         "SELECT o_orderkey, o_custkey FROM orders "
         f"WHERE ((o_orderkey * 2654435761) % 4294967296) % 100 < {pct}"
     )
+
+
+def tile_raster_sparse_sql() -> str:
+    from .stages.raster import TILE_PX, global_pixel_sql
+
+    gx, gy = global_pixel_sql("qx", "qy")
+    return f"""
+WITH qpts AS ({_uniform_points_select()}),
+gp AS (SELECT {gx} AS gx, {gy} AS gy FROM qpts)
+SELECT gx // {TILE_PX} AS tile_x, gy // {TILE_PX} AS tile_y,
+       gx % {TILE_PX} AS px_x, gy % {TILE_PX} AS px_y,
+       COUNT(*) AS n
+FROM gp GROUP BY 1, 2, 3, 4
+"""

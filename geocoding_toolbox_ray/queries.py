@@ -459,3 +459,16 @@ def sample_orders(sf_dir: str, pct: int = 5):
         return t.filter(pa.array(keep))
 
     return orders.map_batches(_f, batch_format="pyarrow")
+
+
+def tile_raster_sparse(sf_dir: str):
+    """Vector -> raster: sparse per-tile 256px pixel counts over the uniform
+    lineitem point derivation (oracle-checked; global-pixel arithmetic keeps
+    tile and pixel consistent)."""
+    from .pipelines.spatial import derive_uniform_points
+    from .stages.raster import rasterize_sparse
+
+    pts = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_partkey"]).map_batches(
+        derive_uniform_points, batch_format="pyarrow"
+    )
+    return rasterize_sparse(pts)
