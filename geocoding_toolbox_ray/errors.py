@@ -4,7 +4,7 @@
 from __future__ import annotations
 
 
-class InvalidConfigurationException(Exception):
+class InvalidConfigurationException(ValueError):
     """Pipeline-build-time failure (missing reference tables, bad locator
     selector) — the local analogue of the reference's fail-fast
     ``InvalidAPIKeyException`` (geocode.py:299-308): abort before streaming."""

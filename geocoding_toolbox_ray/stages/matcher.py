@@ -238,6 +238,9 @@ class MatcherStage:
                 matched, pa.scalar(None, pa.string()), pa.scalar(self.miss_message, pa.string())
             ),
         )
+        # error messages truncate at 500 chars like the reference's
+        # str(ex)[:500] (geocode.py:254)
+        message = pc.utf8_slice_codeunits(message, 0, 500)
 
         out = {
             "primary_key": pc.cast(batch["primary_key"], pa.string()),

@@ -47,7 +47,11 @@ class GeocodeIndex:
         elif locators == "roadCenterlines":
             df = df[df["locator"] == "RoadCenterlines"]
         elif locators != "all":
-            raise ValueError(f"unknown locators selector: {locators!r}")
+            from ..errors import InvalidConfigurationException
+
+            # build-time fail-fast: the local analogue of the reference's
+            # InvalidAPIKeyException abort (geocode.py:217-219, 299-308)
+            raise InvalidConfigurationException(f"unknown locators selector: {locators!r}")
         df = df.reset_index(drop=True)
 
         # every point reachable under city-name key and zip key
