@@ -88,6 +88,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dup_pairs": q.simhash_dup_pairs,
         "ann_topk_cosine": q.ann_topk_cosine,
         "ann_topk_lsh": q.ann_topk_lsh,
+        "embedding_dup_pairs": q.embedding_dup_pairs,
+        "ngram_jaccard_pairs": q.ngram_jaccard_pairs,
         # --- flagship web pipeline (pages corpus is engine-side; rows-only) ---
         "geocode_pages": _geocode_pages_query,
     }

@@ -472,3 +472,25 @@ def tile_raster_sparse(sf_dir: str):
         derive_uniform_points, batch_format="pyarrow"
     )
     return rasterize_sparse(pts)
+
+
+def embedding_dup_pairs(sf_dir: str):
+    """Embedding-cosine near-dup pairs (LSH-bucketed; rows-only check)."""
+    from .stages.dedup import embedding_dup_pairs as _f
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return _f(emb, threshold=0.95)
+
+
+def ngram_jaccard_pairs(sf_dir: str) -> pd.DataFrame:
+    """Exact n-gram Jaccard over MinHash-LSH candidate pairs (rows-only)."""
+    from .stages.dedup import minhash_dup_pairs as _mh
+    from .stages.dedup import ngram_jaccard_verify
+
+    cands = _mh(_docs(sf_dir), est_threshold=0.4).to_pandas()
+    if cands.empty:
+        return pd.DataFrame(
+            {"doc_a": pd.array([], "int64"), "doc_b": pd.array([], "int64"),
+             "jaccard_permille": pd.array([], "int64")}
+        )
+    return ngram_jaccard_verify(_docs(sf_dir), cands)

@@ -254,3 +254,93 @@ def simhash_dup_pairs(docs, max_hamming: int = 3):
     return pairs.groupby(["doc_a", "doc_b"]).aggregate(
         Min("hamming", alias_name="hamming")
     )
+
+
+# ----------------------------------------------------- embedding near-dup
+
+def embedding_dup_pairs(embeddings, threshold: float = 0.95, bits: int = 8):
+    """Embedding-cosine near-dup: random-hyperplane LSH bucketing, then
+    exact cosine within buckets (pairs at sim >= threshold).  The bucket
+    groupby is the only shuffle; within-bucket work is one numpy matmul.
+    """
+    from ..stages.ann import lsh_bucket, lsh_planes
+
+    def _bucket(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["vec_id"].to_numpy(zero_copy_only=False), np.int64)
+        flat = np.asarray(batch["embedding"].combine_chunks().flatten(), np.float32)
+        mat = flat.reshape(len(ids), -1).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        mat = mat / norms[:, None]
+        planes = lsh_planes(mat.shape[1], bits)
+        b = lsh_bucket(mat, planes)
+        return pa.table(
+            {
+                "bucket": pa.array(b, pa.int64()),
+                "vec_id": pa.array(ids, pa.int64()),
+                "vec": pa.array(list(mat.astype(np.float32)), pa.list_(pa.float32())),
+            }
+        )
+
+    def _pairs(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"vec_a": [], "vec_b": [], "sim": []}).astype(
+            {"vec_a": np.int64, "vec_b": np.int64, "sim": np.float64}
+        )
+        if len(group) < 2:
+            return empty
+        g = group.sort_values("vec_id").drop_duplicates("vec_id")
+        ids = g["vec_id"].to_numpy(np.int64)
+        mat = np.stack([np.asarray(v, np.float64) for v in g["vec"]])
+        sims = mat @ mat.T
+        ia, ib = np.triu_indices(len(ids), k=1)
+        s = sims[ia, ib]
+        keep = s >= threshold
+        if not keep.any():
+            return empty
+        return pd.DataFrame(
+            {"vec_a": ids[ia[keep]], "vec_b": ids[ib[keep]], "sim": s[keep]}
+        )
+
+    bucketed = embeddings.map_batches(_bucket, batch_format="pyarrow", batch_size=4096)
+    return bucketed.groupby("bucket").map_groups(_pairs, batch_format="pandas")
+
+
+# ------------------------------------------------- exact n-gram Jaccard
+
+def ngram_jaccard_verify(docs, candidate_pairs: pd.DataFrame, n_words: int = 3) -> pd.DataFrame:
+    """Exact word-n-gram Jaccard for a (small) candidate pair list.
+
+    The pair list (from MinHash-LSH) is broadcast; one pass over the
+    documents collects shingle sets for ONLY the involved docs (a semi-join
+    by broadcast key set); the driver finishes the tiny pairwise step.
+    """
+    involved = set(candidate_pairs["doc_a"]) | set(candidate_pairs["doc_b"])
+
+    def _shingles(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = batch[batch["doc_id"].isin(involved)]
+        out = []
+        for did, txt in zip(rows["doc_id"], rows["text"]):
+            toks = txt.lower().split()
+            sh = {" ".join(toks[i : i + n_words]) for i in range(max(1, len(toks) - n_words + 1))}
+            out.append({"doc_id": int(did), "shingles": list(sh)})
+        return pd.DataFrame(out) if out else pd.DataFrame({"doc_id": [], "shingles": []})
+
+    collected = docs.map_batches(_shingles, batch_format="pandas").to_pandas()
+    sets = {int(r.doc_id): set(r.shingles) for r in collected.itertuples()}
+    recs = []
+    for a, b in zip(candidate_pairs["doc_a"], candidate_pairs["doc_b"]):
+        sa, sb = sets.get(int(a)), sets.get(int(b))
+        if sa is None or sb is None:
+            continue
+        inter = len(sa & sb)
+        union = len(sa | sb)
+        recs.append(
+            {
+                "doc_a": int(a),
+                "doc_b": int(b),
+                "jaccard_permille": int(np.floor(1000.0 * inter / max(union, 1) + 0.5)),
+            }
+        )
+    return pd.DataFrame(recs, columns=["doc_a", "doc_b", "jaccard_permille"]).astype(
+        {"doc_a": np.int64, "doc_b": np.int64, "jaccard_permille": np.int64}
+    )

@@ -85,3 +85,40 @@ def test_ann_lsh_subset_of_bruteforce(ray_session):
     merged = lsh.merge(brute, on=["query_id", "vec_id"], suffixes=("_l", "_b"))
     assert len(merged) == len(lsh)
     assert np.allclose(merged["sim_l"], merged["sim_b"])
+
+
+def test_embedding_dup_pairs_finds_planted(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((30, 16)).astype(np.float32)
+    rows = [{"vec_id": i, "embedding": base[i].tolist()} for i in range(30)]
+    # plant near-duplicates: tiny perturbations of vectors 0..4
+    for i in range(5):
+        rows.append({"vec_id": 100 + i, "embedding": (base[i] + 0.001).tolist()})
+    from geocoding_toolbox_ray.stages.dedup import embedding_dup_pairs
+
+    pairs = embedding_dup_pairs(rd.from_items(rows), threshold=0.99).to_pandas()
+    found = set(zip(pairs["vec_a"], pairs["vec_b"]))
+    assert sum((i, 100 + i) in found for i in range(5)) >= 4  # LSH recall < 1
+
+
+def test_ngram_jaccard_verify(ray_session):
+    import ray.data as rd
+
+    from geocoding_toolbox_ray.stages.dedup import ngram_jaccard_verify
+
+    docs = rd.from_items(
+        [
+            {"doc_id": 1, "text": "a b c d e f"},
+            {"doc_id": 2, "text": "a b c d e f"},
+            {"doc_id": 3, "text": "x y z w v u"},
+        ]
+    )
+    import pandas as pd
+
+    pairs = pd.DataFrame({"doc_a": [1, 1], "doc_b": [2, 3]})
+    out = ngram_jaccard_verify(docs, pairs)
+    r12 = out[(out["doc_a"] == 1) & (out["doc_b"] == 2)]["jaccard_permille"].iloc[0]
+    r13 = out[(out["doc_a"] == 1) & (out["doc_b"] == 3)]["jaccard_permille"].iloc[0]
+    assert r12 == 1000 and r13 == 0
