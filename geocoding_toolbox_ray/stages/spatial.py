@@ -122,9 +122,17 @@ class KnnStage:
         self.py = self.index.points["y"].to_numpy(np.float64)
         self.pid = self.index.points["point_id"].to_numpy(np.int64)
         self.max_radius = 1 << self.index.res  # grid width — absolute upper bound
+        #: (cell, radius) -> candidate positions; query cells repeat heavily
+        #: across batches, so this per-actor cache removes most ring lookups
+        self._cand_cache: dict[tuple[int, int], np.ndarray] = {}
 
     def _candidates(self, cell: int, radius: int) -> np.ndarray:
-        return self.index.points_in_cells(disk_cells(cell, radius, self.index.res))
+        key = (cell, radius)
+        out = self._cand_cache.get(key)
+        if out is None:
+            out = self.index.points_in_cells(disk_cells(cell, radius, self.index.res))
+            self._cand_cache[key] = out
+        return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         qx = np.asarray(batch["qx"].to_numpy(zero_copy_only=False), np.float64)
@@ -160,11 +168,12 @@ class KnnStage:
             # exact argmin with point_id tie-break
             rowmin = d2.min(axis=1, keepdims=True)
             is_min = d2 == rowmin
-            pid_m = np.where(is_min, self.pid[cand][None, :], np.iinfo(np.int64).max)
+            cand_pid = self.pid[cand]
+            pid_m = np.where(is_min, cand_pid[None, :], np.iinfo(np.int64).max)
             win_pid = pid_m.min(axis=1)
-            # map winning point_id back to candidate position
-            pos_of = {int(p): int(c) for p, c in zip(self.pid[cand], cand)}
-            win_pos = np.array([pos_of[int(p)] for p in win_pid], np.int64)
+            # map winning point_id back to candidate position (vectorized)
+            order = np.argsort(cand_pid, kind="stable")
+            win_pos = cand[order[np.searchsorted(cand_pid[order], win_pid)]]
             nn_pid[sel] = win_pid
             nn_x[sel] = self.px[win_pos]
             nn_y[sel] = self.py[win_pos]

@@ -114,12 +114,7 @@ def test_knn_stage_exact_vs_bruteforce():
     from geocoding_toolbox_ray.stages.spatial import KnnStage
 
     idx = GeocodeIndex.build(address_points_table())
-    stage = object.__new__(KnnStage)
-    stage.index = idx
-    stage.px = idx.points["x"].to_numpy(np.float64)
-    stage.py = idx.points["y"].to_numpy(np.float64)
-    stage.pid = idx.points["point_id"].to_numpy(np.int64)
-    stage.max_radius = 1 << idx.res
+    stage = KnnStage(idx)
 
     rng = np.random.default_rng(7)
     from geocoding_toolbox_ray.functions.cells import EXTENT, X0, Y0
