@@ -104,3 +104,31 @@ def run_health_probe(candidates, config: PipelineConfig, index_ref=None) -> None
     out = geocode_candidates(probe, config, index_ref).to_pandas()
     if len(out) == HEALTH_PROBE_COUNT and out["message"].notna().all():
         raise ContinuousFailThresholdExceeded()
+
+
+def geocode_pages_resumable(
+    pages_dir: str,
+    out_dir: str,
+    config: PipelineConfig | None = None,
+    *,
+    shard_size: int = 16,
+) -> dict:
+    """The flagship pipeline through the resumable partitioned sink: the
+    pages corpus is sharded by input file group, each shard streams
+    read -> extract -> match -> parquet, and a rerun skips completed shards
+    (per-shard lineage + metrics, SURVEY.md §4.1 checkpoint row)."""
+    import glob
+
+    from ..state.lineage import resumable_write
+
+    config = config or PipelineConfig()
+    index_ref = build_index_ref(config.locators, pobox=config.pobox)
+    files = sorted(glob.glob(f"{pages_dir}/*.parquet"))
+
+    def build(shard_files):
+        import ray.data as rd
+
+        pages = rd.read_parquet(shard_files, columns=["url", "warc_ts", "text", "lang"])
+        return geocode_pages(pages, config, index_ref)
+
+    return resumable_write(files, build, out_dir, shard_size=shard_size)

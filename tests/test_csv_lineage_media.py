@@ -181,3 +181,43 @@ def test_lineage_sidecar_contents(ray_session, tmp_path):
     sidecar = json.loads((Path(out_dir) / "shard=00000" / "lineage.json").read_text())
     assert sidecar["input_files"] == [str(p)]
     assert sidecar["rows"] == 3
+
+
+def test_geocode_pages_resumable(ray_session, tmp_path):
+    import ray.data as rd
+
+    from geocoding_toolbox_ray.pipelines.geocode import geocode_pages_resumable
+    from geocoding_toolbox_ray.sources.pages import generate_pages_dataset
+    from geocoding_toolbox_ray.state.lineage import resume_report
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from geocoding_toolbox_ray.sources.pages import pages_batch
+
+    corpus = str(tmp_path / "pages")
+    (tmp_path / "pages").mkdir()
+    for i in range(4):
+        pq.write_table(
+            pages_batch(np.arange(i * 500, (i + 1) * 500)), f"{corpus}/part-{i}.parquet"
+        )
+
+    out = str(tmp_path / "geocoded")
+    r1 = geocode_pages_resumable(corpus, out, shard_size=1)
+    assert len(r1["ran"]) >= 2 and not r1["skipped"]
+    report = resume_report(out)
+    total_rows = sum(r["rows"] for r in report)
+    assert total_rows > 0
+
+    # rerun: everything skipped, nothing recomputed
+    r2 = geocode_pages_resumable(corpus, out, shard_size=1)
+    assert not r2["ran"] and len(r2["skipped"]) == r1["total_shards"]
+
+    # the written output is the full 11-column table (sidecars filtered)
+    import glob as _glob
+
+    got = rd.read_parquet(sorted(_glob.glob(f"{out}/shard=*/*.parquet"))).to_pandas()
+    assert total_rows == len(got)
+    from geocoding_toolbox_ray.config import HEADER
+
+    assert set(HEADER) <= set(got.columns)
