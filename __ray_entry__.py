@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_lsh": q.ann_topk_lsh,
         "embedding_dup_pairs": q.embedding_dup_pairs,
         "ngram_jaccard_pairs": q.ngram_jaccard_pairs,
+        "dedup_clusters": q.dedup_clusters,
         # --- flagship web pipeline (pages corpus is engine-side; rows-only) ---
         "geocode_pages": _geocode_pages_query,
     }

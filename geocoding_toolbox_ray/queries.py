@@ -494,3 +494,12 @@ def ngram_jaccard_pairs(sf_dir: str) -> pd.DataFrame:
              "jaccard_permille": pd.array([], "int64")}
         )
     return ngram_jaccard_verify(_docs(sf_dir), cands)
+
+
+def dedup_clusters(sf_dir: str):
+    """Near-dup clustering: MinHash pairs -> connected components via
+    min-label propagation (rows-only)."""
+    from .stages.dedup import dedup_clusters as _cc
+    from .stages.dedup import minhash_dup_pairs as _mh
+
+    return _cc(_mh(_docs(sf_dir), est_threshold=0.5))

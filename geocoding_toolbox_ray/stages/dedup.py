@@ -344,3 +344,99 @@ def ngram_jaccard_verify(docs, candidate_pairs: pd.DataFrame, n_words: int = 3) 
     return pd.DataFrame(recs, columns=["doc_a", "doc_b", "jaccard_permille"]).astype(
         {"doc_a": np.int64, "doc_b": np.int64, "jaccard_permille": np.int64}
     )
+
+
+# ------------------------------------------------ connected components
+
+def dedup_clusters(pairs, max_rounds: int = 20):
+    """Near-dup pair list -> cluster assignment (doc_id, cluster_id) via
+    min-label propagation expressed purely as groupby rounds (no join):
+
+    each round unions the label rows with the (symmetric) edge rows,
+    co-groups them by node, and emits the node's label to itself and to
+    every neighbor; a groupby-min adopts the smallest label seen.
+    Converges in O(component diameter) rounds — near-dup components are
+    tiny.  cluster_id = smallest doc_id in the component.  The node set
+    of the pair graph (duplicates only) is far smaller than the corpus,
+    so the per-round state is light; for degenerate giant components cap
+    ``max_rounds``.
+    """
+    import pandas as pd
+    import pyarrow as pa
+    from ray.data.aggregate import Min
+
+    def _sym(t: pa.Table) -> pa.Table:
+        a = t["doc_a"].combine_chunks() if isinstance(t["doc_a"], pa.ChunkedArray) else t["doc_a"]
+        b = t["doc_b"].combine_chunks() if isinstance(t["doc_b"], pa.ChunkedArray) else t["doc_b"]
+        return pa.table(
+            {"node": pa.concat_arrays([a, b]), "dst": pa.concat_arrays([b, a])}
+        )
+
+    edges = pairs.map_batches(
+        lambda t: _sym(t.select(["doc_a", "doc_b"])), batch_format="pyarrow"
+    ).materialize()
+
+    # initial label of each node = min(itself, its smallest neighbor)
+    labels = (
+        edges.groupby("node")
+        .aggregate(Min("dst", alias_name="nmin"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "node": t["node"],
+                    "label": pa.compute.min_element_wise(t["node"], t["nmin"]),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+
+    def _propagate(group: pd.DataFrame) -> pd.DataFrame:
+        lab = group.loc[group["dst"].isna(), "label"]
+        if lab.empty:
+            return pd.DataFrame({"node": [], "cand": []}).astype(
+                {"node": "int64", "cand": "int64"}
+            )
+        label = int(lab.min())
+        dsts = group.loc[group["dst"].notna(), "dst"].astype("int64").tolist()
+        nodes = [int(group["node"].iloc[0])] + dsts
+        return pd.DataFrame({"node": nodes, "cand": [label] * len(nodes)})
+
+    prev = labels.to_pandas().sort_values("node").reset_index(drop=True)
+    for _ in range(max_rounds):
+        lab_rows = labels.map_batches(
+            lambda t: pa.table(
+                {
+                    "node": t["node"],
+                    "label": t["label"],
+                    "dst": pa.nulls(t.num_rows, pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        edge_rows = edges.map_batches(
+            lambda t: pa.table(
+                {
+                    "node": t["node"],
+                    "label": pa.nulls(t.num_rows, pa.int64()),
+                    "dst": t["dst"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        messages = lab_rows.union(edge_rows).groupby("node").map_groups(
+            _propagate, batch_format="pandas"
+        )
+        labels = (
+            messages.groupby("node").aggregate(Min("cand", alias_name="label")).materialize()
+        )
+        cur = labels.to_pandas().sort_values("node").reset_index(drop=True)
+        if cur.equals(prev):
+            break
+        prev = cur
+
+    return labels.map_batches(
+        lambda t: pa.table({"doc_id": t["node"], "cluster_id": t["label"]}),
+        batch_format="pyarrow",
+    )

@@ -122,3 +122,22 @@ def test_ngram_jaccard_verify(ray_session):
     r12 = out[(out["doc_a"] == 1) & (out["doc_b"] == 2)]["jaccard_permille"].iloc[0]
     r13 = out[(out["doc_a"] == 1) & (out["doc_b"] == 3)]["jaccard_permille"].iloc[0]
     assert r12 == 1000 and r13 == 0
+
+
+def test_dedup_clusters_min_label(ray_session):
+    import ray.data as rd
+
+    from geocoding_toolbox_ray.stages.dedup import dedup_clusters
+
+    # components: {1,2,3,4} (chain), {10,11}, singleton edges ignored
+    pairs = rd.from_items(
+        [
+            {"doc_a": 1, "doc_b": 2},
+            {"doc_a": 2, "doc_b": 3},
+            {"doc_a": 3, "doc_b": 4},
+            {"doc_a": 10, "doc_b": 11},
+        ]
+    )
+    out = dedup_clusters(pairs).to_pandas().sort_values("doc_id")
+    got = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
