@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": q.dedup_exact,
         "ann_topk_quantized": q.ann_topk_quantized,
         "events_window": q.events_window,
+        "events_sliding_window": q.events_sliding_window,
         "sessionize": q.sessionize,
         "q1_pricing_summary": q.q1_pricing_summary,
         "top_customers": q.top_customers,
@@ -123,6 +124,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": oracle.dedup_exact_sql(),
         "ann_topk_quantized": oracle.ann_topk_quantized_sql(),
         "events_window": oracle.events_window_sql(),
+        "events_sliding_window": oracle.events_sliding_window_sql(),
         "sessionize": oracle.sessionize_sql(),
         "q1_pricing_summary": oracle.q1_pricing_summary_sql(),
         "top_customers": oracle.top_customers_sql(),

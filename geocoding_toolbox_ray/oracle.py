@@ -386,3 +386,20 @@ SELECT gx // {TILE_PX} AS tile_x, gy // {TILE_PX} AS tile_y,
        COUNT(*) AS n
 FROM gp GROUP BY 1, 2, 3, 4
 """
+
+
+def events_sliding_window_sql() -> str:
+    return """
+WITH w AS (
+    SELECT event_type, time_bucket(INTERVAL 30 MINUTE, ts) AS w0,
+           CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c
+    FROM events
+),
+expanded AS (
+    SELECT event_type, w0 AS window_start, c FROM w
+    UNION ALL
+    SELECT event_type, w0 - INTERVAL 30 MINUTE AS window_start, c FROM w
+)
+SELECT event_type, window_start, COUNT(*) AS n, SUM(c) AS value_cents
+FROM expanded GROUP BY 1, 2
+"""

@@ -503,3 +503,37 @@ def dedup_clusters(sf_dir: str):
     from .stages.dedup import minhash_dup_pairs as _mh
 
     return _cc(_mh(_docs(sf_dir), est_threshold=0.5))
+
+
+def events_sliding_window(sf_dir: str):
+    """Sliding windowed aggregate: 60-min windows every 30 min.  Each event
+    maps to its 2 covering windows via flat-expansion in map_batches, then
+    one grouped sum (windows are epoch-aligned so the DuckDB time_bucket
+    oracle lands on identical boundaries)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    ev = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def _expand(t: pa.Table) -> pa.Table:
+        cents = np.floor(
+            np.asarray(t["value"].to_numpy(zero_copy_only=False), np.float64) * 100.0 + 0.5
+        ).astype(np.int64)
+        w0 = pc.floor_temporal(t["ts"], multiple=30, unit="minute")
+        w0 = w0.combine_chunks() if isinstance(w0, pa.ChunkedArray) else w0
+        w1 = pc.subtract(w0, pa.scalar(np.timedelta64(30 * 60 * 1_000_000, "us")))
+        et = t["event_type"].combine_chunks() if isinstance(t["event_type"], pa.ChunkedArray) else t["event_type"]
+        cents_arr = pa.array(cents, pa.int64())
+        return pa.table(
+            {
+                "event_type": pa.concat_arrays([et, et]),
+                "window_start": pa.concat_arrays([w0, w1.combine_chunks() if isinstance(w1, pa.ChunkedArray) else w1]),
+                "cents": pa.concat_arrays([cents_arr, cents_arr]),
+            }
+        )
+
+    return (
+        ev.map_batches(_expand, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .aggregate(Count(alias_name="n"), Sum("cents", alias_name="value_cents"))
+    )

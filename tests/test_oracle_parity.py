@@ -158,3 +158,13 @@ def test_variant_query_parity(name, ray_session, con):
     import __ray_entry__ as entrymod
 
     compare(entrymod.queries()[name](SF_DIR), entrymod.oracle_sql()[name], con)
+
+
+def test_events_sliding_window_parity(ray_session, con):
+    import __ray_entry__ as entrymod
+
+    compare(
+        entrymod.queries()["events_sliding_window"](SF_DIR),
+        entrymod.oracle_sql()["events_sliding_window"],
+        con,
+    )
