@@ -183,3 +183,33 @@ def test_health_probe_passes_with_valid_rows(ray_session):
     rows.append(("24", "1 S MAIN", "Delta"))
     ok = rd.from_arrow(_batch(rows))
     run_health_probe(ok, PipelineConfig(concurrency=1, batch_size=64))
+
+
+def test_run_counters_actor(ray_session):
+    import ray.data as rd
+
+    from geocoding_toolbox_ray.pipelines.geocode import geocode_candidates
+    from geocoding_toolbox_ray.stages.counters import count_batch, report, start_counters
+
+    rows = [(str(i), "1 S MAIN", "Delta") for i in range(20)]
+    rows += [(str(100 + i), "fasf", "Delta") for i in range(5)]
+    ds = rd.from_arrow(_batch(rows))
+    actor = start_counters()
+    out = geocode_candidates(ds).map_batches(
+        lambda t: count_batch(t, actor), batch_format="pyarrow"
+    )
+    assert out.count() == 25
+    r = report(actor)
+    assert r["total"] == 25
+    assert r["failure_rate"] == 20  # round(100*5/25)
+    assert r["average_score"] == 100
+    assert r["time_taken"].endswith("ms") or "second" in r["time_taken"]
+
+
+def test_run_counters_zero_division_semantics(ray_session):
+    from geocoding_toolbox_ray.stages.counters import report, start_counters
+
+    actor = start_counters()
+    r = report(actor)
+    assert r["failure_rate"] == 100  # geocode.py:151-154
+    assert r["average_score"] == "n/a"  # geocode.py:155-158
