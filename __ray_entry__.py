@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dup_pairs": q.simhash_dup_pairs,
         "ann_topk_cosine": q.ann_topk_cosine,
         "ann_topk_lsh": q.ann_topk_lsh,
+        "ann_topk_ivf": q.ann_topk_ivf,
         "embedding_dup_pairs": q.embedding_dup_pairs,
         "ngram_jaccard_pairs": q.ngram_jaccard_pairs,
         "dedup_clusters": q.dedup_clusters,

@@ -537,3 +537,9 @@ def events_sliding_window(sf_dir: str):
         .groupby(["event_type", "window_start"])
         .aggregate(Count(alias_name="n"), Sum("cents", alias_name="value_cents"))
     )
+
+
+def ann_topk_ivf(sf_dir: str):
+    from .stages.ann import topk_ivf
+
+    return topk_ivf(sf_dir)

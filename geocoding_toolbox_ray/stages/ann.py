@@ -223,3 +223,100 @@ def topk_lsh(sf_dir: str, k: int = TOP_K) -> pd.DataFrame:
     df = df.groupby("query_id", sort=True).head(k).copy()
     df["rank"] = df.groupby("query_id").cumcount() + 1
     return df[["query_id", "rank", "vec_id", "sim"]].reset_index(drop=True)
+
+
+# ------------------------------------------------------------------- IVF
+
+IVF_CENTROIDS = 16
+IVF_NPROBE = 4
+
+
+def ivf_centroids(sf_dir: str, n_centroids: int = IVF_CENTROIDS) -> np.ndarray:
+    """Deterministic coarse quantizer: the first ``n_centroids`` embeddings
+    (by vec_id), L2-normalized.  (A k-means refinement would also work;
+    determinism matters more than centroid quality for this engine's
+    correctness contract.)"""
+    import pyarrow.dataset as pads
+
+    ds = pads.dataset(f"{sf_dir}/embeddings.parquet")
+    t = ds.to_table(filter=pads.field("vec_id") < n_centroids, columns=["vec_id", "embedding"])
+    df = t.to_pandas().sort_values("vec_id")
+    c = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    norms = np.linalg.norm(c, axis=1)
+    norms[norms == 0] = 1.0
+    return c / norms[:, None]
+
+
+def topk_ivf(sf_dir: str, k: int = TOP_K, nprobe: int = IVF_NPROBE) -> pd.DataFrame:
+    """IVF ANN: vectors partition to their nearest centroid; each query
+    probes only its ``nprobe`` closest centroid lists and computes exact
+    cosine there — candidate work shrinks ~n_centroids/nprobe, the scale
+    path for 10^12 rows (rows-only check; recall < 1 by design)."""
+    import ray.data as rd
+
+    q = load_query_vectors(sf_dir)
+    cents = ivf_centroids(sf_dir)
+    qn = np.asarray(q, np.float64)
+    qnorm = np.linalg.norm(qn, axis=1)
+    qnorm[qnorm == 0] = 1.0
+    qn = qn / qnorm[:, None]
+    # per-query probed centroid ids
+    probe = np.argsort(-(qn @ cents.T), axis=1)[:, :nprobe]  # (Q, nprobe)
+
+    class _Stage:
+        def __init__(self):
+            self.q = qn
+            self.cents = cents
+            self.probe = probe
+            self.k = k
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids, mat = _emb_matrix(batch)
+            m = mat.astype(np.float64)
+            norms = np.linalg.norm(m, axis=1)
+            norms[norms == 0] = 1.0
+            m = m / norms[:, None]
+            assign = np.argmax(m @ self.cents.T, axis=1)  # (n,)
+            out_q, out_v, out_s = [], [], []
+            for qi in range(self.q.shape[0]):
+                keep = np.isin(assign, self.probe[qi])
+                if not keep.any():
+                    continue
+                sims = m[keep] @ self.q[qi]
+                kk = min(self.k, int(keep.sum()))
+                sel_ids = ids[keep]
+                order = np.lexsort((sel_ids, -sims))[:kk]
+                out_q.append(np.full(kk, qi, np.int64))
+                out_v.append(sel_ids[order])
+                out_s.append(sims[order])
+            if not out_q:
+                return pa.table(
+                    {
+                        "query_id": pa.array([], pa.int64()),
+                        "vec_id": pa.array([], pa.int64()),
+                        "sim": pa.array([], pa.float64()),
+                    }
+                )
+            return pa.table(
+                {
+                    "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                    "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+                    "sim": pa.array(np.concatenate(out_s), pa.float64()),
+                }
+            )
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    partials = ds.map_batches(
+        _Stage, batch_format="pyarrow", batch_size=8192, concurrency=(1, 4)
+    ).to_pandas()
+    if partials.empty:
+        return pd.DataFrame(
+            {"query_id": pd.array([], "int64"), "rank": pd.array([], "int64"),
+             "vec_id": pd.array([], "int64"), "sim": pd.array([], "float64")}
+        )
+    df = partials.sort_values(
+        ["query_id", "sim", "vec_id"], ascending=[True, False, True], kind="mergesort"
+    )
+    df = df.groupby("query_id", sort=True).head(k).copy()
+    df["rank"] = df.groupby("query_id").cumcount() + 1
+    return df[["query_id", "rank", "vec_id", "sim"]].reset_index(drop=True)

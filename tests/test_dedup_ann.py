@@ -141,3 +141,18 @@ def test_dedup_clusters_min_label(ray_session):
     out = dedup_clusters(pairs).to_pandas().sort_values("doc_id")
     got = dict(zip(out["doc_id"], out["cluster_id"]))
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_ann_ivf_subset_of_bruteforce(ray_session):
+    from geocoding_toolbox_ray.stages.ann import topk_cosine, topk_ivf
+
+    sf = "/root/testdata/sf0.001"
+    ivf = topk_ivf(sf)
+    brute = topk_cosine(sf, k=500)
+    merged = ivf.merge(brute, on=["query_id", "vec_id"], suffixes=("_i", "_b"))
+    assert len(merged) == len(ivf)  # every IVF hit is a real vector
+    assert np.allclose(merged["sim_i"], merged["sim_b"])
+    # the query vector itself shares its own centroid list -> rank 1 kept
+    for qid in (0, 1, 2):
+        top = ivf[(ivf["query_id"] == qid) & (ivf["rank"] == 1)]["vec_id"]
+        assert len(top) == 1 and top.iloc[0] == qid
