@@ -65,11 +65,24 @@ def count_batch(batch: pa.Table, actor) -> pa.Table:
     return batch
 
 
-def report(actor) -> dict:
-    """Reference log_status fields with identical rounding/fallbacks."""
+def report(actor, expect_total: int | None = None, timeout: float = 10.0) -> dict:
+    """Reference log_status fields with identical rounding/fallbacks.
+
+    ``add`` messages are fire-and-forget from workers and may still be in
+    flight when the pipeline's consuming call returns; pass
+    ``expect_total`` to wait (bounded) until that many rows are counted.
+    """
     import ray
 
     snap = ray.get(actor.snapshot.remote())
+    if expect_total is not None:
+        deadline = time.perf_counter() + timeout
+        while (
+            snap["success"] + snap["fail"] < expect_total
+            and time.perf_counter() < deadline
+        ):
+            time.sleep(0.05)
+            snap = ray.get(actor.snapshot.remote())
     total = snap["success"] + snap["fail"]
     try:
         failure_rate = round(100 * snap["fail"] / total)

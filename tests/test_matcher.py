@@ -199,7 +199,7 @@ def test_run_counters_actor(ray_session):
         lambda t: count_batch(t, actor), batch_format="pyarrow"
     )
     assert out.count() == 25
-    r = report(actor)
+    r = report(actor, expect_total=25)
     assert r["total"] == 25
     assert r["failure_rate"] == 20  # round(100*5/25)
     assert r["average_score"] == 100
