@@ -132,3 +132,63 @@ def geocode_pages_resumable(
         return geocode_pages(pages, config, index_ref)
 
     return resumable_write(files, build, out_dir, shard_size=shard_size)
+
+
+def geocode_candidates_dedup(candidates, config: PipelineConfig | None = None, index_ref=None):
+    """N1 at pipeline level: geocode each DISTINCT (street, zone) once, then
+    hash-join the results back to every duplicate row.
+
+    The matcher already memoizes distinct keys per batch; this variant
+    dedups GLOBALLY before matching — the right trade when duplicates are
+    extreme (millions of pages citing the same address) and the dedup
+    groupby is cheaper than re-matching per batch.  Output rows/columns
+    are identical to ``geocode_candidates`` (same 11-column contract,
+    original primary_key per input row).
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    config = config or PipelineConfig()
+    if index_ref is None:
+        index_ref = build_index_ref(config.locators, pobox=config.pobox)
+
+    distinct = (
+        candidates.groupby(["input_street", "input_zone"])
+        .aggregate(Count(alias_name="_dup_n"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "primary_key": pc.binary_join_element_wise(
+                        pc.cast(t["input_street"], pa.string()),
+                        pc.cast(t["input_zone"], pa.string()),
+                        "\x1f",
+                    ),
+                    "input_street": t["input_street"],
+                    "input_zone": t["input_zone"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    matched = geocode_candidates(distinct, config, index_ref).map_batches(
+        lambda t: t.drop_columns(["primary_key"]).rename_columns(
+            ["m_street", "m_zone"] + list(t.schema.names[3:])
+        ),
+        batch_format="pyarrow",
+    )
+    keyed = candidates.map_batches(
+        lambda t: t.select(["primary_key", "input_street", "input_zone"]),
+        batch_format="pyarrow",
+    )
+    joined = keyed.join(
+        matched,
+        "inner",
+        num_partitions=16,
+        on=("input_street", "input_zone"),
+        right_on=("m_street", "m_zone"),
+    )
+    from ..config import HEADER
+
+    return joined.map_batches(
+        lambda t: t.select(list(HEADER)), batch_format="pyarrow"
+    )

@@ -213,3 +213,33 @@ def test_run_counters_zero_division_semantics(ray_session):
     r = report(actor)
     assert r["failure_rate"] == 100  # geocode.py:151-154
     assert r["average_score"] == "n/a"  # geocode.py:155-158
+
+
+def test_global_dedup_pipeline_matches_direct(ray_session):
+    import ray.data as rd
+
+    from geocoding_toolbox_ray.pipelines.geocode import (
+        geocode_candidates,
+        geocode_candidates_dedup,
+    )
+
+    rows = []
+    for i in range(200):  # heavy duplication: 4 distinct keys
+        street, zone = [("1 S MAIN", "Delta"), ("fasf", "Delta"),
+                        ("3 W SR 6", "84624"), ("1 N STATE", "Provo")][i % 4]
+        rows.append((str(i), street, zone))
+    ds = rd.from_arrow(_batch(rows))
+    direct = geocode_candidates(ds).to_pandas().sort_values("primary_key").reset_index(drop=True)
+    dedup = (
+        geocode_candidates_dedup(rd.from_arrow(_batch(rows)))
+        .to_pandas()
+        .sort_values("primary_key")
+        .reset_index(drop=True)
+    )
+    assert list(direct.columns) == list(dedup.columns)
+    for col in direct.columns:
+        a, b = direct[col], dedup[col]
+        if a.dtype == object:
+            assert a.fillna("\0").tolist() == b.fillna("\0").tolist(), col
+        else:
+            assert (a == b).all(), col
