@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_quantized": q.ann_topk_quantized,
         "events_window": q.events_window,
         "events_sliding_window": q.events_sliding_window,
+        "events_asof_join": q.events_asof_join,
         "sessionize": q.sessionize,
         "q1_pricing_summary": q.q1_pricing_summary,
         "top_customers": q.top_customers,
@@ -126,6 +127,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_quantized": oracle.ann_topk_quantized_sql(),
         "events_window": oracle.events_window_sql(),
         "events_sliding_window": oracle.events_sliding_window_sql(),
+        "events_asof_join": oracle.events_asof_join_sql(),
         "sessionize": oracle.sessionize_sql(),
         "q1_pricing_summary": oracle.q1_pricing_summary_sql(),
         "top_customers": oracle.top_customers_sql(),

@@ -403,3 +403,15 @@ expanded AS (
 SELECT event_type, window_start, COUNT(*) AS n, SUM(c) AS value_cents
 FROM expanded GROUP BY 1, 2
 """
+
+
+def events_asof_join_sql() -> str:
+    return """
+WITH purchases AS (
+    SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+),
+signups AS (SELECT user_id, ts FROM events WHERE event_type = 'signup')
+SELECT p.event_id, p.user_id, p.ts, s.ts AS signup_ts
+FROM purchases p
+ASOF LEFT JOIN signups s ON p.user_id = s.user_id AND p.ts >= s.ts
+"""

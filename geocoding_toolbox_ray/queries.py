@@ -543,3 +543,36 @@ def ann_topk_ivf(sf_dir: str):
     from .stages.ann import topk_ivf
 
     return topk_ivf(sf_dir)
+
+
+def events_asof_join(sf_dir: str):
+    """As-of join: each 'purchase' event picks the user's latest 'signup'
+    at-or-before its timestamp.  Both sides bucket by user via one groupby;
+    pd.merge_asof runs per user group (sorted, backward, exact allowed) —
+    the composition Ray Data lacks natively (SURVEY.md custom-operator
+    path (a)).  Oracle: DuckDB's native ASOF LEFT JOIN."""
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"])
+
+    def _per_user(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["event_type"] == "purchase"].sort_values("ts")
+        right = g[g["event_type"] == "signup"].sort_values("ts")
+        if left.empty:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.array([], "int64"),
+                    "user_id": pd.array([], "int64"),
+                    "ts": pd.array([], "datetime64[us]"),
+                    "signup_ts": pd.array([], "datetime64[us]"),
+                }
+            )
+        merged = pd.merge_asof(
+            left[["event_id", "user_id", "ts"]],
+            right[["ts"]].rename(columns={"ts": "signup_ts"}),
+            left_on="ts",
+            right_on="signup_ts",
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        return merged[["event_id", "user_id", "ts", "signup_ts"]]
+
+    return ev.groupby("user_id").map_groups(_per_user, batch_format="pandas")

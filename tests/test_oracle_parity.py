@@ -168,3 +168,13 @@ def test_events_sliding_window_parity(ray_session, con):
         entrymod.oracle_sql()["events_sliding_window"],
         con,
     )
+
+
+def test_events_asof_join_parity(ray_session, con):
+    import __ray_entry__ as entrymod
+
+    compare(
+        entrymod.queries()["events_asof_join"](SF_DIR),
+        entrymod.oracle_sql()["events_asof_join"],
+        con,
+    )
