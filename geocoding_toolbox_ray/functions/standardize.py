@@ -59,12 +59,15 @@ _STREET_TYPES = (
     "parkway way"
 ).split()
 
+_UNIT_WORDS = ("apt", "unit", "suite", "ste", "bsmt", "trlr")
+
 _COMPONENT_PATTERN = (
     r"^(?P<house>\d+)?\s*"
     r"(?P<prefix_dir>north|south|east|west)?\s*"
     r"(?P<name>.*?)\s*"
     r"(?P<street_type>" + "|".join(_STREET_TYPES) + r")?\s*"
-    r"(?P<suffix_dir>north|south|east|west)?$"
+    r"(?P<suffix_dir>north|south|east|west)?"
+    r"(?:\s+(?:" + "|".join(_UNIT_WORDS) + r")\s+(?P<unit>[a-z0-9]+))?$"
 )
 _COMPONENT_RE = re.compile(_COMPONENT_PATTERN)
 
@@ -81,7 +84,10 @@ def standardize(cleansed_street: str) -> str:
 def parse_components(standardized: str) -> dict:
     m = _COMPONENT_RE.match(standardized)
     if m is None:  # pattern is total (everything optional) — cannot happen
-        return {k: "" for k in ("house", "prefix_dir", "name", "street_type", "suffix_dir")}
+        return {
+            k: ""
+            for k in ("house", "prefix_dir", "name", "street_type", "suffix_dir", "unit")
+        }
     return {k: (v or "") for k, v in m.groupdict().items()}
 
 

@@ -86,11 +86,17 @@ def geocode_pages(pages, config: PipelineConfig | None = None, index_ref=None, l
     return geocode_candidates(candidates, config, index_ref)
 
 
-def read_pages(path: str):
-    """Column-pruned pages scan: html is never read for the geocode path."""
+def read_pages(path: str, lang: str | None = "en"):
+    """Column-pruned pages scan with the lang predicate pushed into the
+    parquet read (row-group pruning at the scan, SURVEY.md M8) — html is
+    never read for the geocode path."""
+    import pyarrow.compute as pc
     import ray.data as rd
 
-    return rd.read_parquet(path, columns=["url", "warc_ts", "text", "lang"])
+    kwargs = {"columns": ["url", "warc_ts", "text", "lang"]}
+    if lang is not None:
+        kwargs["filter"] = pc.field("lang") == lang
+    return rd.read_parquet(path, **kwargs)
 
 
 def run_health_probe(candidates, config: PipelineConfig, index_ref=None) -> None:

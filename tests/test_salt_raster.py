@@ -89,3 +89,26 @@ def test_tile_raster_sparse_parity(ray_session):
     a = ray_df[key].sort_values(key).reset_index(drop=True)
     b = o[key].sort_values(key).reset_index(drop=True)
     assert a.equals(b.astype(a.dtypes.to_dict()))
+
+
+def test_write_tiles_partitioned_layout(ray_session, tmp_path):
+    import glob
+
+    import ray.data as rd
+
+    from geocoding_toolbox_ray.pipelines.candidates import derive_candidates
+    from geocoding_toolbox_ray.pipelines.geocode import geocode_candidates
+    from geocoding_toolbox_ray.pipelines.tiles import write_tiles
+
+    orders = rd.read_parquet("/root/testdata/sf0.001/orders.parquet", columns=["o_orderkey"])
+    geocoded = geocode_candidates(orders.map_batches(derive_candidates, batch_format="pyarrow"))
+    out = str(tmp_path / "tiles")
+    write_tiles(geocoded, out)
+    dirs = glob.glob(f"{out}/z=*/tile_x=*/tile_y=*")
+    assert len(dirs) >= 2  # multiple tiles written
+    back = rd.read_parquet(out).to_pandas()
+    assert len(back) > 0
+    assert back["message"].isna().all()  # only matched rows are tiled
+    # partition pruning: reading one tile dir yields a strict subset
+    one = rd.read_parquet(dirs[0]).to_pandas()
+    assert 0 < len(one) < len(back)

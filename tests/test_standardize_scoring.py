@@ -139,3 +139,17 @@ def test_score_sql_parity():
         sql = "SELECT " + scoring.score_sql(_lit(a), _lit(b))
         got = con.execute(sql).fetchone()[0]
         assert got == scoring.score(a, b), (a, b)
+
+
+def test_parse_components_unit():
+    c = standardize.parse_components("123 south main street apt 4")
+    assert c["house"] == "123"
+    assert c["name"] == "main"
+    assert c["street_type"] == "street"
+    assert c["unit"] == "4"
+
+    c = standardize.parse_components("9 west center suite 2b")
+    assert c["unit"] == "2b"
+
+    c = standardize.parse_components("123 south main")
+    assert c["unit"] == ""
