@@ -23,10 +23,22 @@ from .geocode import build_index_ref, geocode_candidates, run_health_probe
 def read_candidates_csv(csv_path: str, id_field: str, street_field: str, zone_field: str):
     """CSV -> candidates Dataset with the canonical 3-column schema
     (reference get_rows(), geocode.py:338-344)."""
+    import csv as _csv
+
     import pyarrow as pa
     import pyarrow.compute as pc
     import ray.data as rd
     from pyarrow import csv as pacsv
+
+    from ..errors import InvalidConfigurationException
+
+    with open(csv_path, newline="", encoding="utf-8") as fh:
+        header = next(_csv.reader(fh), [])
+    missing = [f for f in (id_field, street_field, zone_field) if f not in header]
+    if missing:
+        raise InvalidConfigurationException(
+            f"CSV {csv_path} has no column(s) {missing}; header is {header}"
+        )
 
     ds = rd.read_csv(
         csv_path,
