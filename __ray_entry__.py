@@ -85,6 +85,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": q.sessionize,
         "q1_pricing_summary": q.q1_pricing_summary,
         "top_customers": q.top_customers,
+        "value_band_join": q.value_band_join,
+        "top_orders_per_customer": q.top_orders_per_customer,
         # --- near-dup / approximate ops (no SQL equivalent; rows-only) ---
         "minhash_dup_pairs": q.minhash_dup_pairs,
         "simhash_dup_pairs": q.simhash_dup_pairs,
@@ -94,6 +96,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dup_pairs": q.embedding_dup_pairs,
         "ngram_jaccard_pairs": q.ngram_jaccard_pairs,
         "dedup_clusters": q.dedup_clusters,
+        "approx_distinct_users": q.approx_distinct_users,
         # --- flagship web pipeline (pages corpus is engine-side; rows-only) ---
         "geocode_pages": _geocode_pages_query,
     }
@@ -131,4 +134,6 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": oracle.sessionize_sql(),
         "q1_pricing_summary": oracle.q1_pricing_summary_sql(),
         "top_customers": oracle.top_customers_sql(),
+        "value_band_join": oracle.value_band_join_sql(),
+        "top_orders_per_customer": oracle.top_orders_per_customer_sql(),
     }

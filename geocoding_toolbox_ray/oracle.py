@@ -415,3 +415,31 @@ SELECT p.event_id, p.user_id, p.ts, s.ts AS signup_ts
 FROM purchases p
 ASOF LEFT JOIN signups s ON p.user_id = s.user_id AND p.ts >= s.ts
 """
+
+
+def value_band_join_sql() -> str:
+    from .queries import VALUE_BANDS
+
+    rows = ", ".join(f"('{n}', {lo!r}, {hi!r})" for n, lo, hi in VALUE_BANDS)
+    return f"""
+WITH bands(band, lo, hi) AS (VALUES {rows})
+SELECT e.event_id, b.band
+FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+"""
+
+
+def top_orders_per_customer_sql() -> str:
+    return """
+WITH c AS (
+    SELECT o_custkey, o_orderkey,
+           CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+    FROM orders
+),
+r AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY o_custkey ORDER BY cents DESC, o_orderkey ASC
+    ) AS rnk
+    FROM c
+)
+SELECT o_custkey, o_orderkey, cents, rnk FROM r WHERE rnk <= 2
+"""

@@ -576,3 +576,79 @@ def events_asof_join(sf_dir: str):
         return merged[["event_id", "user_id", "ts", "signup_ts"]]
 
     return ev.groupby("user_id").map_groups(_per_user, batch_format="pandas")
+
+
+# ----------------------------------------------------- more operators
+
+#: value bands for the range join (lo inclusive, hi exclusive)
+VALUE_BANDS = (("low", 0.0, 50.0), ("mid", 50.0, 200.0), ("high", 200.0, 1e18))
+
+
+def value_band_join(sf_dir: str):
+    """Range (interval) join: each event lands in the band whose
+    [lo, hi) interval contains its value — broadcast small side +
+    vectorized searchsorted per batch instead of a shuffle join."""
+    ev = _read(sf_dir, "events", columns=["event_id", "value"])
+    los = np.array([b[1] for b in VALUE_BANDS], np.float64)
+    names = np.array([b[0] for b in VALUE_BANDS], object)
+
+    def _f(t: pa.Table) -> pa.Table:
+        v = np.asarray(t["value"].to_numpy(zero_copy_only=False), np.float64)
+        idx = np.searchsorted(los, v, side="right") - 1
+        idx = np.clip(idx, 0, len(names) - 1)
+        return pa.table(
+            {"event_id": t["event_id"], "band": pa.array(names[idx], pa.string())}
+        )
+
+    return ev.map_batches(_f, batch_format="pyarrow")
+
+
+def top_orders_per_customer(sf_dir: str):
+    """Top-2 orders per customer by value (grouped ranking window):
+    per-group pandas ranking after the groupby shuffle, deterministic
+    (cents DESC, orderkey ASC) tie-break."""
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def _cents(t: pa.Table) -> pa.Table:
+        cents = np.floor(
+            np.asarray(t["o_totalprice"].to_numpy(zero_copy_only=False), np.float64) * 100.0
+            + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "o_custkey": t["o_custkey"],
+                "o_orderkey": t["o_orderkey"],
+                "cents": pa.array(cents, pa.int64()),
+            }
+        )
+
+    def _top2(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cents", "o_orderkey"], ascending=[False, True], kind="mergesort").head(2)
+        g = g.copy()
+        g["rnk"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["o_custkey", "o_orderkey", "cents", "rnk"]]
+
+    return (
+        orders.map_batches(_cents, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .map_groups(_top2, batch_format="pandas")
+    )
+
+
+def approx_distinct_users(sf_dir: str) -> pd.DataFrame:
+    """Approximate distinct count via a mergeable HLL sketch: one sketch
+    per batch (map_batches), merged by element-wise max — the
+    sketch-partial + tiny-merge pattern for 10^12-row cardinalities
+    (rows-only: deterministic, but not SQL-expressible)."""
+    from .stages.sketch import hll_estimate, hll_merge, hll_sketch_batch
+
+    ev = _read(sf_dir, "events", columns=["user_id"])
+    sketches = ev.map_batches(
+        lambda t: hll_sketch_batch(
+            np.asarray(t["user_id"].to_numpy(zero_copy_only=False), np.int64)
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()
+    merged = hll_merge(sketches["registers"].to_numpy())
+    est = hll_estimate(merged)
+    return pd.DataFrame({"approx_distinct_users": pd.array([int(est)], "int64")})

@@ -1,0 +1,71 @@
+"""Mergeable sketches (SURVEY.md custom-operator path: "a novel sketch").
+
+HyperLogLog with 2^P registers over a deterministic multiplicative
+64-bit hash: each batch emits ONE serialized sketch row; sketches merge
+by element-wise register max (associative + commutative, so the merge
+order Ray produces doesn't matter), and the estimate is the classic
+bias-corrected harmonic mean.  Deterministic for a given input set.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+HLL_P = 12
+HLL_M = 1 << HLL_P
+_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+_MULT = np.uint64(0x9E3779B97F4A7C15)  # golden-ratio (splitmix64-style) multiplier
+
+
+def _hash64(values: np.ndarray) -> np.ndarray:
+    x = values.astype(np.uint64) * _MULT
+    x ^= x >> np.uint64(29)
+    x *= np.uint64(0xBF58476D1CE4E5B9)
+    x ^= x >> np.uint64(32)
+    return x
+
+
+def hll_registers(values: np.ndarray) -> np.ndarray:
+    """int64 values -> (HLL_M,) uint8 register array."""
+    h = _hash64(np.asarray(values, np.int64))
+    idx = (h >> np.uint64(64 - HLL_P)).astype(np.int64)
+    rest = h << np.uint64(HLL_P)  # remaining bits, left-aligned
+    # rank = leading zeros of `rest` + 1 (capped)
+    lz = np.zeros(len(h), np.uint8)
+    mask = np.uint64(1) << np.uint64(63)
+    rest_work = rest.copy()
+    found = np.zeros(len(h), bool)
+    for i in range(64 - HLL_P):
+        isset = (rest_work & mask) != 0
+        newly = isset & ~found
+        lz[newly] = i
+        found |= isset
+        rest_work = rest_work << np.uint64(1)
+    lz[~found] = 64 - HLL_P
+    rank = (lz + 1).astype(np.uint8)
+    regs = np.zeros(HLL_M, np.uint8)
+    np.maximum.at(regs, idx, rank)
+    return regs
+
+
+def hll_sketch_batch(values: np.ndarray) -> pa.Table:
+    """One serialized sketch row per batch."""
+    regs = hll_registers(values)
+    return pa.table({"registers": pa.array([regs.tobytes()], pa.binary())})
+
+
+def hll_merge(serialized: np.ndarray) -> np.ndarray:
+    out = np.zeros(HLL_M, np.uint8)
+    for blob in serialized:
+        out = np.maximum(out, np.frombuffer(blob, np.uint8))
+    return out
+
+
+def hll_estimate(regs: np.ndarray) -> float:
+    regs = regs.astype(np.float64)
+    est = _ALPHA * HLL_M * HLL_M / np.sum(2.0 ** (-regs))
+    zeros = int((regs == 0).sum())
+    if est <= 2.5 * HLL_M and zeros:
+        est = HLL_M * np.log(HLL_M / zeros)  # small-range correction
+    return float(est)

@@ -1,0 +1,58 @@
+"""HLL sketch properties + range-join / top-k-per-group parity."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pytest
+
+from geocoding_toolbox_ray.stages import sketch
+
+
+def test_hll_accuracy_and_determinism():
+    vals = np.arange(10_000, dtype=np.int64) * 7919
+    regs = sketch.hll_registers(vals)
+    est = sketch.hll_estimate(regs)
+    assert abs(est - 10_000) / 10_000 < 0.05  # ~1.6% std error at P=12
+    assert np.array_equal(regs, sketch.hll_registers(vals))
+
+
+def test_hll_merge_equals_union():
+    a = np.arange(0, 5000, dtype=np.int64)
+    b = np.arange(2500, 7500, dtype=np.int64)
+    merged = np.maximum(sketch.hll_registers(a), sketch.hll_registers(b))
+    direct = sketch.hll_registers(np.concatenate([a, b]))
+    assert np.array_equal(merged, direct)
+
+
+@pytest.mark.parametrize("name", ["value_band_join", "top_orders_per_customer"])
+def test_misc_parity(name, ray_session):
+    import pandas as pd
+
+    import __ray_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in ("events", "orders"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    res = entrymod.queries()[name](sf)
+    df = res.to_pandas() if hasattr(res, "to_pandas") else pd.DataFrame(res)
+    o = con.execute(entrymod.oracle_sql()[name]).df()
+    key = sorted(df.columns)
+    assert key == sorted(o.columns)
+    a = df[key].sort_values(key).reset_index(drop=True)
+    b = o[key].sort_values(key).reset_index(drop=True)
+    assert a.astype(str).equals(b.astype(str)), name
+
+
+def test_approx_distinct_close_to_exact(ray_session):
+    import duckdb as dd
+
+    import __ray_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    got = entrymod.queries()["approx_distinct_users"](sf)["approx_distinct_users"].iloc[0]
+    exact = dd.sql(
+        f"SELECT COUNT(DISTINCT user_id) FROM '{sf}/events.parquet'"
+    ).fetchone()[0]
+    assert abs(got - exact) / max(exact, 1) < 0.15
