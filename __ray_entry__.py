@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- spatial joins / indexing (oracle-checked) ---
         "pip_join": q.pip_join,
         "knn_join": q.knn_join,
+        "knn_topk_join": q.knn_topk_join,
         "cell_encode_lineitem": q.cell_encode_lineitem,
         "tile_assign_lineitem": q.tile_assign_lineitem,
         "tile_counts": q.tile_counts,
@@ -112,6 +113,7 @@ def oracle_sql() -> dict[str, str]:
         "cleanse_zone_orders": oracle.cleanse_zone_orders_sql(),
         "pip_join": oracle.pip_join_sql(),
         "knn_join": oracle.knn_join_sql(),
+        "knn_topk_join": oracle.knn_topk_join_sql(),
         "cell_encode_lineitem": oracle.cell_encode_lineitem_sql(),
         "tile_assign_lineitem": oracle.tile_assign_lineitem_sql(),
         "tile_counts": oracle.tile_counts_sql(),

@@ -443,3 +443,25 @@ r AS (
 )
 SELECT o_custkey, o_orderkey, cents, rnk FROM r WHERE rnk <= 2
 """
+
+
+def knn_topk_join_sql(k: int = 3) -> str:
+    return f"""
+WITH {address_points_values_sql('ap')},
+{_anchored_points_cte()},
+qd AS (SELECT DISTINCT query_id, qx, qy FROM qpts),
+pairs AS (
+    SELECT q.query_id, ap.point_id,
+           (q.qx - ap.x) * (q.qx - ap.x) + (q.qy - ap.y) * (q.qy - ap.y) AS d2
+    FROM qd q CROSS JOIN ap
+),
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY d2 ASC, point_id ASC
+    ) AS rank
+    FROM pairs
+),
+best AS (SELECT query_id, rank, point_id FROM ranked WHERE rank <= {k})
+SELECT q.query_id, b.rank, b.point_id AS nn_point_id
+FROM qpts q JOIN best b ON b.query_id = q.query_id
+"""

@@ -180,3 +180,23 @@ def tile_counts(sf_dir: str):
         _partial, batch_format="pyarrow"
     )
     return ds.groupby(["tile_x", "tile_y"]).aggregate(Sum("partial_n", alias_name="n"))
+
+
+def knn_topk_join(sf_dir: str, k: int = 3):
+    """Exact k-NN (ranked) via ring expansion with the k-th-neighbor bound."""
+    import ray
+
+    from ..state.index import GeocodeIndex
+    from ..stages.spatial import KnnKStage
+
+    pts = _lineitem(sf_dir, ["l_orderkey", "l_linenumber"]).map_batches(
+        derive_anchored_points, batch_format="pyarrow"
+    )
+    index_ref = ray.put(GeocodeIndex.build(address_points_table()))
+    return pts.map_batches(
+        KnnKStage,
+        fn_constructor_kwargs={"index_ref": index_ref, "k": k},
+        batch_format="pyarrow",
+        batch_size=16384,
+        concurrency=(1, 8),
+    )

@@ -652,3 +652,9 @@ def approx_distinct_users(sf_dir: str) -> pd.DataFrame:
     merged = hll_merge(sketches["registers"].to_numpy())
     est = hll_estimate(merged)
     return pd.DataFrame({"approx_distinct_users": pd.array([int(est)], "int64")})
+
+
+def knn_topk_join(sf_dir: str):
+    from .pipelines.spatial import knn_topk_join as _f
+
+    return _f(sf_dir, k=3)

@@ -187,3 +187,76 @@ class KnnStage:
                 "nn_y": pa.array(np.where(found, nn_y, np.nan), pa.float64()),
             }
         )
+
+
+class KnnKStage:
+    """(query_id, qx, qy) -> k nearest reference points, exact, ranked.
+
+    Ring expansion like ``KnnStage`` but with the k-th-neighbor widening
+    bound: expand the disk until >= k candidates exist, take the per-cell
+    max of the provisional k-th distances, widen to ``floor(dmax/s) + 1``
+    rings (which provably contains every true k-NN), then rank exactly
+    with the (d2 ASC, point_id ASC) tie-break the SQL oracle uses.
+    """
+
+    def __init__(self, index_ref, k: int = 3):
+        import ray
+
+        self.index = ray.get(index_ref) if isinstance(index_ref, ray.ObjectRef) else index_ref
+        self.k = int(k)
+        self.px = self.index.points["x"].to_numpy(np.float64)
+        self.py = self.index.points["y"].to_numpy(np.float64)
+        self.pid = self.index.points["point_id"].to_numpy(np.int64)
+        self.max_radius = 1 << self.index.res
+        self._cand_cache: dict[tuple[int, int], np.ndarray] = {}
+
+    def _candidates(self, cell: int, radius: int) -> np.ndarray:
+        key = (cell, radius)
+        out = self._cand_cache.get(key)
+        if out is None:
+            out = self.index.points_in_cells(disk_cells(cell, radius, self.index.res))
+            self._cand_cache[key] = out
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qx = np.asarray(batch["qx"].to_numpy(zero_copy_only=False), np.float64)
+        qy = np.asarray(batch["qy"].to_numpy(zero_copy_only=False), np.float64)
+        qid = np.asarray(batch["query_id"].to_numpy(zero_copy_only=False), np.int64)
+        s = cell_size(self.index.res)
+        cells = cell_encode(qx, qy, self.index.res)
+
+        out_q, out_rank, out_pid = [], [], []
+        for cell in np.unique(cells):
+            sel = np.flatnonzero(cells == cell)
+            radius, cand = 0, self._candidates(int(cell), 0)
+            while len(cand) < self.k and radius < self.max_radius:
+                radius += 1
+                cand = self._candidates(int(cell), radius)
+            if len(cand) == 0:
+                continue
+            d2 = (qx[sel, None] - self.px[cand][None, :]) ** 2 + (
+                qy[sel, None] - self.py[cand][None, :]
+            ) ** 2
+            kk = min(self.k, d2.shape[1])
+            dk = np.sqrt(np.partition(d2, kk - 1, axis=1)[:, kk - 1])
+            need = int(np.max(dk) // s) + 1
+            if need > radius:
+                cand = self._candidates(int(cell), need)
+                d2 = (qx[sel, None] - self.px[cand][None, :]) ** 2 + (
+                    qy[sel, None] - self.py[cand][None, :]
+                ) ** 2
+            kk = min(self.k, d2.shape[1])
+            cand_pid = self.pid[cand]
+            # exact ranked top-k per query with (d2, point_id) tie-break
+            for row, q in enumerate(sel):
+                order = np.lexsort((cand_pid, d2[row]))[:kk]
+                out_q.extend([qid[q]] * kk)
+                out_rank.extend(range(1, kk + 1))
+                out_pid.extend(cand_pid[order])
+        return pa.table(
+            {
+                "query_id": pa.array(np.asarray(out_q, np.int64)),
+                "rank": pa.array(np.asarray(out_rank, np.int64)),
+                "nn_point_id": pa.array(np.asarray(out_pid, np.int64)),
+            }
+        )

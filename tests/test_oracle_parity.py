@@ -178,3 +178,13 @@ def test_events_asof_join_parity(ray_session, con):
         entrymod.oracle_sql()["events_asof_join"],
         con,
     )
+
+
+def test_knn_topk_join_parity(ray_session, con):
+    import __ray_entry__ as entrymod
+
+    compare(
+        entrymod.queries()["knn_topk_join"](SF_DIR),
+        entrymod.oracle_sql()["knn_topk_join"],
+        con,
+    )
