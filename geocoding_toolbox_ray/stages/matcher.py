@@ -73,6 +73,8 @@ _WINNER_SCHEMA = pa.schema(
 )
 
 
+_MISSING = object()  # memo sentinel (None is a valid cached "no winner")
+
 #: per-worker-process cache for the broadcast index: a task-based matcher
 #: fetches the index from the object store ONCE per worker (worker
 #: processes persist across tasks), giving actor-pool state amortization
@@ -106,6 +108,10 @@ class MatcherStage:
         self.index = ray.get(index_ref) if isinstance(index_ref, ray.ObjectRef) else index_ref
         self.accept = int(accept_score)
         self.miss_message = no_candidates_message(self.accept)
+        #: (zone_key, addr_std) -> winner tuple or None; miss keys repeat
+        #: heavily across batches (same garbage addresses on many pages)
+        self._fuzzy_memo: dict[tuple[str, str], tuple | None] = {}
+        self._fuzzy_memo_cap = 200_000
 
         # broadcast exact-probe table as Arrow (join right side), built once
         ex = self.index.exact
@@ -138,18 +144,35 @@ class MatcherStage:
 
     # ------------------------------------------------------------------
     def _fuzzy_winners(self, distinct_keys: pa.Table) -> pa.Table:
-        """DISTINCT miss (zone_key, addr_std) -> accepted winners table."""
+        """DISTINCT miss (zone_key, addr_std) -> accepted winners table.
+
+        Memoized per worker: repeated miss keys (the same garbage address
+        cited on many pages) skip the Levenshtein pass entirely."""
         zk_list = distinct_keys["zone_key"].to_pylist()
         q_list = distinct_keys["addr_std"].to_pylist()
+        memo = self._fuzzy_memo
         by_zone: dict[str, list[str]] = {}
+        memo_hits: list[tuple] = []
         for zk, q in zip(zk_list, q_list):
-            if zk is not None and q is not None:
+            if zk is None or q is None:
+                continue
+            cached = memo.get((zk, q), _MISSING)
+            if cached is _MISSING:
                 by_zone.setdefault(zk, []).append(q)
+            elif cached is not None:
+                memo_hits.append(cached)
 
         w_zone, w_q, w_sc, w_x, w_y, w_ma, w_ag, w_loc = [], [], [], [], [], [], [], []
+        for row in memo_hits:
+            w_zone.append(row[0]); w_q.append(row[1]); w_sc.append(row[2])
+            w_x.append(row[3]); w_y.append(row[4]); w_ma.append(row[5])
+            w_ag.append(row[6]); w_loc.append(row[7])
         for zk, qs in by_zone.items():
             cand = self._zone_cand.get(zk)
             if cand is None:
+                if len(memo) < self._fuzzy_memo_cap:
+                    for q in qs:
+                        memo[(zk, q)] = None
                 continue
             astd = cand["addr_std"]
             nq, nc = len(qs), len(astd)
@@ -161,14 +184,23 @@ class MatcherStage:
             for i in range(nq):
                 if bsc[i] >= self.accept:
                     b = best[i]
-                    w_zone.append(zk)
-                    w_q.append(qs[i])
-                    w_sc.append(int(bsc[i]))
-                    w_x.append(float(cand["x"][b]))
-                    w_y.append(float(cand["y"][b]))
-                    w_ma.append(cand["match_address"][b])
-                    w_ag.append(cand["address_grid"][b])
-                    w_loc.append(cand["locator"][b])
+                    row = (
+                        zk,
+                        qs[i],
+                        int(bsc[i]),
+                        float(cand["x"][b]),
+                        float(cand["y"][b]),
+                        cand["match_address"][b],
+                        cand["address_grid"][b],
+                        cand["locator"][b],
+                    )
+                    w_zone.append(row[0]); w_q.append(row[1]); w_sc.append(row[2])
+                    w_x.append(row[3]); w_y.append(row[4]); w_ma.append(row[5])
+                    w_ag.append(row[6]); w_loc.append(row[7])
+                    if len(memo) < self._fuzzy_memo_cap:
+                        memo[(zk, qs[i])] = row
+                elif len(memo) < self._fuzzy_memo_cap:
+                    memo[(zk, qs[i])] = None
         return pa.table(
             {
                 "zone_key": pa.array(w_zone, pa.string()),
@@ -189,8 +221,24 @@ class MatcherStage:
         if n == 0:
             return pa.table({f.name: pa.array([], f.type) for f in OUTPUT_SCHEMA})
 
-        addr_std = standardize_arrow(cleanse_street_arrow(batch["input_street"]))
-        zone_key = pc.utf8_lower(cleanse_zone_arrow(batch["input_zone"]))
+        # dictionary-encode first: web candidates are massively repetitive
+        # (N1), so the 18-regex cleanse+standardize chain runs over the few
+        # hundred DISTINCT strings, not every row
+        street_dict = pc.dictionary_encode(
+            pc.cast(batch["input_street"], pa.string())
+        )
+        if isinstance(street_dict, pa.ChunkedArray):
+            street_dict = street_dict.combine_chunks()
+        addr_std = pc.take(
+            standardize_arrow(cleanse_street_arrow(street_dict.dictionary)),
+            street_dict.indices,
+        )
+        zone_dict = pc.dictionary_encode(pc.cast(batch["input_zone"], pa.string()))
+        if isinstance(zone_dict, pa.ChunkedArray):
+            zone_dict = zone_dict.combine_chunks()
+        zone_key = pc.take(
+            pc.utf8_lower(cleanse_zone_arrow(zone_dict.dictionary)), zone_dict.indices
+        )
 
         probe = pa.table(
             {
