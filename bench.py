@@ -8,10 +8,11 @@ num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and prints ONE JSON line::
     {"metric": "...", "value": <total sec>, "unit": "sec",
      "queries": {...}, "sf": ..., "num_cpus": N, ...}
 
-``bench.py --scaling`` runs the same bench in two fresh processes at
-num_cpus=8 and num_cpus=32 on the same input and reports both throughputs
-plus the scaling efficiency (the sandbox stand-in for the north rule's
-N vs 4N cluster-size criterion; see BASELINE.md).
+``bench.py --scaling`` runs the headline pipeline in two fresh processes
+at num_cpus=4 and num_cpus=16 (N and 4N; overridable via GRAFT_SCALE_LO/HI)
+on the same input and reports both throughputs plus the scaling efficiency
+(the sandbox stand-in for the north rule's two-cluster-size criterion;
+see BASELINE.md for why 8->32 is hardware-capped on this VM).
 """
 
 from __future__ import annotations

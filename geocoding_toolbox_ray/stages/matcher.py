@@ -89,7 +89,8 @@ def make_matcher_fn(index_ref, accept_score: int = DEFAULT_ACCEPT_SCORE):
     def _matcher(batch: pa.Table) -> pa.Table:
         import ray
 
-        key = index_ref.hex() if isinstance(index_ref, ray.ObjectRef) else id(index_ref)
+        ref_key = index_ref.hex() if isinstance(index_ref, ray.ObjectRef) else id(index_ref)
+        key = (ref_key, accept_score)  # same index at two thresholds must not share a stage
         stage = _INDEX_CACHE.get(key)
         if stage is None:
             stage = MatcherStage(index_ref, accept_score)
