@@ -75,9 +75,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_raster_sparse": q.tile_raster_sparse,
         # --- text analysis / training-data ops (oracle-checked) ---
         "token_count_documents": q.token_count_documents,
+        "bpe_token_count_documents": q.bpe_token_count_documents,
         "lang_id_documents": q.lang_id_documents,
         "quality_documents": q.quality_documents,
         "doc_fingerprint": q.doc_fingerprint,
+        "doc_rolling_fp": q.doc_rolling_fp,
         "dedup_exact": q.dedup_exact,
         "ann_topk_quantized": q.ann_topk_quantized,
         "events_window": q.events_window,
@@ -125,6 +127,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_orders": oracle.sample_orders_sql(),
         "tile_raster_sparse": oracle.tile_raster_sparse_sql(),
         "token_count_documents": oracle.token_count_documents_sql(),
+        "bpe_token_count_documents": oracle.bpe_token_count_documents_sql(),
         "lang_id_documents": oracle.lang_id_documents_sql(),
         "quality_documents": oracle.quality_documents_sql(),
         "doc_fingerprint": oracle.doc_fingerprint_sql(),

@@ -110,3 +110,46 @@ def quality_sql(expr: str) -> dict[str, str]:
         ),
         "is_short": f"CASE WHEN length({expr}) < 100 THEN 1 ELSE 0 END",
     }
+
+
+# --------------------------------------------- more tokenizers / hashes
+
+#: BPE-ish pre-tokenizer (GPT-2-flavored, RE2-compatible subset: no
+#: lookahead): contractions, letter runs, digit runs, punct runs.
+BPE_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+"
+
+
+def bpe_token_count(text: pd.Series) -> np.ndarray:
+    return text.str.count(BPE_PATTERN).to_numpy(np.int64)
+
+
+def bpe_token_count_sql(expr: str) -> str:
+    pat = BPE_PATTERN.replace("'", "''")
+    return f"CAST(len(regexp_extract_all({expr}, '{pat}')) AS BIGINT)"
+
+
+_ROLL_BASE = np.uint64(1000003)
+_ROLL_MOD = np.uint64((1 << 61) - 1)
+
+
+def rolling_fingerprint(text: str) -> int:
+    """Rabin-Karp-style polynomial rolling hash over the UTF-8 bytes
+    (int64; deterministic, mergeable per chunk by h_ab = h_a*B^len(b)+h_b)."""
+    h = np.uint64(0)
+    for b in text.encode("utf-8"):
+        h = (h * _ROLL_BASE + np.uint64(b)) % _ROLL_MOD
+    return int(h)
+
+
+def rolling_fingerprint_batch(text: pd.Series) -> np.ndarray:
+    """Vectorized over the batch: per-doc numpy Horner evaluation."""
+    out = np.empty(len(text), np.int64)
+    for i, s in enumerate(text):
+        data = np.frombuffer(s.encode("utf-8"), np.uint8).astype(np.uint64)
+        h = np.uint64(0)
+        for chunk_start in range(0, len(data), 4096):
+            chunk = data[chunk_start : chunk_start + 4096]
+            for b in chunk:  # Horner; dominated by crc-class cost, fine per batch
+                h = (h * _ROLL_BASE + b) % _ROLL_MOD
+        out[i] = np.int64(h)
+    return out

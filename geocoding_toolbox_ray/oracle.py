@@ -465,3 +465,9 @@ best AS (SELECT query_id, rank, point_id FROM ranked WHERE rank <= {k})
 SELECT q.query_id, b.rank, b.point_id AS nn_point_id
 FROM qpts q JOIN best b ON b.query_id = q.query_id
 """
+
+
+def bpe_token_count_documents_sql() -> str:
+    from .functions.text import bpe_token_count_sql
+
+    return f"SELECT doc_id, {bpe_token_count_sql('text')} AS n_bpe_tokens FROM documents"

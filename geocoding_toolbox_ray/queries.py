@@ -658,3 +658,31 @@ def knn_topk_join(sf_dir: str):
     from .pipelines.spatial import knn_topk_join as _f
 
     return _f(sf_dir, k=3)
+
+
+def bpe_token_count_documents(sf_dir: str):
+    """BPE-ish pre-tokenizer counts (GPT-2-flavored regex)."""
+    from .functions.text import bpe_token_count
+
+    def _f(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"].to_numpy(np.int64), "n_bpe_tokens": bpe_token_count(df["text"])}
+        )
+
+    return _docs(sf_dir).map_batches(_f, batch_format="pandas")
+
+
+def doc_rolling_fp(sf_dir: str):
+    """Rolling-hash (Rabin-Karp) document fingerprints (rows-only: SQL has
+    no loop to replicate the polynomial hash)."""
+    from .functions.text import rolling_fingerprint_batch
+
+    def _f(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(np.int64),
+                "rolling_fp": rolling_fingerprint_batch(df["text"]),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(_f, batch_format="pandas")

@@ -56,3 +56,27 @@ def test_approx_distinct_close_to_exact(ray_session):
         f"SELECT COUNT(DISTINCT user_id) FROM '{sf}/events.parquet'"
     ).fetchone()[0]
     assert abs(got - exact) / max(exact, 1) < 0.15
+
+
+def test_rolling_fingerprint_properties():
+    from geocoding_toolbox_ray.functions.text import rolling_fingerprint, rolling_fingerprint_batch
+    import pandas as pd
+
+    a = rolling_fingerprint("hello world")
+    assert a == rolling_fingerprint("hello world")
+    assert a != rolling_fingerprint("hello worlds")
+    batch = rolling_fingerprint_batch(pd.Series(["hello world", "x", ""]))
+    assert batch[0] == a
+    assert batch[2] == 0
+
+
+def test_bpe_token_parity(ray_session):
+    import duckdb
+    import __ray_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    df = entrymod.queries()["bpe_token_count_documents"](sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    o = con.execute(entrymod.oracle_sql()["bpe_token_count_documents"]).df().sort_values("doc_id").reset_index(drop=True)
+    assert df["n_bpe_tokens"].tolist() == o["n_bpe_tokens"].tolist()
