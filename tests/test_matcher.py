@@ -19,12 +19,17 @@ from geocoding_toolbox_ray.stages.matcher import (
     no_candidates_message,
 )
 from geocoding_toolbox_ray.state.index import GeocodeIndex
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 
 def make_matcher(accept=70, locators="all"):
     return MatcherStage(
         GeocodeIndex.build(address_points_table(), locators=locators), accept
     )
+
+
+_FUZZ_MATCHER = None
 
 
 def _batch(rows):
@@ -243,3 +248,35 @@ def test_global_dedup_pipeline_matches_direct(ray_session):
             assert a.fillna("\0").tolist() == b.fillna("\0").tolist(), col
         else:
             assert (a == b).all(), col
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.text(
+                "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789 &$#-",
+                max_size=30,
+            ),
+            st.text("ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789 &-", max_size=20),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_matcher_invariants_random_inputs(rows):
+    """Fuzz the matcher: exactly one output row per input (original order),
+    score in [0,100], matched <=> message null, error rows zeroed."""
+    global _FUZZ_MATCHER
+    if _FUZZ_MATCHER is None:
+        _FUZZ_MATCHER = make_matcher()
+    m = _FUZZ_MATCHER
+    batch = _batch([(str(i), s, z) for i, (s, z) in enumerate(rows)])
+    out = m(batch).to_pandas()
+    assert len(out) == len(rows)
+    assert out["primary_key"].tolist() == [str(i) for i in range(len(rows))]
+    assert out["score"].between(0, 100).all()
+    matched = out["message"].isna()
+    assert (out.loc[matched, "score"] >= 70).all()
+    assert (out.loc[~matched, ["x", "y", "score"]] == 0).all().all()
+    assert out.loc[~matched, "locator"].isna().all()
