@@ -149,13 +149,16 @@ def run_scaling() -> dict:
 
     def one(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_HEADLINE_ONLY="1")
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env,
-            capture_output=True,
-            text=True,
-            check=True,
-        )
+        # pin the whole process tree to ncpu physical cores: Ray's raylet /
+        # object-store / serialization threads otherwise spill onto idle
+        # cores beyond num_cpus, inflating the small-cluster baseline (an
+        # un-pinned "4-cpu" leg measured ~25% faster than 4 cores' worth)
+        cmd = [sys.executable, os.path.abspath(__file__)]
+        import shutil as _shutil
+
+        if _shutil.which("taskset"):
+            cmd = ["taskset", "-c", f"0-{ncpu - 1}"] + cmd
+        proc = subprocess.run(cmd, env=env, capture_output=True, text=True, check=True)
         return json.loads(proc.stdout.strip().splitlines()[-1])
 
     # N and 4N parallelism levels (the north rule's two cluster sizes).
