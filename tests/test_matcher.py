@@ -280,3 +280,23 @@ def test_matcher_invariants_random_inputs(rows):
     assert (out.loc[matched, "score"] >= 70).all()
     assert (out.loc[~matched, ["x", "y", "score"]] == 0).all().all()
     assert out.loc[~matched, "locator"].isna().all()
+
+
+def test_hot_key_batch_is_cheap_and_correct():
+    """Extreme skew: one garbage address repeated 8192x — the distinct-key
+    fuzzy tier + memo keeps the batch fast and every row identical."""
+    import time
+
+    m = make_matcher()
+    batch = _batch([(str(i), "9999 N XYZZY", "Delta") for i in range(8192)])
+    t0 = time.perf_counter()
+    out = m(batch).to_pandas()
+    dt = time.perf_counter() - t0
+    assert len(out) == 8192
+    assert out["message"].notna().all()
+    assert out["score"].eq(0).all()
+    assert dt < 1.0  # one Levenshtein pass, not 8192
+    # memoized second batch is even cheaper
+    t0 = time.perf_counter()
+    m(batch)
+    assert time.perf_counter() - t0 < 0.5
