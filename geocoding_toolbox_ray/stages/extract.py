@@ -35,6 +35,61 @@ _SEP = "\x00"  # cannot appear inside a match (no pattern class admits NUL)
 _SEP_BYTES = pa.scalar(b"\x00", pa.large_binary())
 
 
+_NSEW_CODES = np.frombuffer(b"NSEW", np.uint8)
+
+
+def _scan(joined: bytes) -> tuple[list, list, list]:
+    """Anchor-prefiltered scan, byte-for-byte equivalent to
+    ``_ADDRESS_RE_BYTES.finditer(joined)``.
+
+    Every match starts ``\\d{1,5} [NSEW] `` — so a vectorized numpy pass
+    finds the rare `` [NSEW] `` 3-byte anchors (plus a preceding digit),
+    and the regex runs only AT those anchors instead of scanning every
+    byte (~5x on page text).  finditer's non-overlap rule is reproduced
+    by skipping anchors inside the previous match.
+    """
+    b = np.frombuffer(joined, np.uint8)
+    n = len(b)
+    if n < 8:
+        matches = _ADDRESS_RE_BYTES.finditer(joined)
+        out = ([], [], [])
+        for m in matches:
+            out[0].append(m.group("street").decode("utf-8"))
+            out[1].append(m.group("zone").decode("utf-8"))
+            out[2].append(m.start())
+        return out
+    is_digit = (b >= 48) & (b <= 57)
+    # positions p: b[p]==' ', b[p+1] in NSEW, b[p+2]==' ', b[p-1] is a digit
+    anchor = (
+        (b[1:-2] == 32)
+        & np.isin(b[2:-1], _NSEW_CODES)
+        & (b[3:] == 32)
+        & is_digit[:-3]
+    )
+    cand = np.flatnonzero(anchor) + 1  # position of the space before NSEW
+    streets, zones, positions = [], [], []
+    last_end = -1
+    for p in map(int, cand):
+        # back up over at most 5 digits to the start of the house number
+        s = p
+        while s > 0 and p - s < 5 and is_digit[s - 1]:
+            s -= 1
+        if s <= last_end:  # inside (or overlapping) the previous match
+            if p <= last_end:
+                continue
+            s = max(s, last_end)
+            if not is_digit[s]:
+                continue
+        m = _ADDRESS_RE_BYTES.match(joined, s)
+        if m is None:
+            continue
+        streets.append(m.group("street").decode("utf-8"))
+        zones.append(m.group("zone").decode("utf-8"))
+        positions.append(s)
+        last_end = m.end()
+    return streets, zones, positions
+
+
 def _empty_candidates() -> pa.Table:
     return pa.table(
         {
@@ -63,11 +118,7 @@ def extract_candidates(batch: pa.Table) -> pa.Table:
         pa.array([0, len(bin_col)], pa.int64()), bin_col
     )
     joined = pc.binary_join(wrapper, _SEP_BYTES)[0].as_py()
-    streets, zones, positions = [], [], []
-    for m in _ADDRESS_RE_BYTES.finditer(joined):
-        streets.append(m.group("street").decode("utf-8"))
-        zones.append(m.group("zone").decode("utf-8"))
-        positions.append(m.start())
+    streets, zones, positions = _scan(joined)
     if not streets:
         return _empty_candidates()
     lens = np.asarray(pc.binary_length(bin_col).to_numpy(zero_copy_only=False), np.int64)

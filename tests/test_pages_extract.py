@@ -67,3 +67,35 @@ def test_generate_pages_dataset_matches_inmemory(ray_session):
     assert np.array_equal(
         got["warc_ts"].to_numpy(), expect["warc_ts"].to_numpy()
     )
+
+
+def test_scan_equivalent_to_finditer():
+    """The anchor-prefiltered scanner must be byte-for-byte identical to
+    re.finditer over the joined corpus text, including non-overlap rules."""
+    import re
+
+    from geocoding_toolbox_ray.stages.extract import _ADDRESS_RE_BYTES, _scan
+
+    cases = [
+        "Contact us at 39 N SR 6, Delta. And at 9999 N XYZZY, 84624.",
+        "",
+        "no matches here at all",
+        "1234567 N MAIN, Delta.",           # long digit run: match starts mid-run
+        "12 N 34 E MAIN, Delta. 5 W X, Y.", # nested anchors inside one match
+        "9 S A, 84624. 9 S A, 84624.",      # adjacent matches
+        "edge at end 12 N M, Delta.",
+        "\x00 5 E Q, Town.\x00",
+    ]
+    # plus corpus text
+    t = pages_mod.pages_table(80)
+    joined = "\x00".join(t["text"].to_pylist())
+    cases.append(joined)
+
+    for text in cases:
+        data = text.encode("utf-8")
+        expect = [
+            (m.group("street").decode(), m.group("zone").decode(), m.start())
+            for m in _ADDRESS_RE_BYTES.finditer(data)
+        ]
+        s, z, p = _scan(data)
+        assert list(zip(s, z, p)) == expect, text[:60]
