@@ -81,6 +81,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": q.doc_fingerprint,
         "doc_rolling_fp": q.doc_rolling_fp,
         "dedup_exact": q.dedup_exact,
+        "quality_filter_documents": q.quality_filter_documents,
+        "documents_deduped": q.documents_deduped,
         "ann_topk_quantized": q.ann_topk_quantized,
         "events_window": q.events_window,
         "events_sliding_window": q.events_sliding_window,
@@ -132,6 +134,8 @@ def oracle_sql() -> dict[str, str]:
         "quality_documents": oracle.quality_documents_sql(),
         "doc_fingerprint": oracle.doc_fingerprint_sql(),
         "dedup_exact": oracle.dedup_exact_sql(),
+        "quality_filter_documents": oracle.quality_filter_documents_sql(),
+        "documents_deduped": oracle.documents_deduped_sql(),
         "ann_topk_quantized": oracle.ann_topk_quantized_sql(),
         "events_window": oracle.events_window_sql(),
         "events_sliding_window": oracle.events_sliding_window_sql(),

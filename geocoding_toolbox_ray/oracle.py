@@ -471,3 +471,21 @@ def bpe_token_count_documents_sql() -> str:
     from .functions.text import bpe_token_count_sql
 
     return f"SELECT doc_id, {bpe_token_count_sql('text')} AS n_bpe_tokens FROM documents"
+
+
+def quality_filter_documents_sql() -> str:
+    from .functions.text import quality_sql
+
+    q = quality_sql("text")
+    return f"""
+WITH f AS (
+    SELECT doc_id, {q['n_tokens']} AS n_tokens,
+           {q['stop_permille']} AS sp, {q['is_short']} AS sh
+    FROM documents
+)
+SELECT doc_id, n_tokens FROM f WHERE sh = 0 AND sp >= 10 AND sp <= 400
+"""
+
+
+def documents_deduped_sql() -> str:
+    return "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)"

@@ -686,3 +686,44 @@ def doc_rolling_fp(sf_dir: str):
         )
 
     return _docs(sf_dir).map_batches(_f, batch_format="pandas")
+
+
+def quality_filter_documents(sf_dir: str):
+    """Apply the quality gates: drop short docs and stopword-ratio outliers
+    (the curation step that consumes quality_documents' features)."""
+    from .functions.text import quality_features
+
+    def _f(df: pd.DataFrame) -> pd.DataFrame:
+        feats = quality_features(df["text"])
+        keep = (
+            (feats["is_short"] == 0)
+            & (feats["stop_permille"] >= 10)
+            & (feats["stop_permille"] <= 400)
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(np.int64)[keep],
+                "n_tokens": feats["n_tokens"][keep],
+            }
+        )
+
+    return _docs(sf_dir).map_batches(_f, batch_format="pandas")
+
+
+def documents_deduped(sf_dir: str):
+    """Apply exact dedup: keep one representative doc per content hash
+    (broadcast keep-set semi-join after the hash groupby)."""
+    from .functions.text import md5_hex
+
+    def _f(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"fp": md5_hex(df["text"]), "doc_id": df["doc_id"].to_numpy(np.int64)}
+        )
+
+    from ray.data.aggregate import Min
+
+    hashed = _docs(sf_dir).map_batches(_f, batch_format="pandas")
+    keepers = hashed.groupby("fp").aggregate(Min("doc_id", alias_name="doc_id"))
+    return keepers.map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"]}), batch_format="pyarrow"
+    )
