@@ -73,6 +73,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cell_skew_topk": q.cell_skew_topk,
         "sample_orders": q.sample_orders,
         "tile_raster_sparse": q.tile_raster_sparse,
+        "top_tiles_sorted": q.top_tiles_sorted,
+        "distinct_event_types": q.distinct_event_types,
         # --- text analysis / training-data ops (oracle-checked) ---
         "token_count_documents": q.token_count_documents,
         "bpe_token_count_documents": q.bpe_token_count_documents,
@@ -128,6 +130,8 @@ def oracle_sql() -> dict[str, str]:
         "cell_skew_topk": oracle.cell_skew_topk_sql(),
         "sample_orders": oracle.sample_orders_sql(),
         "tile_raster_sparse": oracle.tile_raster_sparse_sql(),
+        "top_tiles_sorted": oracle.top_tiles_sorted_sql(),
+        "distinct_event_types": oracle.distinct_event_types_sql(),
         "token_count_documents": oracle.token_count_documents_sql(),
         "bpe_token_count_documents": oracle.bpe_token_count_documents_sql(),
         "lang_id_documents": oracle.lang_id_documents_sql(),

@@ -489,3 +489,15 @@ SELECT doc_id, n_tokens FROM f WHERE sh = 0 AND sp >= 10 AND sp <= 400
 
 def documents_deduped_sql() -> str:
     return "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)"
+
+
+def top_tiles_sorted_sql() -> str:
+    return (
+        "WITH t AS (" + tile_counts_sql() + ") "
+        "SELECT tile_x, tile_y, n FROM t "
+        "ORDER BY n DESC, tile_x ASC, tile_y ASC LIMIT 20"
+    )
+
+
+def distinct_event_types_sql() -> str:
+    return "SELECT DISTINCT event_type FROM events"

@@ -727,3 +727,27 @@ def documents_deduped(sf_dir: str):
     return keepers.map_batches(
         lambda t: pa.table({"doc_id": t["doc_id"]}), batch_format="pyarrow"
     )
+
+
+def top_tiles_sorted(sf_dir: str):
+    """Distributed multi-key sort + limit: 20 densest tiles, deterministic
+    (n DESC, tile_x ASC, tile_y ASC) tie-break."""
+    from .pipelines.spatial import tile_counts as _tc
+
+    return (
+        _tc(sf_dir)
+        .sort(["n", "tile_x", "tile_y"], descending=[True, False, False])
+        .limit(20)
+    )
+
+
+def distinct_event_types(sf_dir: str):
+    """Distinct operator: unique (event_type) values via groupby."""
+    from ray.data.aggregate import Count
+
+    ev = _read(sf_dir, "events", columns=["event_type"])
+    return (
+        ev.groupby("event_type")
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["event_type"])
+    )
