@@ -80,3 +80,16 @@ def test_bpe_token_parity(ray_session):
     df = entrymod.queries()["bpe_token_count_documents"](sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
     o = con.execute(entrymod.oracle_sql()["bpe_token_count_documents"]).df().sort_values("doc_id").reset_index(drop=True)
     assert df["n_bpe_tokens"].tolist() == o["n_bpe_tokens"].tolist()
+
+
+def test_shuffle_and_repartition_preserve_rows(ray_session):
+    """random_shuffle / repartition coverage: layout ops never change the
+    row multiset."""
+    import ray.data as rd
+
+    ds = rd.read_parquet("/root/testdata/sf0.001/orders.parquet", columns=["o_orderkey"])
+    base = sorted(ds.to_pandas()["o_orderkey"])
+    shuffled = ds.random_shuffle(seed=7)
+    assert sorted(shuffled.to_pandas()["o_orderkey"]) == base
+    repart = ds.repartition(8)
+    assert sorted(repart.to_pandas()["o_orderkey"]) == base
