@@ -189,8 +189,33 @@ def run_scaling() -> dict:
     }
 
 
+def run_stats() -> None:
+    """Print the headline pipeline's per-operator ds.stats() breakdown —
+    the measure-don't-guess view used to tune batch/block geometry."""
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    from geocoding_toolbox_ray.config import PipelineConfig
+    from geocoding_toolbox_ray.pipelines.geocode import geocode_pages, read_pages
+    from geocoding_toolbox_ray.sources.pages import materialize_pages_parquet
+
+    n_pages = _pages_count()
+    pages_dir = os.path.join(PAGES_CACHE_ROOT, f"n{n_pages}")
+    materialize_pages_parquet(n_pages, pages_dir)
+    out = geocode_pages(read_pages(pages_dir), PipelineConfig(batch_size=8192))
+    mat = out.materialize()
+    sys.stderr.write(mat.stats() + "\n")
+    ray.shutdown()
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--stats" in sys.argv:
+        run_stats()
     else:
         print(json.dumps(run_bench()))
