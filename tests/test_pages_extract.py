@@ -85,6 +85,8 @@ def test_scan_equivalent_to_finditer():
         "9 S A, 84624. 9 S A, 84624.",      # adjacent matches
         "edge at end 12 N M, Delta.",
         "\x00 5 E Q, Town.\x00",
+        "1 N A, 84624.22 N B, Delta.",      # digits abut the previous match end
+        "1 N A, 84624.1234567 N B, Delta.", # long run abutting previous end
     ]
     # plus corpus text
     t = pages_mod.pages_table(80)
