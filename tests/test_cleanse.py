@@ -70,3 +70,26 @@ def test_cleanse_sql_parity():
     for z in zones:
         got = con.execute("SELECT " + cleanse.cleanse_zone_sql(_lit(z))).fetchone()[0]
         assert got == cleanse.cleanse_zone(z), z
+
+
+def test_three_way_parity_fuzz():
+    """Python / Arrow / DuckDB cleanse+standardize agree on hostile inputs
+    (unicode, control chars, regex metacharacters) — fixed-seed fuzz."""
+    import random
+    import string
+
+    from geocoding_toolbox_ray.functions import standardize
+
+    con = duckdb.connect()
+    rng = random.Random(7)
+    alphabet = string.printable + "éüñ漢字\\"
+    for _ in range(500):
+        s = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 25)))
+        py = cleanse.cleanse_street(s)
+        ar = cleanse.cleanse_street_arrow(pa.array([s])).to_pylist()[0]
+        sql = con.execute("SELECT " + cleanse.cleanse_street_sql(_lit(s))).fetchone()[0]
+        assert py == ar == sql, repr(s)
+        st_py = standardize.standardize(py)
+        st_ar = standardize.standardize_arrow(pa.array([py])).to_pylist()[0]
+        st_sql = con.execute("SELECT " + standardize.standardize_sql(_lit(py))).fetchone()[0]
+        assert st_py == st_ar == st_sql, repr(py)
