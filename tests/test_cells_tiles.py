@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import duckdb
 import numpy as np
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -94,3 +95,36 @@ def test_tile_monotonic():
     x2 = np.full(100, 350_000.0)
     _, ty = tiles.tile_assign(x2, y2)
     assert np.all(np.diff(ty) <= 0)
+
+
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.01", "sf0.1"])
+def test_no_point_near_tile_boundary(sf):
+    """The tile/raster oracles compare floor() of a transcendental formula
+    computed by two engines (numpy vs DuckDB), which can differ in the last
+    ulp.  Audit: every derived point's mercator fraction is far (>1e-6
+    tiles) from an integer boundary at BOTH tile and pixel resolution, so
+    a 1-ulp disagreement can never flip a floor() — the hash comparison
+    cannot flake on this data."""
+    import duckdb
+
+    con = duckdb.connect()
+    lat_span = con.execute(
+        f"""
+        WITH q AS (
+          SELECT ({tiles.LAT0!r} + (({tiles.Y0!r} +
+                 CAST((l_orderkey * 241 + l_partkey * 13) % 4096 AS DOUBLE) * 125.0)
+                 - {tiles.Y0!r}) * ({tiles.LAT_SPAN!r} / {tiles.EXTENT!r})) AS lat,
+                 ({tiles.LON0!r} + (CAST((l_orderkey * 131 + l_linenumber * 17) % 4096 AS DOUBLE) * 125.0)
+                 * ({tiles.LON_SPAN!r} / {tiles.EXTENT!r})) AS lon
+          FROM '/root/testdata/{sf}/lineitem.parquet'
+        ),
+        f AS (
+          SELECT ((lon + 180.0) / 360.0 * 1048576.0) AS fx,
+                 ((1.0 - ln(tan(lat * pi() / 180.0) + 1.0 / cos(lat * pi() / 180.0)) / pi()) / 2.0 * 1048576.0) AS fy
+          FROM q
+        )
+        SELECT min(least(abs(fx - round(fx)), abs(fy - round(fy)))) FROM f
+        """
+    ).fetchone()[0]
+    # 1048576 = 2^12 tiles * 256 px: the finest floor() any oracle takes
+    assert lat_span > 1e-6, lat_span
