@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geocode_orders_wgs84": q.geocode_orders_wgs84,
         "geocode_pobox": q.geocode_pobox,
         "geocode_join_orders": q.geocode_join_orders,
+        "orders_without_lineitems": q.orders_without_lineitems,
         "cell_skew_topk": q.cell_skew_topk,
         "sample_orders": q.sample_orders,
         "tile_raster_sparse": q.tile_raster_sparse,
@@ -127,6 +128,7 @@ def oracle_sql() -> dict[str, str]:
         "geocode_orders_wgs84": oracle.geocode_orders_wgs84_sql(),
         "geocode_pobox": oracle.geocode_pobox_sql(),
         "geocode_join_orders": oracle.geocode_join_orders_sql(),
+        "orders_without_lineitems": oracle.orders_without_lineitems_sql(),
         "cell_skew_topk": oracle.cell_skew_topk_sql(),
         "sample_orders": oracle.sample_orders_sql(),
         "tile_raster_sparse": oracle.tile_raster_sparse_sql(),

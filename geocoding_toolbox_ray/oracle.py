@@ -501,3 +501,12 @@ def top_tiles_sorted_sql() -> str:
 
 def distinct_event_types_sql() -> str:
     return "SELECT DISTINCT event_type FROM events"
+
+
+def orders_without_lineitems_sql() -> str:
+    return """
+SELECT o.o_orderkey,
+       CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT) AS o_totalprice_cents
+FROM orders o
+ANTI JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+"""

@@ -751,3 +751,29 @@ def distinct_event_types(sf_dir: str):
         .aggregate(Count(alias_name="_n"))
         .select_columns(["event_type"])
     )
+
+
+def orders_without_lineitems(sf_dir: str):
+    """Anti join via broadcast key set: orders with no lineitem rows.  The
+    key set (distinct l_orderkey) is built once and checked per batch with
+    np.isin — the semi/anti-join pattern that avoids an all-to-all shuffle
+    (a Bloom filter replaces the exact set at 10^12-key scale)."""
+    import pyarrow.parquet as pq
+
+    keys = pq.read_table(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"])
+    key_arr = np.unique(np.asarray(keys["l_orderkey"].to_numpy(zero_copy_only=False), np.int64))
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def _f(t: pa.Table) -> pa.Table:
+        ok = np.asarray(t["o_orderkey"].to_numpy(zero_copy_only=False), np.int64)
+        keep = ~np.isin(ok, key_arr)
+        m = t.filter(pa.array(keep))
+        cents = np.floor(
+            np.asarray(m["o_totalprice"].to_numpy(zero_copy_only=False), np.float64) * 100.0 + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {"o_orderkey": m["o_orderkey"], "o_totalprice_cents": pa.array(cents, pa.int64())}
+        )
+
+    return orders.map_batches(_f, batch_format="pyarrow")
