@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_without_lineitems": q.orders_without_lineitems,
         "cell_skew_topk": q.cell_skew_topk,
         "sample_orders": q.sample_orders,
+        "stratified_sample_events": q.stratified_sample_events,
         "tile_raster_sparse": q.tile_raster_sparse,
         "top_tiles_sorted": q.top_tiles_sorted,
         "distinct_event_types": q.distinct_event_types,
@@ -131,6 +132,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_without_lineitems": oracle.orders_without_lineitems_sql(),
         "cell_skew_topk": oracle.cell_skew_topk_sql(),
         "sample_orders": oracle.sample_orders_sql(),
+        "stratified_sample_events": oracle.stratified_sample_events_sql(),
         "tile_raster_sparse": oracle.tile_raster_sparse_sql(),
         "top_tiles_sorted": oracle.top_tiles_sorted_sql(),
         "distinct_event_types": oracle.distinct_event_types_sql(),

@@ -510,3 +510,17 @@ SELECT o.o_orderkey,
 FROM orders o
 ANTI JOIN lineitem l ON l.l_orderkey = o.o_orderkey
 """
+
+
+def stratified_sample_events_sql(per_group: int = 3) -> str:
+    return f"""
+WITH r AS (
+    SELECT event_type, event_id,
+           row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY (event_id * 2654435761) % 4294967296 ASC, event_id ASC
+           ) AS rn
+    FROM events
+)
+SELECT event_type, event_id FROM r WHERE rn <= {per_group}
+"""

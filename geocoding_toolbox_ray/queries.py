@@ -777,3 +777,17 @@ def orders_without_lineitems(sf_dir: str):
         )
 
     return orders.map_batches(_f, batch_format="pyarrow")
+
+
+def stratified_sample_events(sf_dir: str, per_group: int = 3):
+    """Stratified sampling: k rows per event_type, chosen by deterministic
+    multiplicative-hash order (not RNG) so the DuckDB oracle can replicate
+    the exact sample."""
+    ev = _read(sf_dir, "events", columns=["event_id", "event_type"])
+
+    def _rank(g: pd.DataFrame) -> pd.DataFrame:
+        h = (g["event_id"].to_numpy(np.int64) * 2654435761) % 4294967296
+        g = g.assign(_h=h).sort_values(["_h", "event_id"], kind="mergesort").head(per_group)
+        return g[["event_type", "event_id"]]
+
+    return ev.groupby("event_type").map_groups(_rank, batch_format="pandas")
