@@ -141,6 +141,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id_documents": oracle.lang_id_documents_sql(),
         "quality_documents": oracle.quality_documents_sql(),
         "doc_fingerprint": oracle.doc_fingerprint_sql(),
+        "doc_rolling_fp": oracle.doc_rolling_fp_sql(),
         "dedup_exact": oracle.dedup_exact_sql(),
         "quality_filter_documents": oracle.quality_filter_documents_sql(),
         "documents_deduped": oracle.documents_deduped_sql(),

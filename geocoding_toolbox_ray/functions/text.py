@@ -128,28 +128,63 @@ def bpe_token_count_sql(expr: str) -> str:
     return f"CAST(len(regexp_extract_all({expr}, '{pat}')) AS BIGINT)"
 
 
-_ROLL_BASE = np.uint64(1000003)
-_ROLL_MOD = np.uint64((1 << 61) - 1)
+#: Rabin-Karp parameters chosen so every intermediate fits well inside
+#: int64/BIGINT with NO wraparound anywhere: h < p < 2^31, base < 2^20,
+#: so h*B + c < 2^51. That makes the chunk-merge identity
+#: h_ab = (h_a * B^len(b) + h_b) mod p mathematically real (ADVICE r1)
+#: and lets DuckDB replicate the hash exactly with list_reduce.
+ROLL_BASE = 1000003
+ROLL_MOD = 2147483629  # largest prime < 2^31
 
 
 def rolling_fingerprint(text: str) -> int:
-    """Rabin-Karp-style polynomial rolling hash over the UTF-8 bytes
-    (int64; deterministic, mergeable per chunk by h_ab = h_a*B^len(b)+h_b)."""
-    h = np.uint64(0)
-    for b in text.encode("utf-8"):
-        h = (h * _ROLL_BASE + np.uint64(b)) % _ROLL_MOD
-    return int(h)
+    """Rabin-Karp polynomial rolling hash over Unicode code points
+    (deterministic, mergeable per chunk by h_ab = (h_a*B^len(b)+h_b) mod p;
+    exact-arithmetic, no overflow)."""
+    h = 0
+    for c in text:
+        h = (h * ROLL_BASE + ord(c)) % ROLL_MOD
+    return h
+
+
+_roll_powers = np.ones(1, np.uint64)  # pw[j] = B^j mod p, grown on demand
+
+
+def _roll_powers_upto(n: int) -> np.ndarray:
+    global _roll_powers
+    if len(_roll_powers) < n:
+        grow = max(n, 2 * len(_roll_powers))
+        pw = np.empty(grow, np.uint64)
+        pw[: len(_roll_powers)] = _roll_powers
+        b, p = np.uint64(ROLL_BASE), np.uint64(ROLL_MOD)
+        for j in range(len(_roll_powers), grow):
+            pw[j] = (pw[j - 1] * b) % p
+        _roll_powers = pw
+    return _roll_powers
 
 
 def rolling_fingerprint_batch(text: pd.Series) -> np.ndarray:
-    """Vectorized over the batch: per-doc numpy Horner evaluation."""
+    """Vectorized over the batch: per-doc power-sum evaluation
+    h = sum(c_i * B^(n-1-i)) mod p. Each term < 2^31; products < 2^52
+    fit uint64 exactly; per-doc sums stay < 2^31 * len, safe to 2^33 chars."""
     out = np.empty(len(text), np.int64)
     for i, s in enumerate(text):
-        data = np.frombuffer(s.encode("utf-8"), np.uint8).astype(np.uint64)
-        h = np.uint64(0)
-        for chunk_start in range(0, len(data), 4096):
-            chunk = data[chunk_start : chunk_start + 4096]
-            for b in chunk:  # Horner; dominated by crc-class cost, fine per batch
-                h = (h * _ROLL_BASE + b) % _ROLL_MOD
-        out[i] = np.int64(h)
+        if not s:
+            out[i] = 0
+            continue
+        codes = np.frombuffer(s.encode("utf-32-le"), np.uint32).astype(np.uint64)
+        pw = _roll_powers_upto(len(codes))[len(codes) - 1 :: -1]
+        terms = (codes * pw) % np.uint64(ROLL_MOD)
+        out[i] = np.int64(int(terms.sum()) % ROLL_MOD)
     return out
+
+
+def rolling_fingerprint_sql(expr: str) -> str:
+    """DuckDB equivalent: Horner fold via list_reduce over code points.
+    Exact integer parity with the engine (all intermediates < 2^51)."""
+    return (
+        f"CASE WHEN length({expr}) = 0 THEN CAST(0 AS BIGINT) ELSE "
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(regexp_split_to_array({expr}, ''), x -> CAST(ord(x) AS BIGINT))), "
+        f"(h, c) -> (h * {ROLL_BASE} + c) % {ROLL_MOD}) END"
+    )

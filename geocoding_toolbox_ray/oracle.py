@@ -93,8 +93,8 @@ def counters_sql(accept_score: int = 70) -> str:
     return f"""
 WITH output AS ({geocode_orders_sql(accept_score)})
 SELECT COUNT(*) AS total,
-       SUM(CASE WHEN message IS NULL THEN 1 ELSE 0 END) AS success,
-       SUM(CASE WHEN message IS NULL THEN 0 ELSE 1 END) AS fail,
+       CAST(SUM(CASE WHEN message IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS success,
+       CAST(SUM(CASE WHEN message IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS fail,
        CAST(floor(100.0 * SUM(CASE WHEN message IS NULL THEN 0 ELSE 1 END)
                   / COUNT(*) + 0.5) AS BIGINT) AS failure_rate,
        CAST(floor(CAST(SUM(CASE WHEN message IS NULL THEN score END) AS DOUBLE)
@@ -241,6 +241,15 @@ def doc_fingerprint_sql() -> str:
     return "SELECT doc_id, md5(text) AS fp FROM documents"
 
 
+def doc_rolling_fp_sql() -> str:
+    from .functions.text import rolling_fingerprint_sql
+
+    return (
+        f"SELECT doc_id, {rolling_fingerprint_sql('text')} AS rolling_fp "
+        "FROM documents"
+    )
+
+
 def dedup_exact_sql() -> str:
     return (
         "SELECT md5(text) AS fp, MIN(doc_id) AS keep_doc_id, COUNT(*) AS dup_count "
@@ -278,7 +287,7 @@ def events_window_sql() -> str:
     return """
 SELECT event_type, date_trunc('hour', ts) AS window_start,
        COUNT(*) AS n,
-       SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS value_cents
+       CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
 FROM events GROUP BY 1, 2
 """
 
@@ -290,7 +299,8 @@ WITH g AS (
     FROM events
 )
 SELECT user_id, COUNT(*) AS n_events,
-       1 + SUM(CASE WHEN gap > INTERVAL 30 MINUTE THEN 1 ELSE 0 END) AS n_sessions
+       CAST(1 + SUM(CASE WHEN gap > INTERVAL 30 MINUTE THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_sessions
 FROM g GROUP BY user_id
 """
 
@@ -300,9 +310,12 @@ FROM g GROUP BY user_id
 def q1_pricing_summary_sql() -> str:
     return """
 SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-       SUM(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT)) AS sum_qty_cents,
-       SUM(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS sum_price_cents,
-       SUM(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT))
+       CAST(SUM(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+           AS sum_qty_cents,
+       CAST(SUM(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+           AS sum_price_cents,
+       CAST(SUM(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5)
+                     AS BIGINT)) AS BIGINT)
            AS sum_disc_price_cents
 FROM lineitem GROUP BY 1, 2
 """
@@ -312,7 +325,8 @@ def top_customers_sql() -> str:
     return """
 WITH agg AS (
     SELECT o_custkey AS c_custkey, COUNT(*) AS n_orders,
-           SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS revenue_cents
+           CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
     FROM orders GROUP BY 1
 )
 SELECT a.c_custkey, c.c_name, a.n_orders, a.revenue_cents
@@ -400,7 +414,8 @@ expanded AS (
     UNION ALL
     SELECT event_type, w0 - INTERVAL 30 MINUTE AS window_start, c FROM w
 )
-SELECT event_type, window_start, COUNT(*) AS n, SUM(c) AS value_cents
+SELECT event_type, window_start, COUNT(*) AS n,
+       CAST(SUM(c) AS BIGINT) AS value_cents
 FROM expanded GROUP BY 1, 2
 """
 

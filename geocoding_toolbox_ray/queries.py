@@ -55,20 +55,28 @@ def counters_report(sf_dir: str) -> pd.DataFrame:
         Sum("matched", alias_name="success"),
         Sum("score", alias_name="score_sum"),
     )
-    total = int(agg["total"])
-    success = int(agg["success"])
+    total = int(agg["total"]) if agg else 0
+    success = int(agg["success"]) if agg else 0
     fail = total - success
-    failure_rate = int(np.floor(100.0 * fail / total + 0.5))
+    failure_rate = (
+        int(np.floor(100.0 * fail / total + 0.5)) if total else None
+    )
     avg_score = (
         int(np.floor(float(agg["score_sum"]) / success + 0.5)) if success else None
     )
+    # Nullable Int64 only on the zero-row / zero-success paths so they
+    # return NULL like the DuckDB oracle instead of raising (ADVICE r1);
+    # the populated path keeps plain int64 to hash-match the oracle.
+    def _col(v):
+        return pd.array([v], dtype="int64" if v is not None else "Int64")
+
     return pd.DataFrame(
         {
-            "total": pd.array([total], dtype="int64"),
-            "success": pd.array([success], dtype="int64"),
-            "fail": pd.array([fail], dtype="int64"),
-            "failure_rate": pd.array([failure_rate], dtype="int64"),
-            "avg_score": pd.array([avg_score], dtype="int64"),
+            "total": _col(total),
+            "success": _col(success),
+            "fail": _col(fail),
+            "failure_rate": _col(failure_rate),
+            "avg_score": _col(avg_score),
         }
     )
 
@@ -592,12 +600,21 @@ def value_band_join(sf_dir: str):
     los = np.array([b[1] for b in VALUE_BANDS], np.float64)
     names = np.array([b[0] for b in VALUE_BANDS], object)
 
+    lo0 = VALUE_BANDS[0][1]
+    hi_last = VALUE_BANDS[-1][2]
+
     def _f(t: pa.Table) -> pa.Table:
         v = np.asarray(t["value"].to_numpy(zero_copy_only=False), np.float64)
-        idx = np.searchsorted(los, v, side="right") - 1
-        idx = np.clip(idx, 0, len(names) - 1)
+        # Inner-join semantics: drop out-of-range rows instead of clipping
+        # them into the edge bands (matches the oracle's lo<=v<hi join;
+        # ADVICE r1).
+        keep = (v >= lo0) & (v < hi_last)
+        idx = np.searchsorted(los, v[keep], side="right") - 1
         return pa.table(
-            {"event_id": t["event_id"], "band": pa.array(names[idx], pa.string())}
+            {
+                "event_id": pa.compute.filter(t["event_id"], pa.array(keep)),
+                "band": pa.array(names[idx], pa.string()),
+            }
         )
 
     return ev.map_batches(_f, batch_format="pyarrow")

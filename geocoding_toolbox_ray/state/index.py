@@ -61,6 +61,15 @@ class GeocodeIndex:
         exact = keyed[
             ["zone_key", "addr_std", "x", "y", "match_address", "address_grid", "locator", "point_id"]
         ]
+        # Real address-point layers can carry duplicate (zone_key, addr_std)
+        # rows (e.g. zone == zip); the Acero left join in the matcher would
+        # fan out one output row per duplicate, breaking the one-row-per-input
+        # contract. Keep min point_id — the oracle's tie-break (ADVICE r1).
+        exact = (
+            exact.sort_values("point_id", kind="mergesort")
+            .drop_duplicates(["zone_key", "addr_std"], keep="first")
+            .reset_index(drop=True)
+        )
 
         zone_groups: dict[str, np.ndarray] = {}
         for zone_key, grp in keyed.groupby("zone_key"):

@@ -45,8 +45,12 @@ def compare(ray_result, sql: str, con) -> None:
         if av.dtype == object or bv.dtype == object:
             assert av.fillna("\0").tolist() == bv.fillna("\0").tolist(), col
         else:
+            # The driver hashes values as-is, so an engine int64 vs an
+            # oracle float64 (DuckDB HUGEINT sums) is a real mismatch —
+            # never coerce dtypes before comparing (VERDICT r1 #1).
+            assert av.dtype.kind == bv.dtype.kind, (col, av.dtype, bv.dtype)
             pd.testing.assert_series_equal(
-                av, bv.astype(av.dtype), check_names=False, check_exact=True
+                av, bv, check_names=False, check_exact=True, check_dtype=False
             )
 
 
@@ -117,6 +121,7 @@ def test_tile_counts_parity(ray_session, con):
         "lang_id_documents",
         "quality_documents",
         "doc_fingerprint",
+        "doc_rolling_fp",
         "dedup_exact",
         "ann_topk_quantized",
         "events_window",

@@ -59,15 +59,25 @@ def test_approx_distinct_close_to_exact(ray_session):
 
 
 def test_rolling_fingerprint_properties():
-    from geocoding_toolbox_ray.functions.text import rolling_fingerprint, rolling_fingerprint_batch
+    from geocoding_toolbox_ray.functions.text import (
+        ROLL_BASE,
+        ROLL_MOD,
+        rolling_fingerprint,
+        rolling_fingerprint_batch,
+    )
     import pandas as pd
 
     a = rolling_fingerprint("hello world")
     assert a == rolling_fingerprint("hello world")
     assert a != rolling_fingerprint("hello worlds")
-    batch = rolling_fingerprint_batch(pd.Series(["hello world", "x", ""]))
+    batch = rolling_fingerprint_batch(pd.Series(["hello world", "x", "", "héllo 𝄞"]))
     assert batch[0] == a
     assert batch[2] == 0
+    assert batch[3] == rolling_fingerprint("héllo 𝄞")
+    # chunk-merge identity: h_ab = (h_a * B^len(b) + h_b) mod p
+    sa, sb = "hello ", "world"
+    ha, hb = rolling_fingerprint(sa), rolling_fingerprint(sb)
+    assert a == (ha * pow(ROLL_BASE, len(sb), ROLL_MOD) + hb) % ROLL_MOD
 
 
 def test_bpe_token_parity(ray_session):
