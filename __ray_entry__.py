@@ -154,4 +154,6 @@ def oracle_sql() -> dict[str, str]:
         "top_customers": oracle.top_customers_sql(),
         "value_band_join": oracle.value_band_join_sql(),
         "top_orders_per_customer": oracle.top_orders_per_customer_sql(),
+        "ngram_jaccard_pairs": oracle.ngram_jaccard_exact_pairs_sql(),
+        "dedup_clusters": oracle.dedup_clusters_sql(),
     }

@@ -241,6 +241,82 @@ def doc_fingerprint_sql() -> str:
     return "SELECT doc_id, md5(text) AS fp FROM documents"
 
 
+def ngram_jaccard_exact_pairs_sql(theta_permille: int = 500) -> str:
+    """Exact n-gram Jaccard pairs, mirroring stages/dedup.py
+    ngram_jaccard_exact_pairs step for step with identical integer
+    arithmetic (prefix length, threshold compare, permille floor)."""
+    return f"""
+WITH toks0 AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS ts
+    FROM documents
+),
+idx AS (
+    SELECT doc_id, ts,
+           unnest(generate_series(1, greatest(len(ts) - 2, 1))) AS i
+    FROM toks0
+),
+sh AS (
+    SELECT DISTINCT doc_id,
+           CASE WHEN len(ts) < 3 THEN array_to_string(ts, ' ')
+                ELSE ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] END AS sh
+    FROM idx
+),
+n AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+df AS (SELECT sh, COUNT(*) AS df FROM sh GROUP BY 1),
+ranked AS (
+    SELECT s.doc_id, s.sh,
+           row_number() OVER (PARTITION BY s.doc_id ORDER BY d.df ASC, s.sh ASC) AS rn,
+           nn.n_sh
+    FROM sh s JOIN df d ON d.sh = s.sh JOIN n nn ON nn.doc_id = s.doc_id
+),
+pfx AS (
+    SELECT * FROM ranked
+    WHERE rn <= n_sh - (({theta_permille} * n_sh + 999) // 1000) + 1
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM pfx a JOIN pfx b ON a.sh = b.sh AND a.doc_id < b.doc_id
+),
+inter AS (
+    SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+    FROM cand c
+    JOIN sh sa ON sa.doc_id = c.doc_a
+    JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+    GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b,
+       CAST(floor(1000.0 * i.i / (na.n_sh + nb.n_sh - i.i) + 0.5) AS BIGINT)
+           AS jaccard_permille
+FROM inter i
+JOIN n na ON na.doc_id = i.doc_a
+JOIN n nb ON nb.doc_id = i.doc_b
+WHERE 1000 * i.i >= {theta_permille} * (na.n_sh + nb.n_sh - i.i)
+"""
+
+
+def dedup_clusters_sql(theta_permille: int = 500) -> str:
+    """Connected components over the exact-Jaccard pair graph via a
+    recursive CTE (reachability closure + per-node MIN), mirroring the
+    engine's min-label propagation fixpoint."""
+    return f"""
+WITH RECURSIVE pairs AS ({ngram_jaccard_exact_pairs_sql(theta_permille)}),
+edges AS (
+    SELECT doc_a AS u, doc_b AS v FROM pairs
+    UNION
+    SELECT doc_b, doc_a FROM pairs
+),
+reach(u, v) AS (
+    SELECT u, v FROM (
+        SELECT u, v FROM edges UNION SELECT u, u FROM edges
+    )
+    UNION
+    SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v
+)
+SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY u
+"""
+
+
 def doc_rolling_fp_sql() -> str:
     from .functions.text import rolling_fingerprint_sql
 

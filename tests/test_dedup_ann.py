@@ -103,25 +103,27 @@ def test_embedding_dup_pairs_finds_planted(ray_session):
     assert sum((i, 100 + i) in found for i in range(5)) >= 4  # LSH recall < 1
 
 
-def test_ngram_jaccard_verify(ray_session):
+def test_ngram_jaccard_exact_pairs(ray_session):
+    """Exact operator finds the identical pair at 1000 permille, keeps the
+    half-overlapping pair at >= theta, and excludes the disjoint doc."""
     import ray.data as rd
 
-    from geocoding_toolbox_ray.stages.dedup import ngram_jaccard_verify
+    from geocoding_toolbox_ray.stages.dedup import ngram_jaccard_exact_pairs
 
     docs = rd.from_items(
         [
             {"doc_id": 1, "text": "a b c d e f"},
             {"doc_id": 2, "text": "a b c d e f"},
             {"doc_id": 3, "text": "x y z w v u"},
+            {"doc_id": 4, "text": "a b c d e f g h"},
         ]
     )
-    import pandas as pd
-
-    pairs = pd.DataFrame({"doc_a": [1, 1], "doc_b": [2, 3]})
-    out = ngram_jaccard_verify(docs, pairs)
-    r12 = out[(out["doc_a"] == 1) & (out["doc_b"] == 2)]["jaccard_permille"].iloc[0]
-    r13 = out[(out["doc_a"] == 1) & (out["doc_b"] == 3)]["jaccard_permille"].iloc[0]
-    assert r12 == 1000 and r13 == 0
+    out = ngram_jaccard_exact_pairs(docs, theta_permille=500).to_pandas()
+    got = {(a, b): j for a, b, j in zip(out["doc_a"], out["doc_b"], out["jaccard_permille"])}
+    assert got[(1, 2)] == 1000
+    # docs 1 & 4: 4 shared 3-grams of union 6 -> 667 permille
+    assert got[(1, 4)] == got[(2, 4)] == 667
+    assert not any(3 in p for p in got)
 
 
 def test_dedup_clusters_min_label(ray_session):
@@ -141,6 +143,42 @@ def test_dedup_clusters_min_label(ray_session):
     out = dedup_clusters(pairs).to_pandas().sort_values("doc_id")
     got = dict(zip(out["doc_id"], out["cluster_id"]))
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_dedup_clusters_chain_converges(ray_session):
+    """A 5-node path needs multiple propagation rounds (label travels one
+    hop per round); validates the multi-round fixpoint + convergence
+    aggregate without burning minutes of per-round Ray overhead."""
+    import ray.data as rd
+
+    from geocoding_toolbox_ray.stages.dedup import dedup_clusters
+
+    pairs = rd.from_items(
+        [{"doc_a": i, "doc_b": i + 1} for i in range(100, 104)]
+        + [{"doc_a": 200, "doc_b": 201}]
+    )
+    out = dedup_clusters(pairs).to_pandas()
+    got = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert all(got[i] == 100 for i in range(100, 105))
+    assert got[200] == got[201] == 200
+
+
+def test_minhash_extreme_skew_star_cap(ray_session):
+    """> RUN_ALL_PAIRS_CAP identical docs land in one LSH bucket per band:
+    the star-pair cap keeps output linear while every doc stays connected
+    to the representative."""
+    import ray.data as rd
+
+    n = dedup.RUN_ALL_PAIRS_CAP + 8
+    rows = [
+        {"doc_id": i, "text": "identical boilerplate page content repeated verbatim"}
+        for i in range(n)
+    ]
+    pairs = dedup.minhash_dup_pairs(rd.from_items(rows), est_threshold=0.5).to_pandas()
+    # star pairs only: linear in n, all anchored at doc 0
+    assert len(pairs) == n - 1
+    assert (pairs["doc_a"] == 0).all()
+    assert set(pairs["doc_b"]) == set(range(1, n))
 
 
 def test_ann_ivf_subset_of_bruteforce(ray_session):

@@ -124,6 +124,8 @@ def test_tile_counts_parity(ray_session, con):
         "doc_rolling_fp",
         "dedup_exact",
         "ann_topk_quantized",
+        "ngram_jaccard_pairs",
+        "dedup_clusters",
         "events_window",
         "sessionize",
         "q1_pricing_summary",
