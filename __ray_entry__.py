@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cell_encode_lineitem": q.cell_encode_lineitem,
         "tile_assign_lineitem": q.tile_assign_lineitem,
         "tile_counts": q.tile_counts,
+        "tile_counts_salted": q.tile_counts_salted,
         # --- geocode parameter variants + join/skew/sampling (oracle-checked) ---
         "geocode_orders_centerlines": q.geocode_orders_centerlines,
         "geocode_orders_wgs84": q.geocode_orders_wgs84,
@@ -87,6 +88,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": q.dedup_exact,
         "quality_filter_documents": q.quality_filter_documents,
         "documents_deduped": q.documents_deduped,
+        "media_features": q.media_features,
+        "media_frames": q.media_frames,
         "ann_topk_quantized": q.ann_topk_quantized,
         "events_window": q.events_window,
         "events_sliding_window": q.events_sliding_window,
@@ -102,6 +105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_cosine": q.ann_topk_cosine,
         "ann_topk_lsh": q.ann_topk_lsh,
         "ann_topk_ivf": q.ann_topk_ivf,
+        "ann_recall": q.ann_recall,
         "embedding_dup_pairs": q.embedding_dup_pairs,
         "ngram_jaccard_pairs": q.ngram_jaccard_pairs,
         "dedup_clusters": q.dedup_clusters,
@@ -125,6 +129,7 @@ def oracle_sql() -> dict[str, str]:
         "cell_encode_lineitem": oracle.cell_encode_lineitem_sql(),
         "tile_assign_lineitem": oracle.tile_assign_lineitem_sql(),
         "tile_counts": oracle.tile_counts_sql(),
+        "tile_counts_salted": oracle.tile_counts_sql(),
         "geocode_orders_centerlines": oracle.geocode_orders_centerlines_sql(),
         "geocode_orders_wgs84": oracle.geocode_orders_wgs84_sql(),
         "geocode_pobox": oracle.geocode_pobox_sql(),
@@ -145,6 +150,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": oracle.dedup_exact_sql(),
         "quality_filter_documents": oracle.quality_filter_documents_sql(),
         "documents_deduped": oracle.documents_deduped_sql(),
+        "media_features": oracle.media_features_sql(),
+        "media_frames": oracle.media_frames_sql(),
         "ann_topk_quantized": oracle.ann_topk_quantized_sql(),
         "events_window": oracle.events_window_sql(),
         "events_sliding_window": oracle.events_sliding_window_sql(),
@@ -155,5 +162,7 @@ def oracle_sql() -> dict[str, str]:
         "value_band_join": oracle.value_band_join_sql(),
         "top_orders_per_customer": oracle.top_orders_per_customer_sql(),
         "ngram_jaccard_pairs": oracle.ngram_jaccard_exact_pairs_sql(),
+        "minhash_dup_pairs": oracle.minhash_dup_pairs_sql(),
+        "simhash_dup_pairs": oracle.simhash_dup_pairs_sql(),
         "dedup_clusters": oracle.dedup_clusters_sql(),
     }

@@ -241,12 +241,10 @@ def doc_fingerprint_sql() -> str:
     return "SELECT doc_id, md5(text) AS fp FROM documents"
 
 
-def ngram_jaccard_exact_pairs_sql(theta_permille: int = 500) -> str:
-    """Exact n-gram Jaccard pairs, mirroring stages/dedup.py
-    ngram_jaccard_exact_pairs step for step with identical integer
-    arithmetic (prefix length, threshold compare, permille floor)."""
-    return f"""
-WITH toks0 AS (
+def _doc_shingles_ctes() -> str:
+    """Shared CTE fragment: documents -> distinct word-3-gram shingle rows
+    (doc_id, sh), exactly mirroring stages/dedup.py _shingle_strings."""
+    return """toks0 AS (
     SELECT doc_id,
            list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS ts
     FROM documents
@@ -261,7 +259,15 @@ sh AS (
            CASE WHEN len(ts) < 3 THEN array_to_string(ts, ' ')
                 ELSE ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] END AS sh
     FROM idx
-),
+)"""
+
+
+def ngram_jaccard_exact_pairs_sql(theta_permille: int = 500) -> str:
+    """Exact n-gram Jaccard pairs, mirroring stages/dedup.py
+    ngram_jaccard_exact_pairs step for step with identical integer
+    arithmetic (prefix length, threshold compare, permille floor)."""
+    return f"""
+WITH {_doc_shingles_ctes()},
 n AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
 df AS (SELECT sh, COUNT(*) AS df FROM sh GROUP BY 1),
 ranked AS (
@@ -295,6 +301,120 @@ WHERE 1000 * i.i >= {theta_permille} * (na.n_sh + nb.n_sh - i.i)
 """
 
 
+def minhash_dup_pairs_sql(est_permille: int = 500) -> str:
+    """MinHash + LSH near-dup pairs replicated EXACTLY in SQL: the same
+    shingles, the same code-point polynomial shingle hash, the same 64
+    (a, b) permutation constants (embedded as VALUES from
+    stages.dedup.MINHASH_A/B), the same positional band combine — every
+    intermediate < 2^62, exact BIGINT arithmetic end to end."""
+    from .functions.text import rolling_fingerprint_sql
+    from .stages.dedup import (
+        BAND_K,
+        LSH_BANDS,
+        MINHASH_A,
+        MINHASH_B,
+        MINHASH_P,
+        MINHASH_PERMS,
+        ROWS_PER_BAND,
+    )
+
+    perms = ", ".join(
+        f"({i}, {int(a)}, {int(b)})"
+        for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    )
+    weights = ", ".join(
+        f"({j}, {pow(BAND_K, ROWS_PER_BAND - 1 - j, MINHASH_P)})"
+        for j in range(ROWS_PER_BAND)
+    )
+    return f"""
+WITH {_doc_shingles_ctes()},
+hashes AS (SELECT doc_id, {rolling_fingerprint_sql('sh')} AS h FROM sh),
+perms(perm_id, a, b) AS (VALUES {perms}),
+w(j, wt) AS (VALUES {weights}),
+sig AS (
+    SELECT hh.doc_id, p.perm_id, MIN((p.a * hh.h + p.b) % {MINHASH_P}) AS v
+    FROM hashes hh CROSS JOIN perms p
+    GROUP BY 1, 2
+),
+band AS (
+    SELECT s.doc_id, s.perm_id // {ROWS_PER_BAND} AS band_id,
+           SUM(((s.v % {MINHASH_P}) * w.wt) % {MINHASH_P}) % {MINHASH_P} AS band_hash
+    FROM sig s JOIN w ON w.j = s.perm_id % {ROWS_PER_BAND}
+    GROUP BY 1, 2
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM band a
+    JOIN band b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+              AND a.doc_id < b.doc_id
+),
+eq AS (
+    SELECT c.doc_a, c.doc_b,
+           COUNT(*) FILTER (WHERE sa.v = sb.v) AS neq
+    FROM cand c
+    JOIN sig sa ON sa.doc_id = c.doc_a
+    JOIN sig sb ON sb.doc_id = c.doc_b AND sb.perm_id = sa.perm_id
+    GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(floor(1000.0 * neq / {MINHASH_PERMS} + 0.5) AS BIGINT)
+           AS est_jaccard_permille
+FROM eq
+WHERE 1000 * neq >= {est_permille} * {MINHASH_PERMS}
+"""
+
+
+def simhash_dup_pairs_sql(max_hamming: int = 3) -> str:
+    """SimHash near-dup pairs replicated exactly: the same tokenization,
+    the same 62-bit token hash (two code-point polynomial hashes), the
+    same frequency-weighted bit votes, the same 4x16-bit band blocking
+    (pigeonhole-complete for hamming <= 3), exact BIGINT arithmetic."""
+    from .functions.text import rolling_fingerprint_sql
+    from .stages.dedup import SIMHASH_BITS
+
+    return f"""
+WITH toks0 AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS ts
+    FROM documents
+),
+tok AS (SELECT doc_id, unnest(ts) AS t FROM toks0),
+th AS (
+    SELECT doc_id,
+           {rolling_fingerprint_sql('t')} * 2147483648
+           + {rolling_fingerprint_sql("(t || '#')")} AS h
+    FROM tok
+),
+jbits(j) AS (SELECT unnest(generate_series(0, {SIMHASH_BITS - 1}))),
+acc AS (
+    SELECT th.doc_id, jbits.j,
+           SUM(CASE WHEN (th.h >> jbits.j) & 1 = 1 THEN 1 ELSE -1 END) AS a
+    FROM th CROSS JOIN jbits
+    GROUP BY 1, 2
+),
+sim AS (
+    SELECT doc_id,
+           SUM(CASE WHEN a > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS simhash
+    FROM acc GROUP BY 1
+),
+bband AS (
+    SELECT doc_id, simhash, b.b AS band_id,
+           (simhash >> (16 * b.b)) & 65535 AS band_val
+    FROM sim CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) b
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS ha,
+                    b.doc_id AS doc_b, b.simhash AS hb
+    FROM bband a
+    JOIN bband b ON a.band_id = b.band_id AND a.band_val = b.band_val
+               AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(ha, hb)) <= {max_hamming}
+"""
+
+
 def dedup_clusters_sql(theta_permille: int = 500) -> str:
     """Connected components over the exact-Jaccard pair graph via a
     recursive CTE (reachability closure + per-node MIN), mirroring the
@@ -324,6 +444,46 @@ def doc_rolling_fp_sql() -> str:
         f"SELECT doc_id, {rolling_fingerprint_sql('text')} AS rolling_fp "
         "FROM documents"
     )
+
+
+def media_features_sql() -> str:
+    """Metadata surface of the media feature stage over the docs-derived
+    media table (stages/multimodal.py FEATURE_DIM is the pinned dim)."""
+    from .stages.multimodal import FEATURE_DIM
+
+    return f"""
+SELECT doc_id AS media_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END
+           AS media_type,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST({FEATURE_DIM} AS BIGINT) AS feat_dim
+FROM documents
+"""
+
+
+def media_frames_sql(frame_bytes: int = 256, every: int = 4) -> str:
+    """Frame-sampling arithmetic replicated exactly: n_frames =
+    max(bytes // frame, 1); sampled indices 0, every, ...; last frame may
+    be short (least/greatest clamp)."""
+    return f"""
+WITH media AS (
+    SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+    FROM documents WHERE doc_id % 3 = 2
+),
+f AS (
+    SELECT media_id, n_bytes, greatest(n_bytes // {frame_bytes}, 1) AS n_frames
+    FROM media
+),
+s AS (
+    SELECT media_id, n_bytes,
+           unnest(generate_series(0, n_frames - 1, {every})) AS fi
+    FROM f
+)
+SELECT media_id, COUNT(*) AS n_frames_sampled,
+       CAST(SUM(greatest(least({frame_bytes}, n_bytes - fi * {frame_bytes}), 0)) AS BIGINT)
+           AS sampled_bytes
+FROM s GROUP BY 1
+"""
 
 
 def dedup_exact_sql() -> str:

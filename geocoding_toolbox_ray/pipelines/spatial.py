@@ -182,6 +182,61 @@ def tile_counts(sf_dir: str):
     return ds.groupby(["tile_x", "tile_y"]).aggregate(Sum("partial_n", alias_name="n"))
 
 
+def tile_counts_salted(sf_dir: str, salt: int = 8, hot_threshold: int = 20):
+    """``tile_counts`` computed through the HOT-KEY SALTING path
+    (SURVEY.md §4.1, wired per VERDICT r1 #7): a cheap pre-pass detects
+    tiles above ``hot_threshold`` rows, each hot tile's rows are split
+    across ``salt`` deterministic sub-keys so no single reducer sees the
+    whole hot group, and a tiny second combine de-salts.  Output is
+    identical to ``tile_counts`` (same DuckDB oracle hash).
+
+    This is the template for any skewed raw-row groupby where per-batch
+    partial pre-aggregation can't absorb the skew (e.g. distinct-heavy or
+    holistic aggregates over Salt-Lake-valley cells)."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.salt import add_salted_key, detect_hot_keys
+
+    def _keyed(batch: pa.Table) -> pa.Table:
+        pts = derive_uniform_points(batch)
+        tx, ty = tile_assign(
+            pts["qx"].to_numpy(zero_copy_only=False),
+            pts["qy"].to_numpy(zero_copy_only=False),
+        )
+        return pa.table(
+            {
+                "query_id": pts["query_id"],
+                "key": pa.array(tx * (1 << 20) + ty, pa.int64()),
+            }
+        )
+
+    keyed = _lineitem(sf_dir, ["l_orderkey", "l_linenumber", "l_partkey"]).map_batches(
+        _keyed, batch_format="pyarrow"
+    )
+    hot = detect_hot_keys(keyed, "key", hot_threshold)
+    salted = keyed.map_batches(
+        lambda t: add_salted_key(t, "key", "query_id", hot, salt),
+        batch_format="pyarrow",
+    )
+    per_salt = salted.groupby("salted_key").aggregate(Count(alias_name="n_part"))
+
+    def _desalt(t: pa.Table) -> pa.Table:
+        key = np.asarray(t["salted_key"].to_numpy(zero_copy_only=False), np.int64) // salt
+        return pa.table(
+            {
+                "tile_x": pa.array(key >> 20, pa.int64()),
+                "tile_y": pa.array(key & ((1 << 20) - 1), pa.int64()),
+                "n_part": t["n_part"],
+            }
+        )
+
+    return (
+        per_salt.map_batches(_desalt, batch_format="pyarrow")
+        .groupby(["tile_x", "tile_y"])
+        .aggregate(Sum("n_part", alias_name="n"))
+    )
+
+
 def knn_topk_join(sf_dir: str, k: int = 3):
     """Exact k-NN (ranked) via ring expansion with the k-th-neighbor bound."""
     import ray

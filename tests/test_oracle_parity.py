@@ -114,6 +114,14 @@ def test_tile_counts_parity(ray_session, con):
     compare(queries.tile_counts(SF_DIR), oracle.tile_counts_sql(), con)
 
 
+def test_tile_counts_salted_parity(ray_session, con):
+    """The salted shuffle must be output-invisible: identical hash to the
+    unsalted oracle."""
+    from geocoding_toolbox_ray import oracle, queries
+
+    compare(queries.tile_counts_salted(SF_DIR), oracle.tile_counts_sql(), con)
+
+
 @pytest.mark.parametrize(
     "name",
     [
@@ -125,7 +133,11 @@ def test_tile_counts_parity(ray_session, con):
         "dedup_exact",
         "ann_topk_quantized",
         "ngram_jaccard_pairs",
+        "minhash_dup_pairs",
+        "simhash_dup_pairs",
         "dedup_clusters",
+        "media_features",
+        "media_frames",
         "events_window",
         "sessionize",
         "q1_pricing_summary",
@@ -144,7 +156,7 @@ def test_rows_only_queries_run(ray_session):
     import __ray_entry__ as entrymod
 
     qs = entrymod.queries()
-    for name in ("minhash_dup_pairs", "simhash_dup_pairs", "ann_topk_cosine", "ann_topk_lsh"):
+    for name in ("ann_topk_cosine", "ann_topk_lsh", "ann_topk_ivf", "approx_distinct_users"):
         res = qs[name](SF_DIR)
         n = len(res) if isinstance(res, pd.DataFrame) else res.count()
         assert n >= 0

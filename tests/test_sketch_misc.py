@@ -58,6 +58,23 @@ def test_approx_distinct_close_to_exact(ray_session):
     assert abs(got - exact) / max(exact, 1) < 0.15
 
 
+def test_bloom_filter_properties(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from geocoding_toolbox_ray.stages.bloom import bloom_test, build_bloom
+
+    keys = np.arange(0, 20000, 2, dtype=np.int64)  # evens present
+    ds = rd.from_arrow(__import__("pyarrow").table({"k": keys}))
+    bitmap, m_bits = build_bloom(ds, "k", len(keys))
+    # no false negatives
+    assert bloom_test(bitmap, keys, m_bits).all()
+    # false-positive rate ~1% target on the absent odds
+    odds = keys + 1
+    fp = bloom_test(bitmap, odds, m_bits).mean()
+    assert fp < 0.05
+
+
 def test_rolling_fingerprint_properties():
     from geocoding_toolbox_ray.functions.text import (
         ROLL_BASE,
