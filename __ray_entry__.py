@@ -88,9 +88,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": q.dedup_exact,
         "quality_filter_documents": q.quality_filter_documents,
         "documents_deduped": q.documents_deduped,
+        "documents_near_deduped": q.documents_near_deduped,
+        "curated_documents": q.curated_documents,
+        "token_histogram": q.token_histogram,
         "media_features": q.media_features,
         "media_frames": q.media_frames,
         "ann_topk_quantized": q.ann_topk_quantized,
+        "streaming_user_state": q.streaming_user_state,
         "events_window": q.events_window,
         "events_sliding_window": q.events_sliding_window,
         "events_asof_join": q.events_asof_join,
@@ -105,6 +109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_cosine": q.ann_topk_cosine,
         "ann_topk_lsh": q.ann_topk_lsh,
         "ann_topk_ivf": q.ann_topk_ivf,
+        "ann_topk_ivf_kmeans": q.ann_topk_ivf_kmeans,
         "ann_recall": q.ann_recall,
         "embedding_dup_pairs": q.embedding_dup_pairs,
         "ngram_jaccard_pairs": q.ngram_jaccard_pairs,
@@ -150,9 +155,13 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": oracle.dedup_exact_sql(),
         "quality_filter_documents": oracle.quality_filter_documents_sql(),
         "documents_deduped": oracle.documents_deduped_sql(),
+        "documents_near_deduped": oracle.documents_near_deduped_sql(),
+        "curated_documents": oracle.curated_documents_sql(),
+        "token_histogram": oracle.token_histogram_sql(),
         "media_features": oracle.media_features_sql(),
         "media_frames": oracle.media_frames_sql(),
         "ann_topk_quantized": oracle.ann_topk_quantized_sql(),
+        "streaming_user_state": oracle.streaming_user_state_sql(),
         "events_window": oracle.events_window_sql(),
         "events_sliding_window": oracle.events_sliding_window_sql(),
         "events_asof_join": oracle.events_asof_join_sql(),

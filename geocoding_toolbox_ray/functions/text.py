@@ -163,19 +163,34 @@ def _roll_powers_upto(n: int) -> np.ndarray:
     return _roll_powers
 
 
-def rolling_fingerprint_batch(text: pd.Series) -> np.ndarray:
-    """Vectorized over the batch: per-doc power-sum evaluation
-    h = sum(c_i * B^(n-1-i)) mod p. Each term < 2^31; products < 2^52
-    fit uint64 exactly; per-doc sums stay < 2^31 * len, safe to 2^33 chars."""
-    out = np.empty(len(text), np.int64)
-    for i, s in enumerate(text):
-        if not s:
-            out[i] = 0
-            continue
-        codes = np.frombuffer(s.encode("utf-32-le"), np.uint32).astype(np.uint64)
-        pw = _roll_powers_upto(len(codes))[len(codes) - 1 :: -1]
-        terms = (codes * pw) % np.uint64(ROLL_MOD)
-        out[i] = np.int64(int(terms.sum()) % ROLL_MOD)
+def rolling_fingerprint_batch(text) -> np.ndarray:
+    """Vectorized over the WHOLE batch in one pass: all strings are joined
+    and encoded once, per-position terms c_i * B^(pos-from-end) mod p are
+    computed for every character at once, and per-string hashes fall out
+    of a single segment-reduce — no per-string Python overhead.  Each term
+    < 2^31; products < 2^52 fit uint64 exactly; per-string sums stay
+    < 2^31 * len, safe to 2^33 chars."""
+    strings = list(text)
+    n = len(strings)
+    out = np.zeros(n, np.int64)
+    if n == 0:
+        return out
+    lens = np.fromiter((len(s) for s in strings), np.int64, count=n)
+    total = int(lens.sum())
+    if total == 0:
+        return out
+    codes = np.frombuffer("".join(strings).encode("utf-32-le"), np.uint32).astype(
+        np.uint64
+    )
+    ends = np.cumsum(lens)
+    starts = ends - lens
+    owner = np.repeat(np.arange(n), lens)
+    pos_from_end = (ends[owner] - 1) - np.arange(total)
+    pw = _roll_powers_upto(int(lens.max()))[pos_from_end]
+    terms = (codes * pw) % np.uint64(ROLL_MOD)
+    nonempty = lens > 0
+    sums = np.add.reduceat(terms, starts[nonempty])
+    out[nonempty] = (sums % np.uint64(ROLL_MOD)).astype(np.int64)
     return out
 
 

@@ -437,6 +437,45 @@ SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY u
 """
 
 
+def token_histogram_sql(k: int = 100) -> str:
+    return f"""
+WITH toks0 AS (
+    SELECT list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS ts
+    FROM documents
+),
+tok AS (SELECT unnest(ts) AS token FROM toks0),
+c AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY 1)
+SELECT token, n FROM c ORDER BY n DESC, token ASC LIMIT {k}
+"""
+
+
+def documents_near_deduped_sql(theta_permille: int = 500) -> str:
+    return f"""
+WITH cc AS ({dedup_clusters_sql(theta_permille)})
+SELECT d.doc_id FROM documents d
+LEFT JOIN cc ON cc.doc_id = d.doc_id
+WHERE cc.doc_id IS NULL OR cc.cluster_id = cc.doc_id
+"""
+
+
+def curated_documents_sql(theta_permille: int = 500) -> str:
+    from .functions.text import quality_sql
+
+    q = quality_sql("d.text")
+    return f"""
+WITH cc AS ({dedup_clusters_sql(theta_permille)}),
+keepers AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+SELECT d.doc_id
+FROM documents d
+JOIN keepers k ON k.doc_id = d.doc_id
+LEFT JOIN cc ON cc.doc_id = d.doc_id
+WHERE d.lang = 'en'
+  AND {q['is_short']} = 0
+  AND {q['stop_permille']} BETWEEN 10 AND 400
+  AND (cc.doc_id IS NULL OR cc.cluster_id = cc.doc_id)
+"""
+
+
 def doc_rolling_fp_sql() -> str:
     from .functions.text import rolling_fingerprint_sql
 
@@ -653,6 +692,17 @@ expanded AS (
 SELECT event_type, window_start, COUNT(*) AS n,
        CAST(SUM(c) AS BIGINT) AS value_cents
 FROM expanded GROUP BY 1, 2
+"""
+
+
+def streaming_user_state_sql() -> str:
+    """Batch equivalent of the incremental keyed-actor state: per-user
+    count, cents sum, and last-seen timestamp (ordered feed -> max ts)."""
+    return """
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents,
+       CAST(epoch_us(MAX(ts)) AS BIGINT) AS last_ts_us
+FROM events GROUP BY 1
 """
 
 

@@ -584,6 +584,128 @@ def dedup_clusters(sf_dir: str):
     return _cc(pairs.drop_columns(["jaccard_permille"]))
 
 
+def token_histogram(sf_dir: str, k: int = 100):
+    """Global token frequency top-k — the vocabulary-scale wide shuffle:
+    per-batch partial counts (np.unique) before the groupby, distributed
+    sort + limit for the top-k (deterministic n DESC, token ASC
+    tie-break)."""
+    from ray.data.aggregate import Sum
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks: list[str] = []
+        for s in df["text"]:
+            toks.extend(s.lower().split())
+        if not toks:
+            return pd.DataFrame({"token": pd.array([], "object"), "part_n": pd.array([], "int64")})
+        uniq, counts = np.unique(np.asarray(toks, object), return_counts=True)
+        return pd.DataFrame({"token": uniq, "part_n": counts.astype(np.int64)})
+
+    return (
+        _docs(sf_dir)
+        .map_batches(_partial, batch_format="pandas")
+        .groupby("token")
+        .aggregate(Sum("part_n", alias_name="n"))
+        .sort(["n", "token"], descending=[True, False])
+        .limit(k)
+    )
+
+
+#: near-dup drop sets are deterministic per sf_dir; computing the
+#: pair+CC pipeline once and reusing it across the queries that apply it
+#: (documents_near_deduped, curated_documents) saves a full recompute
+_near_dup_drop_cache: dict[str, set[int]] = {}
+
+
+def _near_dup_drop_set(sf_dir: str) -> set[int]:
+    if sf_dir not in _near_dup_drop_cache:
+        clusters = dedup_clusters(sf_dir).to_pandas()
+        _near_dup_drop_cache[sf_dir] = set(
+            clusters.loc[clusters["doc_id"] != clusters["cluster_id"], "doc_id"].astype(int)
+        )
+    return _near_dup_drop_cache[sf_dir]
+
+
+def documents_near_deduped(sf_dir: str):
+    """Apply near-dedup: drop every cluster member except the smallest
+    doc_id (the exact-Jaccard CC clusters), keep all un-clustered docs —
+    the global near-dedup 'apply' step.  The drop set (non-representative
+    dup docs) is small by definition and broadcast once."""
+    import ray
+
+    drop_ref = ray.put(_near_dup_drop_set(sf_dir))
+
+    def _f(t: pa.Table) -> pa.Table:
+        d = ray.get(drop_ref)
+        ids = np.asarray(t["doc_id"].to_numpy(zero_copy_only=False), np.int64)
+        keep = np.fromiter((int(i) not in d for i in ids), bool, count=len(ids))
+        return pa.table({"doc_id": pa.array(ids[keep], pa.int64())})
+
+    return _docs(sf_dir, columns=("doc_id",)).map_batches(_f, batch_format="pyarrow")
+
+
+def curated_documents(sf_dir: str):
+    """The full training-data curation pipeline composed end to end:
+    lang filter (parquet-pushdown) -> quality gates -> exact dedup
+    (keep min doc_id per content hash) -> near-dedup (drop non-
+    representative exact-Jaccard cluster members).  Output: surviving
+    doc_ids.  Small sets (exact keepers, near-dup drops) broadcast once;
+    everything else streams."""
+    import ray
+
+    from .functions.text import md5_hex, quality_features
+
+    # near-dup drop set (tiny; cached per sf_dir)
+    drop = _near_dup_drop_set(sf_dir)
+    # exact-dedup keeper set (one id per content hash)
+    from ray.data.aggregate import Min
+
+    def _h(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"fp": md5_hex(df["text"]), "doc_id": df["doc_id"].to_numpy(np.int64)}
+        )
+
+    keepers_df = (
+        _docs(sf_dir)
+        .map_batches(_h, batch_format="pandas")
+        .groupby("fp")
+        .aggregate(Min("doc_id", alias_name="doc_id"))
+        .to_pandas()
+    )
+    keep_ref = ray.put(set(keepers_df["doc_id"].astype(int)))
+    drop_ref = ray.put(drop)
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"]).filter(
+        expr="lang == 'en'"
+    )
+
+    def _f(df: pd.DataFrame) -> pd.DataFrame:
+        keep_set = ray.get(keep_ref)
+        drop_set = ray.get(drop_ref)
+        feats = quality_features(df["text"])
+        ids = df["doc_id"].to_numpy(np.int64)
+        ok = (
+            (feats["is_short"] == 0)
+            & (feats["stop_permille"] >= 10)
+            & (feats["stop_permille"] <= 400)
+            & np.fromiter((int(i) in keep_set for i in ids), bool, count=len(ids))
+            & np.fromiter((int(i) not in drop_set for i in ids), bool, count=len(ids))
+        )
+        return pd.DataFrame({"doc_id": ids[ok]})
+
+    return docs.map_batches(_f, batch_format="pandas")
+
+
+def streaming_user_state(sf_dir: str) -> pa.Table:
+    """Streaming-shaped ingestion (SURVEY.md §2.9): the events table fed as
+    a timestamp-ordered log of micro-batches into keyed bucket actors with
+    incremental per-user state; the final merged state is the query result
+    (the incremental == batch invariant makes it oracle-checkable)."""
+    from .stages.streaming import run_incremental
+
+    ev = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+    return run_incremental(ev)
+
+
 # ------------------------------------------------------------ multimodal
 
 def _media_from_docs(sf_dir: str):
@@ -711,9 +833,18 @@ def ann_topk_ivf(sf_dir: str):
     return topk_ivf(sf_dir)
 
 
+def ann_topk_ivf_kmeans(sf_dir: str):
+    """IVF ANN over Lloyd-refined (k-means) centroids — distributed
+    aggregate per iteration, driver holds only the k x d matrix
+    (rows-only; recall measured by ann_recall)."""
+    from .stages.ann import topk_ivf_kmeans
+
+    return topk_ivf_kmeans(sf_dir)
+
+
 def ann_recall(sf_dir: str) -> pd.DataFrame:
-    """Recall@10 of the LSH and IVF approximate tiers vs exact cosine
-    (rows-only; deterministic value pinned in tests)."""
+    """Recall@10 of the LSH / IVF / k-means-IVF approximate tiers vs exact
+    cosine (rows-only; deterministic value pinned in tests)."""
     from .stages.ann import ann_recall as _f
 
     return _f(sf_dir)

@@ -50,18 +50,35 @@ SHINGLE_WORDS = 3
 
 def _shingle_hashes(text: str) -> np.ndarray:
     """Code-point polynomial hash (functions.text ROLL arithmetic) of each
-    word 3-gram — SQL-replicable, exact integers."""
-    from ..functions.text import rolling_fingerprint_batch
+    word 3-gram — SQL-replicable, exact integers.
+
+    Uses the chunk-merge identity poly(a + b) = poly(a)*B^len(b) + poly(b)
+    (mod p): hash each TOKEN once, then combine per shingle in O(1) with a
+    power table — ~3x fewer character ops than re-hashing every 3-gram
+    string, bit-identical to the direct hash (asserted in tests)."""
+    from ..functions.text import (
+        ROLL_MOD,
+        _roll_powers_upto,
+        rolling_fingerprint_batch,
+    )
 
     toks = text.lower().split()
     if len(toks) < SHINGLE_WORDS:
-        shingles = [" ".join(toks)]
-    else:
-        shingles = [
-            " ".join(toks[i : i + SHINGLE_WORDS])
-            for i in range(len(toks) - SHINGLE_WORDS + 1)
-        ]
-    return rolling_fingerprint_batch(pd.Series(shingles)).astype(np.int64)
+        return rolling_fingerprint_batch(pd.Series([" ".join(toks)])).astype(np.int64)
+    th = rolling_fingerprint_batch(pd.Series(toks)).astype(np.int64)
+    L = np.fromiter((len(t) for t in toks), np.int64, count=len(toks))
+    pw = _roll_powers_upto(int(L.max()) + 2).astype(np.int64)
+    p = ROLL_MOD
+    SPACE = 32
+
+    def _merge(h_left: np.ndarray, h_tok: np.ndarray, l_tok: np.ndarray) -> np.ndarray:
+        # poly(left + ' ' + tok) = left*B^(l+1) + 32*B^l + poly(tok)  (mod p)
+        t1 = (h_left % p) * pw[l_tok + 1] % p
+        t2 = SPACE * pw[l_tok] % p
+        return (t1 + t2 + h_tok) % p
+
+    h12 = _merge(th[:-2], th[1:-1], L[1:-1])
+    return _merge(h12, th[2:], L[2:])
 
 
 def minhash_signature(text: str) -> np.ndarray:

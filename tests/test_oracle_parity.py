@@ -138,6 +138,10 @@ def test_tile_counts_salted_parity(ray_session, con):
         "dedup_clusters",
         "media_features",
         "media_frames",
+        "streaming_user_state",
+        "token_histogram",
+        "documents_near_deduped",
+        "curated_documents",
         "events_window",
         "sessionize",
         "q1_pricing_summary",
