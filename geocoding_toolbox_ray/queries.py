@@ -210,20 +210,49 @@ def doc_fingerprint(sf_dir: str):
     return _docs(sf_dir).map_batches(_f, batch_format="pandas")
 
 
-def dedup_exact(sf_dir: str):
-    """Exact dedup: content-hash groups -> representative + multiplicity."""
-    from ray.data.aggregate import Count, Min
+DOC_BUCKETS = 64
 
+
+def _crc_bucket(values, nb: int = DOC_BUCKETS) -> np.ndarray:
+    import zlib
+
+    return np.fromiter(
+        (zlib.crc32(v.encode("utf-8")) % nb for v in values), np.int64, count=len(values)
+    )
+
+
+def dedup_exact(sf_dir: str):
+    """Exact dedup: content-hash groups -> representative + multiplicity.
+    The hash key has corpus cardinality, so the reduce runs as coarse hash
+    buckets + vectorized pandas groupby within each bucket (a Ray groupby
+    keyed on fp itself costs ~0.25 ms PER GROUP — linear in corpus size)."""
     from .functions.text import md5_hex
 
     def _f(df: pd.DataFrame) -> pd.DataFrame:
+        fp = md5_hex(df["text"])
         return pd.DataFrame(
-            {"fp": md5_hex(df["text"]), "doc_id": df["doc_id"].to_numpy(np.int64)}
+            {
+                "bucket": _crc_bucket(fp),
+                "fp": fp,
+                "doc_id": df["doc_id"].to_numpy(np.int64),
+            }
         )
 
-    hashed = _docs(sf_dir).map_batches(_f, batch_format="pandas")
-    return hashed.groupby("fp").aggregate(
-        Min("doc_id", alias_name="keep_doc_id"), Count(alias_name="dup_count")
+    def _reduce(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("fp", sort=False)["doc_id"].agg(["min", "size"])
+        return pd.DataFrame(
+            {
+                "fp": agg.index.to_numpy(object),
+                "keep_doc_id": agg["min"].to_numpy(np.int64),
+                "dup_count": agg["size"].to_numpy(np.int64),
+            }
+        )
+
+    return (
+        _docs(sf_dir)
+        .map_batches(_f, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(_reduce, batch_format="pandas")
     )
 
 
@@ -382,7 +411,6 @@ def top_customers(sf_dir: str) -> pd.DataFrame:
     the small side is fetched once driver-side and looked up per batch —
     no shuffle join."""
     import pyarrow.parquet as pq
-    from ray.data.aggregate import Count, Sum
 
     cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]).to_pandas()
     name_of = dict(zip(cust["c_custkey"].astype(np.int64), cust["c_name"]))
@@ -398,18 +426,30 @@ def top_customers(sf_dir: str) -> pd.DataFrame:
         uniq, inv = np.unique(ck, return_inverse=True)
         return pa.table(
             {
+                "bucket": pa.array((uniq * 2654435761 % 2**32) % SESSION_BUCKETS, pa.int64()),
                 "c_custkey": pa.array(uniq, pa.int64()),
                 "part_n": pa.array(np.bincount(inv).astype(np.int64), pa.int64()),
                 "part_cents": pa.array(np.bincount(inv, weights=cents).astype(np.int64), pa.int64()),
             }
         )
 
+    # customer-cardinality key -> bucketed pandas reduce (Ray groupby cost
+    # scales with group count), then distributed sort().limit() streams
+    # only 10 rows to the driver (VERDICT r1 #5)
+    def _reduce(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("c_custkey", sort=False)[["part_n", "part_cents"]].sum()
+        return pd.DataFrame(
+            {
+                "c_custkey": agg.index.to_numpy(np.int64),
+                "n_orders": agg["part_n"].to_numpy(np.int64),
+                "revenue_cents": agg["part_cents"].to_numpy(np.int64),
+            }
+        )
+
     grouped = (
         orders.map_batches(_f, batch_format="pyarrow")
-        .groupby("c_custkey")
-        .aggregate(Sum("part_n", alias_name="n_orders"), Sum("part_cents", alias_name="revenue_cents"))
-        # distributed top-k: sort().limit() streams only 10 rows to the
-        # driver (VERDICT r1 #5 — no full-aggregate driver materialization)
+        .groupby("bucket")
+        .map_groups(_reduce, batch_format="pandas")
         .sort(["revenue_cents", "c_custkey"], descending=[True, False])
         .limit(10)
         .to_pandas()
@@ -589,22 +629,41 @@ def token_histogram(sf_dir: str, k: int = 100):
     per-batch partial counts (np.unique) before the groupby, distributed
     sort + limit for the top-k (deterministic n DESC, token ASC
     tie-break)."""
-    from ray.data.aggregate import Sum
 
     def _partial(df: pd.DataFrame) -> pd.DataFrame:
         toks: list[str] = []
         for s in df["text"]:
             toks.extend(s.lower().split())
         if not toks:
-            return pd.DataFrame({"token": pd.array([], "object"), "part_n": pd.array([], "int64")})
+            return pd.DataFrame(
+                {
+                    "bucket": pd.array([], "int64"),
+                    "token": pd.array([], "object"),
+                    "part_n": pd.array([], "int64"),
+                }
+            )
         uniq, counts = np.unique(np.asarray(toks, object), return_counts=True)
-        return pd.DataFrame({"token": uniq, "part_n": counts.astype(np.int64)})
+        return pd.DataFrame(
+            {
+                "bucket": _crc_bucket(uniq),
+                "token": uniq,
+                "part_n": counts.astype(np.int64),
+            }
+        )
+
+    # vocabulary-cardinality key -> bucketed pandas reduce, not a Ray
+    # groupby on the token itself (cost scales with group count)
+    def _reduce(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("token", sort=False)["part_n"].sum()
+        return pd.DataFrame(
+            {"token": s.index.to_numpy(object), "n": s.to_numpy(np.int64)}
+        )
 
     return (
         _docs(sf_dir)
         .map_batches(_partial, batch_format="pandas")
-        .groupby("token")
-        .aggregate(Sum("part_n", alias_name="n"))
+        .groupby("bucket")
+        .map_groups(_reduce, batch_format="pandas")
         .sort(["n", "token"], descending=[True, False])
         .limit(k)
     )
@@ -652,25 +711,12 @@ def curated_documents(sf_dir: str):
     everything else streams."""
     import ray
 
-    from .functions.text import md5_hex, quality_features
+    from .functions.text import quality_features
 
     # near-dup drop set (tiny; cached per sf_dir)
     drop = _near_dup_drop_set(sf_dir)
     # exact-dedup keeper set (one id per content hash)
-    from ray.data.aggregate import Min
-
-    def _h(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"fp": md5_hex(df["text"]), "doc_id": df["doc_id"].to_numpy(np.int64)}
-        )
-
-    keepers_df = (
-        _docs(sf_dir)
-        .map_batches(_h, batch_format="pandas")
-        .groupby("fp")
-        .aggregate(Min("doc_id", alias_name="doc_id"))
-        .to_pandas()
-    )
+    keepers_df = _exact_keepers(sf_dir).to_pandas()
     keep_ref = ray.put(set(keepers_df["doc_id"].astype(int)))
     drop_ref = ray.put(drop)
 
@@ -767,8 +813,6 @@ def media_frames(sf_dir: str):
     """Video frame sampling (every 4th 256-byte frame) through the
     actor-pool flat-map stage; per-media sampled-frame count + byte sum is
     the oracle-checked surface."""
-    from ray.data.aggregate import Count, Sum
-
     from .stages.multimodal import FrameSampleStage
 
     videos = _media_from_docs(sf_dir).filter(expr="media_type == 'video'")
@@ -781,15 +825,30 @@ def media_frames(sf_dir: str):
 
     def _sizes(t: pa.Table) -> pa.Table:
         lens = pa.compute.binary_length(t["frame"]).cast(pa.int64())
-        return pa.table({"media_id": t["media_id"], "frame_bytes": lens})
+        mid = np.asarray(t["media_id"].to_numpy(zero_copy_only=False), np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array((mid * 2654435761 % 2**32) % SESSION_BUCKETS, pa.int64()),
+                "media_id": t["media_id"],
+                "frame_bytes": lens,
+            }
+        )
+
+    # per-media key has corpus cardinality -> bucketed pandas reduce
+    def _reduce(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("media_id", sort=False)["frame_bytes"].agg(["size", "sum"])
+        return pd.DataFrame(
+            {
+                "media_id": agg.index.to_numpy(np.int64),
+                "n_frames_sampled": agg["size"].to_numpy(np.int64),
+                "sampled_bytes": agg["sum"].to_numpy(np.int64),
+            }
+        )
 
     return (
         frames.map_batches(_sizes, batch_format="pyarrow")
-        .groupby("media_id")
-        .aggregate(
-            Count(alias_name="n_frames_sampled"),
-            Sum("frame_bytes", alias_name="sampled_bytes"),
-        )
+        .groupby("bucket")
+        .map_groups(_reduce, batch_format="pandas")
     )
 
 
@@ -1045,23 +1104,36 @@ def quality_filter_documents(sf_dir: str):
     return _docs(sf_dir).map_batches(_f, batch_format="pandas")
 
 
-def documents_deduped(sf_dir: str):
-    """Apply exact dedup: keep one representative doc per content hash
-    (broadcast keep-set semi-join after the hash groupby)."""
+def _exact_keepers(sf_dir: str):
+    """min doc_id per content hash — bucketed pandas reduce (see
+    dedup_exact for why not a Ray groupby on the hash)."""
     from .functions.text import md5_hex
 
     def _f(df: pd.DataFrame) -> pd.DataFrame:
+        fp = md5_hex(df["text"])
         return pd.DataFrame(
-            {"fp": md5_hex(df["text"]), "doc_id": df["doc_id"].to_numpy(np.int64)}
+            {
+                "bucket": _crc_bucket(fp),
+                "fp": fp,
+                "doc_id": df["doc_id"].to_numpy(np.int64),
+            }
         )
 
-    from ray.data.aggregate import Min
+    def _reduce(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("fp", sort=False)["doc_id"].min()
+        return pd.DataFrame({"doc_id": s.to_numpy(np.int64)})
 
-    hashed = _docs(sf_dir).map_batches(_f, batch_format="pandas")
-    keepers = hashed.groupby("fp").aggregate(Min("doc_id", alias_name="doc_id"))
-    return keepers.map_batches(
-        lambda t: pa.table({"doc_id": t["doc_id"]}), batch_format="pyarrow"
+    return (
+        _docs(sf_dir)
+        .map_batches(_f, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(_reduce, batch_format="pandas")
     )
+
+
+def documents_deduped(sf_dir: str):
+    """Apply exact dedup: keep one representative doc per content hash."""
+    return _exact_keepers(sf_dir)
 
 
 def top_tiles_sorted(sf_dir: str):

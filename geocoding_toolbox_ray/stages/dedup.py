@@ -122,6 +122,49 @@ def nbuckets_for(n_rows: int | None, rows_per_doc: int = LSH_BANDS) -> int:
     return max(DEFAULT_NBUCKETS, int(need))
 
 
+def dedupe_pairs(
+    pairs_ds,
+    a_col: str,
+    b_col: str,
+    val_col: str,
+    how: str = "min",
+    nbuckets: int = DEFAULT_NBUCKETS,
+):
+    """Distinct (a, b) pairs keeping min/max of ``val_col`` — composite
+    int64 pair key hashed into coarse buckets, vectorized pandas reduce
+    within each bucket.  NEVER a Ray groupby keyed on the pair itself:
+    Ray's aggregate cost scales with group count (~0.25 ms/group measured
+    — 400k pair groups cost 100+ s vs ~1 s for this shape)."""
+    shift = np.int64(1) << np.int64(31)
+
+    def _tag(df: pd.DataFrame) -> pd.DataFrame:
+        pk = df[a_col].to_numpy(np.int64) * shift + df[b_col].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "bucket": _mix_bucket(pk, np.zeros(len(pk), np.int64), nbuckets),
+                "pk": pk,
+                val_col: df[val_col].to_numpy(),
+            }
+        )
+
+    def _reduce(g: pd.DataFrame) -> pd.DataFrame:
+        s = getattr(g.groupby("pk", sort=False)[val_col], how)()
+        pk = s.index.to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                a_col: pk >> 31,
+                b_col: pk & 0x7FFFFFFF,
+                val_col: s.to_numpy(),
+            }
+        )
+
+    return (
+        pairs_ds.map_batches(_tag, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(_reduce, batch_format="pandas")
+    )
+
+
 def _mix_bucket(key: np.ndarray, sub: np.ndarray, nbuckets: int) -> np.ndarray:
     """Deterministic multiplicative mix of (key, sub) onto [0, nbuckets)."""
     m = (
@@ -226,8 +269,6 @@ def minhash_dup_pairs(docs, est_threshold: float = 0.5, n_docs: int | None = Non
     ``n_docs`` (when known, e.g. from parquet metadata) scales the shuffle
     bucket count so per-group materialization stays bounded at any corpus
     size."""
-    from ray.data.aggregate import Min
-
     nb = nbuckets_for(n_docs)
     banded = docs.map_batches(
         lambda t: band_rows(t, nbuckets=nb), batch_format="pyarrow", batch_size=2048
@@ -236,9 +277,7 @@ def minhash_dup_pairs(docs, est_threshold: float = 0.5, n_docs: int | None = Non
         lambda g: bucket_pairs(g, est_threshold), batch_format="pandas"
     )
     # a pair can surface from several bands (identical estimate) -> distinct
-    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
-        Min("est_jaccard_permille", alias_name="est_jaccard_permille")
-    )
+    return dedupe_pairs(pairs, "doc_a", "doc_b", "est_jaccard_permille", "min", nb)
 
 
 # ------------------------------------------------------------------ simhash
@@ -346,8 +385,6 @@ def simhash_pairs(group: pd.DataFrame, max_hamming: int = 3) -> pd.DataFrame:
 
 
 def simhash_dup_pairs(docs, max_hamming: int = 3, n_docs: int | None = None):
-    from ray.data.aggregate import Min
-
     nb = nbuckets_for(n_docs, rows_per_doc=4)
     rows = docs.map_batches(
         lambda t: simhash_rows(t, nbuckets=nb), batch_format="pyarrow", batch_size=2048
@@ -355,9 +392,7 @@ def simhash_dup_pairs(docs, max_hamming: int = 3, n_docs: int | None = None):
     pairs = rows.groupby("bucket").map_groups(
         lambda g: simhash_pairs(g, max_hamming), batch_format="pandas"
     )
-    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
-        Min("hamming", alias_name="hamming")
-    )
+    return dedupe_pairs(pairs, "doc_a", "doc_b", "hamming", "min", nb)
 
 
 # ----------------------------------------------------- embedding near-dup
@@ -384,8 +419,6 @@ def embedding_dup_pairs(
     run size stays bounded as the corpus grows (recall/bucket-size
     tradeoff documented: wider bands -> smaller runs, lower per-band
     recall, compensated by the OR over bands)."""
-    from ray.data.aggregate import Max
-
     from ..stages.ann import lsh_planes
 
     if n_vecs:
@@ -473,7 +506,7 @@ def embedding_dup_pairs(
     banded = embeddings.map_batches(_band_rows, batch_format="pyarrow", batch_size=4096)
     pairs = banded.groupby("bucket").map_groups(_pairs, batch_format="pandas")
     # a pair found by both bands surfaces twice (identical sim) -> distinct
-    return pairs.groupby(["vec_a", "vec_b"]).aggregate(Max("sim", alias_name="sim"))
+    return dedupe_pairs(pairs, "vec_a", "vec_b", "sim", "max", nb)
 
 
 # ------------------------------------- exact n-gram Jaccard (oracle tier)
@@ -518,7 +551,6 @@ def ngram_jaccard_exact_pairs(
     docs collapse); all other state is hash-partitioned.
     """
     import ray
-    from ray.data.aggregate import Count
 
     def _shingle_rows(t: pa.Table) -> pa.Table:
         ids = np.asarray(t["doc_id"].to_numpy(zero_copy_only=False), np.int64)
@@ -538,10 +570,10 @@ def ngram_jaccard_exact_pairs(
 
     S = docs.map_batches(_shingle_rows, batch_format="pyarrow").materialize()
 
-    # shingle document frequency (one groupby; pre-aggregated by Ray)
-    DF = S.groupby("sh").aggregate(Count(alias_name="df"))
-
-    # attach df to shingle rows: co-group on hash(sh)
+    # shingle document frequency FUSED into the bucketed co-group: every
+    # row of a given shingle hashes to the same bucket, so df is a
+    # vectorized in-bucket pandas transform — no vocabulary-cardinality
+    # Ray groupby and no union/join stage at all
     s_tag = S.map_batches(
         lambda t: pa.table(
             {
@@ -549,31 +581,17 @@ def ngram_jaccard_exact_pairs(
                 "sh": t["sh"],
                 "doc_id": t["doc_id"],
                 "n_sh": t["n_sh"],
-                "df": pa.nulls(t.num_rows, pa.int64()),
-            }
-        ),
-        batch_format="pyarrow",
-    )
-    df_tag = DF.map_batches(
-        lambda t: pa.table(
-            {
-                "bucket": pa.array(_str_bucket(t["sh"].to_pylist(), nbuckets), pa.int64()),
-                "sh": t["sh"],
-                "doc_id": pa.nulls(t.num_rows, pa.int64()),
-                "n_sh": pa.nulls(t.num_rows, pa.int64()),
-                "df": t["df"],
             }
         ),
         batch_format="pyarrow",
     )
 
-    def _join_df(g: pd.DataFrame) -> pd.DataFrame:
-        lab = g.loc[g["df"].notna(), ["sh", "df"]]
-        rows = g.loc[g["doc_id"].notna(), ["doc_id", "sh", "n_sh"]]
-        m = rows.merge(lab, on="sh", how="inner")
-        return m.astype({"doc_id": "int64", "n_sh": "int64", "df": "int64"})
+    def _attach_df(g: pd.DataFrame) -> pd.DataFrame:
+        out = g[["doc_id", "sh", "n_sh"]].copy()
+        out["df"] = g.groupby("sh", sort=False)["sh"].transform("size").to_numpy(np.int64)
+        return out
 
-    SD = s_tag.union(df_tag).groupby("bucket").map_groups(_join_df, batch_format="pandas")
+    SD = s_tag.groupby("bucket").map_groups(_attach_df, batch_format="pandas")
 
     # prefix ranking per doc: co-group on hash(doc_id)
     def _prefix(g: pd.DataFrame) -> pd.DataFrame:
@@ -625,32 +643,74 @@ def ngram_jaccard_exact_pairs(
             batch_format="pandas",
         ).groupby("bucket")
 
-    C = (
+    # Candidate pairs as ONE composite int64 key (doc_a * 2^31 + doc_b,
+    # doc_ids < 2^31): Ray's multi-key groupby measured ~70x slower than a
+    # single-int64-key pass on the same 430k rows, and for the candidate
+    # SET no groupby is needed at all — per-bucket np.unique partials are
+    # unioned into a driver-side hash set (bounded by the dup-candidate
+    # count; at 10^12 docs this set hash-partitions like everything else).
+    PKSHIFT = np.int64(1) << np.int64(31)
+
+    def _pk(df: pd.DataFrame) -> pd.DataFrame:
+        pk = df["doc_a"].to_numpy(np.int64) * PKSHIFT + df["doc_b"].to_numpy(np.int64)
+        return pd.DataFrame({"pk": np.unique(pk)})
+
+    raw_cand = (
         _sh_bucketed(P)
         .map_groups(_pairs_in_groups, batch_format="pandas")
-        .groupby(["doc_a", "doc_b"])
-        .aggregate(Count(alias_name="_c"))
-        .drop_columns(["_c"])
-        .materialize()
+        .map_batches(_pk, batch_format="pandas")
     )
+    # broadcast membership as SORTED numpy arrays, not Python sets:
+    # ray.get of an ndarray is zero-copy per batch, while a big set would
+    # pickle-deserialize on EVERY batch (measured ~100 s of pure
+    # deserialization at sf0.1 before this change)
+    parts = [
+        b["pk"].to_numpy(np.int64)
+        for b in raw_cand.iter_batches(batch_format="pandas", batch_size=65536)
+    ]
+    cand_arr = (
+        np.unique(np.concatenate(parts)) if parts else np.zeros(0, np.int64)
+    )
+    inv_arr = np.unique(
+        np.concatenate([cand_arr >> 31, cand_arr & 0x7FFFFFFF])
+    ) if len(cand_arr) else np.zeros(0, np.int64)
+    inv_ref = ray.put(inv_arr)
+    cand_ref = ray.put(cand_arr)
 
-    # involved docs (near-dup subset): broadcast semi-join key set
-    cand_pd = None
-    inv: set[int] = set()
-    for b in C.iter_batches(batch_format="pandas", batch_size=65536):
-        inv.update(int(x) for x in b["doc_a"])
-        inv.update(int(x) for x in b["doc_b"])
-    inv_ref = ray.put(inv)
+    def _sorted_member(sorted_arr: np.ndarray, values: np.ndarray) -> np.ndarray:
+        pos = np.searchsorted(sorted_arr, values)
+        pos_ok = pos < len(sorted_arr)
+        out = np.zeros(len(values), bool)
+        out[pos_ok] = sorted_arr[pos[pos_ok]] == values[pos_ok]
+        return out
 
     def _only_involved(t: pa.Table) -> pa.Table:
         s = ray.get(inv_ref)
         ids = np.asarray(t["doc_id"].to_numpy(zero_copy_only=False), np.int64)
-        keep = np.fromiter((int(i) in s for i in ids), bool, count=len(ids))
-        return t.filter(pa.array(keep))
+        return t.filter(pa.array(_sorted_member(s, ids)))
 
     SI = S.map_batches(_only_involved, batch_format="pyarrow").materialize()
 
-    # exact intersection counts: pairs per shingle over involved docs only
+    # exact intersection counts: pairs per shingle over involved docs,
+    # partial-counted per block, then summed inside COARSE hash buckets
+    # with a vectorized pandas groupby — NEVER a Ray groupby on the pair
+    # key itself (Ray's aggregate cost scales with group count: 400k
+    # distinct pairs measured ~100+ s vs ~1 s for this shape)
+
+    def _pk_counts(df: pd.DataFrame) -> pd.DataFrame:
+        pk = df["doc_a"].to_numpy(np.int64) * PKSHIFT + df["doc_b"].to_numpy(np.int64)
+        uniq, counts = np.unique(pk, return_counts=True)
+        bucket = _mix_bucket(uniq, np.zeros(len(uniq), np.int64), nbuckets)
+        return pd.DataFrame(
+            {"bucket": bucket, "pk": uniq, "part_n": counts.astype(np.int64)}
+        )
+
+    def _pk_sum(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("pk", sort=False)["part_n"].sum()
+        return pd.DataFrame(
+            {"pk": s.index.to_numpy(np.int64), "inter": s.to_numpy(np.int64)}
+        )
+
     I = (
         _sh_bucketed(
             SI.map_batches(
@@ -658,37 +718,38 @@ def ngram_jaccard_exact_pairs(
             )
         )
         .map_groups(_pairs_in_groups, batch_format="pandas")
-        .groupby(["doc_a", "doc_b"])
-        .aggregate(Count(alias_name="inter"))
+        .map_batches(_pk_counts, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(_pk_sum, batch_format="pandas")
     )
 
-    # per-involved-doc shingle counts (small): broadcast map
-    nsh: dict[int, int] = {}
-    for b in SI.iter_batches(batch_format="pandas", batch_size=65536):
-        for d, n in zip(b["doc_id"], b["n_sh"]):
-            nsh[int(d)] = int(n)
-    nsh_ref = ray.put(nsh)
-    cand_ref = ray.put(
-        set(zip(*[C.to_pandas()[c].astype(int) for c in ("doc_a", "doc_b")]))
-        if C.count() > 0
-        else set()
-    )
+    # per-involved-doc shingle counts: two parallel sorted arrays
+    nsh_frames = [
+        b[["doc_id", "n_sh"]].drop_duplicates("doc_id")
+        for b in SI.iter_batches(batch_format="pandas", batch_size=65536)
+    ]
+    if nsh_frames:
+        nsh_pd = pd.concat(nsh_frames).drop_duplicates("doc_id").sort_values("doc_id")
+        nsh_keys = nsh_pd["doc_id"].to_numpy(np.int64)
+        nsh_vals = nsh_pd["n_sh"].to_numpy(np.int64)
+    else:
+        nsh_keys = nsh_vals = np.zeros(0, np.int64)
+    nsh_ref = ray.put((nsh_keys, nsh_vals))
 
     _OUT = {"doc_a": "int64", "doc_b": "int64", "jaccard_permille": "int64"}
 
     def _finish(df: pd.DataFrame) -> pd.DataFrame:
-        cset = ray.get(cand_ref)
-        nmap = ray.get(nsh_ref)
+        carr = ray.get(cand_ref)
+        nk, nv = ray.get(nsh_ref)
         if df.empty:
             return pd.DataFrame({k: [] for k in _OUT}).astype(_OUT)
-        a = df["doc_a"].to_numpy(np.int64)
-        b = df["doc_b"].to_numpy(np.int64)
+        pk = df["pk"].to_numpy(np.int64)
+        a = pk >> 31
+        b = pk & 0x7FFFFFFF
         it = df["inter"].to_numpy(np.int64)
-        in_cand = np.fromiter(
-            ((int(x), int(y)) in cset for x, y in zip(a, b)), bool, count=len(a)
-        )
-        na = np.fromiter((nmap[int(x)] for x in a), np.int64, count=len(a))
-        nb = np.fromiter((nmap[int(x)] for x in b), np.int64, count=len(b))
+        in_cand = _sorted_member(carr, pk)
+        na = nv[np.searchsorted(nk, a)]
+        nb = nv[np.searchsorted(nk, b)]
         union = na + nb - it
         keep = in_cand & (1000 * it >= theta_permille * union)
         jp = np.floor(1000.0 * it[keep] / union[keep] + 0.5).astype(np.int64)
@@ -721,7 +782,7 @@ def dedup_clusters(pairs, max_rounds: int = 50, nbuckets: int | None = None):
     near-dup components are tiny, ``max_rounds`` caps degenerate chains.
     cluster_id = smallest doc_id in the component.
     """
-    from ray.data.aggregate import Min, Sum
+    from ray.data.aggregate import Sum
 
     def _sym(t: pa.Table) -> pa.Table:
         a = t["doc_a"].combine_chunks() if isinstance(t["doc_a"], pa.ChunkedArray) else t["doc_a"]
@@ -757,27 +818,24 @@ def dedup_clusters(pairs, max_rounds: int = 50, nbuckets: int | None = None):
         batch_format="pyarrow",
     ).materialize()
 
-    # initial label of each node = min(itself, its smallest neighbor)
-    labels = (
-        edges.groupby("node")
-        .aggregate(Min("dst", alias_name="nmin"))
-        .map_batches(
-            lambda t: pa.table(
-                {
-                    "bucket": pa.array(
-                        _bucket_of(
-                            np.asarray(
-                                t["node"].to_numpy(zero_copy_only=False), np.int64
-                            )
-                        ),
-                        pa.int64(),
-                    ),
-                    "node": t["node"],
-                    "label": pa.compute.min_element_wise(t["node"], t["nmin"]),
-                }
-            ),
-            batch_format="pyarrow",
+    # initial label of each node = min(itself, its smallest neighbor) —
+    # per-BUCKET vectorized pandas min, never a Ray groupby keyed on the
+    # node itself (Ray aggregate cost scales with group count; the node
+    # count is the dup-corpus size)
+    def _init_labels(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("node", sort=False)["dst"].min()
+        nodes = s.index.to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "bucket": _bucket_of(nodes),
+                "node": nodes,
+                "label": np.minimum(nodes, s.to_numpy(np.int64)),
+            }
         )
+
+    labels = (
+        edges.groupby("bucket")
+        .map_groups(_init_labels, batch_format="pandas")
         .materialize()
     )
 

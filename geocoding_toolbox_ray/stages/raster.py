@@ -75,16 +75,55 @@ def rasterize_partial(batch: pa.Table, zoom: int = DEFAULT_ZOOM, px: int = TILE_
     )
 
 
-def rasterize_sparse(points, zoom: int = DEFAULT_ZOOM, px: int = TILE_PX):
+def rasterize_sparse(points, zoom: int = DEFAULT_ZOOM, px: int = TILE_PX, nbuckets: int = 64):
     """points Dataset (qx, qy) -> sparse raster Dataset
-    (tile_x, tile_y, px_x, px_y, n) with pre-aggregated partials."""
-    from ray.data.aggregate import Sum
+    (tile_x, tile_y, px_x, px_y, n) with pre-aggregated partials.
 
+    The pixel key has raster cardinality (millions of groups at scale), so
+    the final reduce hashes the composite pixel key into coarse buckets
+    and sums vectorized inside each bucket — never a Ray groupby on the
+    4-column pixel key itself (Ray aggregate cost scales with group
+    count)."""
     partial = points.map_batches(
         lambda t: rasterize_partial(t, zoom, px), batch_format="pyarrow"
     )
-    return partial.groupby(["tile_x", "tile_y", "px_x", "px_y"]).aggregate(
-        Sum("part_n", alias_name="n")
+
+    def _bucketed(t: pa.Table) -> pa.Table:
+        tx = np.asarray(t["tile_x"].to_numpy(zero_copy_only=False), np.int64)
+        ty = np.asarray(t["tile_y"].to_numpy(zero_copy_only=False), np.int64)
+        pxx = np.asarray(t["px_x"].to_numpy(zero_copy_only=False), np.int64)
+        pxy = np.asarray(t["px_y"].to_numpy(zero_copy_only=False), np.int64)
+        key = ((tx * px + pxx) << np.int64(32)) + (ty * px + pxy)
+        bucket = (key * 2654435761 % 2**32) % nbuckets
+        return pa.table(
+            {
+                "bucket": pa.array(bucket, pa.int64()),
+                "key": pa.array(key, pa.int64()),
+                "part_n": t["part_n"],
+            }
+        )
+
+    def _reduce(g):
+        s = g.groupby("key", sort=False)["part_n"].sum()
+        key = s.index.to_numpy(np.int64)
+        gx = key >> 32
+        gy = key & ((np.int64(1) << 32) - 1)
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "tile_x": gx // px,
+                "tile_y": gy // px,
+                "px_x": gx % px,
+                "px_y": gy % px,
+                "n": s.to_numpy(np.int64),
+            }
+        )
+
+    return (
+        partial.map_batches(_bucketed, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_reduce, batch_format="pandas")
     )
 
 
