@@ -121,6 +121,10 @@ def run_bench() -> dict:
         timed("ann_topk_quantized", lambda: q.ann_topk_quantized(SF_DIR))
         timed("events_window", lambda: q.events_window(SF_DIR))
         timed("q1_pricing_summary", lambda: q.q1_pricing_summary(SF_DIR))
+        # round-2 additions: exact-Jaccard near-dup, CC clustering, vocab top-k
+        timed("ngram_jaccard_pairs", lambda: q.ngram_jaccard_pairs(SF_DIR))
+        timed("dedup_clusters", lambda: q.dedup_clusters(SF_DIR))
+        timed("token_histogram", lambda: q.token_histogram(SF_DIR))
 
     total = round(sum(timings.values()), 3)
     geocode_rows_per_s = (
