@@ -91,6 +91,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "documents_near_deduped": q.documents_near_deduped,
         "curated_documents": q.curated_documents,
         "token_histogram": q.token_histogram,
+        "contamination_flags": q.contamination_flags,
+        "redact_documents": q.redact_documents,
+        "split_assignment": q.split_assignment,
         "media_features": q.media_features,
         "media_frames": q.media_frames,
         "ann_topk_quantized": q.ann_topk_quantized,
@@ -158,6 +161,9 @@ def oracle_sql() -> dict[str, str]:
         "documents_near_deduped": oracle.documents_near_deduped_sql(),
         "curated_documents": oracle.curated_documents_sql(),
         "token_histogram": oracle.token_histogram_sql(),
+        "contamination_flags": oracle.contamination_flags_sql(),
+        "redact_documents": oracle.redact_documents_sql(),
+        "split_assignment": oracle.split_assignment_sql(),
         "media_features": oracle.media_features_sql(),
         "media_frames": oracle.media_frames_sql(),
         "ann_topk_quantized": oracle.ann_topk_quantized_sql(),

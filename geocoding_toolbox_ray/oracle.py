@@ -476,6 +476,49 @@ WHERE d.lang = 'en'
 """
 
 
+def contamination_flags_sql() -> str:
+    from .queries import CONTAM_MIN_SHARED, N_BENCH_DOCS
+
+    return f"""
+WITH {_doc_shingles_ctes()},
+bdocs AS (SELECT doc_id FROM documents ORDER BY doc_id LIMIT {N_BENCH_DOCS}),
+bsh AS (SELECT DISTINCT s.sh FROM sh s JOIN bdocs b ON b.doc_id = s.doc_id),
+shared AS (
+    SELECT s.doc_id, COUNT(*) AS n_shared
+    FROM sh s JOIN bsh ON bsh.sh = s.sh GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(COALESCE(x.n_shared, 0) AS BIGINT) AS n_shared,
+       CAST(CASE WHEN COALESCE(x.n_shared, 0) >= {CONTAM_MIN_SHARED}
+                 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+FROM documents d LEFT JOIN shared x ON x.doc_id = d.doc_id
+"""
+
+
+def redact_documents_sql() -> str:
+    from .queries import REDACT_PATTERNS
+
+    expr = "text"
+    for pat, rep in REDACT_PATTERNS:
+        # DuckDB single-quoted literals pass backslashes through verbatim
+        p = pat.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{p}', '{rep}', 'g')"
+    return f"""
+SELECT doc_id,
+       CAST(length({expr}) AS BIGINT) AS n_chars_redacted,
+       md5({expr}) AS redacted_md5
+FROM documents
+"""
+
+
+def split_assignment_sql() -> str:
+    return """
+SELECT doc_id,
+       CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val' ELSE 'test' END AS split
+FROM (SELECT doc_id, ((doc_id * 2654435761) % 4294967296) % 100 AS h FROM documents)
+"""
+
+
 def doc_rolling_fp_sql() -> str:
     from .functions.text import rolling_fingerprint_sql
 

@@ -741,6 +741,101 @@ def curated_documents(sf_dir: str):
     return docs.map_batches(_f, batch_format="pandas")
 
 
+#: benchmark-contamination check: docs sharing >= this many word-3-grams
+#: with the "benchmark" set (the first N_BENCH docs, a stand-in for an
+#: eval-set shingle list) are flagged
+N_BENCH_DOCS = 10
+CONTAM_MIN_SHARED = 3
+
+
+def contamination_flags(sf_dir: str):
+    """Benchmark-contamination screen — the decontamination step of a
+    training-data pipeline: the benchmark shingle set (small) is broadcast
+    once, and every doc counts its distinct shared 3-grams against it in
+    one vectorized pass (no shuffle).  Flagged = shared >= threshold."""
+    import ray
+
+    import pyarrow.parquet as pq
+
+    from .stages.dedup import _shingle_strings
+
+    # benchmark shingles from the first N docs (driver-side small read)
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    df = t.to_pandas().sort_values("doc_id").head(N_BENCH_DOCS)
+    bench: set[str] = set()
+    for s in df["text"]:
+        bench.update(_shingle_strings(s, 3))
+    bench_arr = np.sort(np.asarray(list(bench), object))
+    bench_ref = ray.put(bench_arr)
+
+    def _f(d: pd.DataFrame) -> pd.DataFrame:
+        barr = ray.get(bench_ref)
+        ids = d["doc_id"].to_numpy(np.int64)
+        shared = np.empty(len(ids), np.int64)
+        for i, s in enumerate(d["text"]):
+            shs = np.asarray(_shingle_strings(s, 3), object)
+            pos = np.searchsorted(barr, shs)
+            ok = pos < len(barr)
+            shared[i] = int((barr[pos[ok]] == shs[ok]).sum())
+        return pd.DataFrame(
+            {
+                "doc_id": ids,
+                "n_shared": shared,
+                "contaminated": (shared >= CONTAM_MIN_SHARED).astype(np.int64),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(_f, batch_format="pandas")
+
+
+#: PII-style redaction patterns (RE2-compatible, shared with the oracle)
+REDACT_PATTERNS = (
+    (r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}", "<EMAIL>"),
+    (r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+)
+
+
+def redact_documents(sf_dir: str):
+    """PII-style scrubbing: vectorized regex redaction (emails, phone and
+    SSN shapes) over the text column; output carries the redacted length
+    and an md5 of the redacted text so the oracle can hash-verify the
+    exact transform without shipping full text through the compare."""
+    from .functions.text import md5_hex
+
+    def _f(d: pd.DataFrame) -> pd.DataFrame:
+        s = d["text"]
+        for pat, rep in REDACT_PATTERNS:
+            s = s.str.replace(pat, rep, regex=True)
+        return pd.DataFrame(
+            {
+                "doc_id": d["doc_id"].to_numpy(np.int64),
+                "n_chars_redacted": s.str.len().to_numpy(np.int64),
+                "redacted_md5": md5_hex(s),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(_f, batch_format="pandas")
+
+
+def split_assignment(sf_dir: str):
+    """Deterministic train/val/test split by multiplicative hash of
+    doc_id (80/10/10) — reproducible across runs and engines (no RNG)."""
+
+    def _f(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"].to_numpy(zero_copy_only=False), np.int64)
+        h = (ids * 2654435761 % 2**32) % 100
+        split = np.where(h < 80, "train", np.where(h < 90, "val", "test"))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "split": pa.array(split.astype(object), pa.string()),
+            }
+        )
+
+    return _docs(sf_dir, columns=("doc_id",)).map_batches(_f, batch_format="pyarrow")
+
+
 def streaming_user_state(sf_dir: str) -> pa.Table:
     """Streaming-shaped ingestion (SURVEY.md §2.9): the events table fed as
     a timestamp-ordered log of micro-batches into keyed bucket actors with

@@ -142,6 +142,9 @@ def test_tile_counts_salted_parity(ray_session, con):
         "token_histogram",
         "documents_near_deduped",
         "curated_documents",
+        "contamination_flags",
+        "redact_documents",
+        "split_assignment",
         "events_window",
         "sessionize",
         "q1_pricing_summary",

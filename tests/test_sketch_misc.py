@@ -75,6 +75,38 @@ def test_bloom_filter_properties(ray_session):
     assert fp < 0.05
 
 
+def test_redaction_patterns_parity_on_planted_pii():
+    """The synthetic corpus has no PII, so the registered query exercises
+    the no-match path; this test plants emails/phones/SSNs and asserts
+    pandas-re and DuckDB-RE2 produce byte-identical redactions."""
+    import duckdb
+    import pandas as pd
+
+    from geocoding_toolbox_ray.queries import REDACT_PATTERNS
+
+    texts = [
+        "contact me at bob.smith+x@example.co or call 801-555-1234 now",
+        "ssn 123-45-6789 inline and email a@b.io end",
+        "no pii here at all",
+        "two mails x@y.com z@w.org and 111-22-3333",
+    ]
+    s = pd.Series(texts)
+    for pat, rep in REDACT_PATTERNS:
+        s = s.str.replace(pat, rep, regex=True)
+
+    expr = "t"
+    for pat, rep in REDACT_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pat}', '{rep}', 'g')"
+    con = duckdb.connect()
+    got = [
+        con.execute(f"SELECT {expr} FROM (SELECT ? AS t)", [x]).fetchone()[0]
+        for x in texts
+    ]
+    assert list(s) == got
+    assert "<EMAIL>" in got[0] and "<PHONE>" in got[0]
+    assert "<SSN>" in got[1]
+
+
 def test_rolling_fingerprint_properties():
     from geocoding_toolbox_ray.functions.text import (
         ROLL_BASE,
