@@ -106,9 +106,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_customers": q.top_customers,
         "value_band_join": q.value_band_join,
         "top_orders_per_customer": q.top_orders_per_customer,
-        # --- near-dup / approximate ops (no SQL equivalent; rows-only) ---
+        # --- near-dup ops (exact SQL replicas incl. hash families) ---
         "minhash_dup_pairs": q.minhash_dup_pairs,
         "simhash_dup_pairs": q.simhash_dup_pairs,
+        # --- approximate ops (float metrics / sketches; rows-only, each
+        #     pinned against ground truth in pytest) ---
         "ann_topk_cosine": q.ann_topk_cosine,
         "ann_topk_lsh": q.ann_topk_lsh,
         "ann_topk_ivf": q.ann_topk_ivf,
