@@ -94,6 +94,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contamination_flags": q.contamination_flags,
         "redact_documents": q.redact_documents,
         "split_assignment": q.split_assignment,
+        "doc_length_percentiles": q.doc_length_percentiles,
         "media_features": q.media_features,
         "media_frames": q.media_frames,
         "ann_topk_quantized": q.ann_topk_quantized,
@@ -166,6 +167,7 @@ def oracle_sql() -> dict[str, str]:
         "contamination_flags": oracle.contamination_flags_sql(),
         "redact_documents": oracle.redact_documents_sql(),
         "split_assignment": oracle.split_assignment_sql(),
+        "doc_length_percentiles": oracle.doc_length_percentiles_sql(),
         "media_features": oracle.media_features_sql(),
         "media_frames": oracle.media_frames_sql(),
         "ann_topk_quantized": oracle.ann_topk_quantized_sql(),

@@ -57,6 +57,9 @@ def run_bench() -> dict:
         include_dashboard=False,
         ignore_reinit_error=True,
         logging_level="ERROR",
+        # benign worker-side schema-mix warnings (empty buckets, pandas vs
+        # arrow blocks) would otherwise interleave with the one JSON line
+        log_to_driver=False,
     )
     from ray.data import DataContext
 

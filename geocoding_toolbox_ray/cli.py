@@ -34,6 +34,12 @@ def main(argv=None) -> str:
     parser.add_argument("--pobox", default=DEFAULT_POBOX, type=str)
     parser.add_argument("--acceptScore", default=DEFAULT_ACCEPT_SCORE, type=int)
     parser.add_argument("--ignore-failures", action="store_true")
+    parser.add_argument(
+        "--sharded",
+        action="store_true",
+        help="write one CSV shard per block via ds.write_csv (streaming, "
+        "no driver materialization) instead of one ordered file",
+    )
     args = parser.parse_args(argv)
 
     import ray
@@ -41,7 +47,7 @@ def main(argv=None) -> str:
     if not ray.is_initialized():
         ray.init(address="local", include_dashboard=False, logging_level="ERROR")
 
-    from .pipelines.csv_io import execute_csv
+    from .pipelines.csv_io import execute_csv, execute_csv_sharded
 
     config = PipelineConfig(
         spatial_reference=args.wkid,
@@ -51,7 +57,8 @@ def main(argv=None) -> str:
         ignore_failures=args.ignore_failures,
         preserve_order=True,
     )
-    out = execute_csv(args.csv, args.id, args.street, args.zone, args.output, config)
+    runner = execute_csv_sharded if args.sharded else execute_csv
+    out = runner(args.csv, args.id, args.street, args.zone, args.output, config)
     print(out)
     return str(out)
 

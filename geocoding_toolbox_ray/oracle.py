@@ -511,6 +511,24 @@ FROM documents
 """
 
 
+def doc_length_percentiles_sql() -> str:
+    from .functions.text import token_count_sql
+    from .queries import PERCENTILES_PM
+
+    ps = ", ".join(f"({p})" for p in PERCENTILES_PM)
+    return f"""
+WITH t AS (SELECT {token_count_sql('text')} AS v FROM documents),
+tot AS (SELECT COUNT(*) AS n FROM t),
+c AS (SELECT v, COUNT(*) AS cnt FROM t GROUP BY 1),
+cum AS (SELECT v, SUM(cnt) OVER (ORDER BY v) AS cum FROM c),
+ps(p) AS (VALUES {ps})
+SELECT CAST(ps.p AS BIGINT) AS p_permille,
+       (SELECT MIN(cum.v) FROM cum, tot
+        WHERE cum.cum >= (ps.p * tot.n + 999) // 1000) AS n_tokens
+FROM ps
+"""
+
+
 def split_assignment_sql() -> str:
     return """
 SELECT doc_id,

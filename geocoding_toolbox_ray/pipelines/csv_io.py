@@ -93,3 +93,28 @@ def execute_csv(
     out_path = out_dir / f"geocoding_results_{unique_run}.csv"
     df.to_csv(out_path, index=False)
     return out_path
+
+
+def execute_csv_sharded(
+    csv_path: str,
+    id_field: str,
+    street_field: str,
+    zone_field: str,
+    output_directory: str,
+    config: PipelineConfig | None = None,
+) -> Path:
+    """Huge-output variant of ``execute_csv``: the result streams through
+    ``ds.write_csv`` as one CSV shard per block — no driver
+    materialization, each shard carries the 11-name header, rows stay in
+    input order within a shard.  Use for outputs that don't fit one file;
+    ``execute_csv`` remains the byte-conformance path."""
+    config = config or PipelineConfig(preserve_order=True)
+    candidates = read_candidates_csv(csv_path, id_field, street_field, zone_field)
+    index_ref = build_index_ref(config.locators)
+    run_health_probe(candidates, config, index_ref)
+    out = geocode_candidates(candidates, config, index_ref).select_columns(list(HEADER))
+
+    out_dir = Path(output_directory) / f"geocoding_results_{time.strftime('%Y%m%d%H%M%S')}"
+    out_dir.mkdir(parents=True, exist_ok=True)
+    out.write_csv(str(out_dir))
+    return out_dir

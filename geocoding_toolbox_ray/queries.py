@@ -836,6 +836,48 @@ def split_assignment(sf_dir: str):
     return _docs(sf_dir, columns=("doc_id",)).map_batches(_f, batch_format="pyarrow")
 
 
+PERCENTILES_PM = (500, 900, 990)
+
+
+def doc_length_percentiles(sf_dir: str) -> pd.DataFrame:
+    """EXACT distributed percentiles of document length (n_tokens): the
+    value domain is small-cardinality integers, so per-batch value-count
+    partials merge through one bounded groupby into a histogram and the
+    driver reads only (distinct-value, count) rows.  Percentile definition
+    (shared with the SQL oracle, integer-exact): smallest v whose
+    cumulative count >= ceil(p * n / 1000)."""
+    from ray.data.aggregate import Sum
+
+    from .functions.text import token_count
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = token_count(df["text"])
+        uniq, counts = np.unique(v, return_counts=True)
+        return pd.DataFrame({"v": uniq, "part_n": counts.astype(np.int64)})
+
+    hist = (
+        _docs(sf_dir)
+        .map_batches(_partial, batch_format="pandas")
+        .groupby("v")
+        .aggregate(Sum("part_n", alias_name="cnt"))
+        .to_pandas()
+        .sort_values("v")
+    )
+    n = int(hist["cnt"].sum())
+    cum = hist["cnt"].cumsum().to_numpy(np.int64)
+    vals = hist["v"].to_numpy(np.int64)
+    out = []
+    for p in PERCENTILES_PM:
+        need = (p * n + 999) // 1000
+        out.append(int(vals[np.searchsorted(cum, need)]))
+    return pd.DataFrame(
+        {
+            "p_permille": pd.array(PERCENTILES_PM, "int64"),
+            "n_tokens": pd.array(out, "int64"),
+        }
+    )
+
+
 def streaming_user_state(sf_dir: str) -> pa.Table:
     """Streaming-shaped ingestion (SURVEY.md §2.9): the events table fed as
     a timestamp-ordered log of micro-batches into keyed bucket actors with

@@ -56,6 +56,34 @@ def test_execute_csv_conformance(ray_session, tmp_path):
     assert garbage["message"].notna().all()
 
 
+def test_execute_csv_sharded_matches_single_file(ray_session, tmp_path):
+    """The streaming ds.write_csv sink must produce the same row SET and
+    columns as the single-file conformance path (order is per-shard)."""
+    from geocoding_toolbox_ray.pipelines.csv_io import execute_csv, execute_csv_sharded
+
+    src = tmp_path / "normal.csv"
+    rows = _write_normal_csv(src)
+    single = execute_csv(str(src), "id", "street", "zone", str(tmp_path / "o1"))
+    shard_dir = execute_csv_sharded(str(src), "id", "street", "zone", str(tmp_path / "o2"))
+    parts = sorted(shard_dir.glob("*.csv"))
+    assert parts, "write_csv produced no shards"
+    sdf = pd.concat([pd.read_csv(p, dtype=str) for p in parts], ignore_index=True)
+    ddf = pd.read_csv(single, dtype=str)
+    assert list(sdf.columns) == list(HEADER)
+    assert len(sdf) == len(rows)
+    # numeric columns round-trip with different text formatting between
+    # the pandas and arrow CSV writers ("335000.0" vs "335000") — compare
+    # as numbers, everything else as text
+    for df_ in (sdf, ddf):
+        for c in ("x", "y"):
+            df_[c] = df_[c].astype(float)
+        df_["score"] = df_["score"].astype(int)
+    key = ["primary_key", "input_street", "input_zone"]
+    a = sdf.fillna("").sort_values(key).reset_index(drop=True)
+    b = ddf.fillna("").sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
 def test_execute_csv_fail_fast(ray_session, tmp_path):
     from geocoding_toolbox_ray.errors import ContinuousFailThresholdExceeded
     from geocoding_toolbox_ray.pipelines.csv_io import execute_csv

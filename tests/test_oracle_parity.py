@@ -145,6 +145,7 @@ def test_tile_counts_salted_parity(ray_session, con):
         "contamination_flags",
         "redact_documents",
         "split_assignment",
+        "doc_length_percentiles",
         "events_window",
         "sessionize",
         "q1_pricing_summary",
