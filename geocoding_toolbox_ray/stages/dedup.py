@@ -857,13 +857,30 @@ def dedup_clusters(pairs, max_rounds: int = 50, nbuckets: int | None = None):
         )
 
     def _adopt(group: pd.DataFrame) -> pd.DataFrame:
-        """One hash bucket: per-node min over {old label} U {messages}."""
+        """One hash bucket: per-node min over {old label} U {messages},
+        then INTRA-BUCKET PATH COMPRESSION: follow label chains whose
+        target node lives in this same bucket (labels only decrease and
+        stay inside the component, so jumping to the label's label is
+        always valid) — cuts rounds for chains co-located by the hash."""
         gb = group.groupby("node", sort=False)["cand"]
         new = gb.min()
         old = group.loc[group["src"] == 0].set_index("node")["cand"]
         nodes = new.index.to_numpy(np.int64)
         newv = new.to_numpy(np.int64)
         oldv = old.reindex(new.index).to_numpy()
+        order = np.argsort(nodes, kind="stable")
+        snodes = nodes[order]
+        for _ in range(4):
+            slabels = newv[order]
+            pos = np.searchsorted(snodes, newv)
+            ok = pos < len(snodes)
+            hit = np.zeros(len(newv), bool)
+            hit[ok] = snodes[pos[ok]] == newv[ok]
+            jumped = newv.copy()
+            jumped[hit] = np.minimum(newv[hit], slabels[pos[hit]])
+            if np.array_equal(jumped, newv):
+                break
+            newv = jumped
         changed = (newv != oldv).astype(np.int64)
         return pd.DataFrame(
             {
