@@ -675,13 +675,25 @@ def token_histogram(sf_dir: str, k: int = 100):
 _near_dup_drop_cache: dict[str, set[int]] = {}
 
 
-def _near_dup_drop_set(sf_dir: str) -> set[int]:
+def _near_dup_drop_set(sf_dir: str) -> np.ndarray:
+    """SORTED int64 array of non-representative dup doc_ids (zero-copy
+    broadcast + searchsorted probe; never a Python set — ray.get would
+    pickle-deserialize a set per batch)."""
     if sf_dir not in _near_dup_drop_cache:
         clusters = dedup_clusters(sf_dir).to_pandas()
-        _near_dup_drop_cache[sf_dir] = set(
-            clusters.loc[clusters["doc_id"] != clusters["cluster_id"], "doc_id"].astype(int)
+        _near_dup_drop_cache[sf_dir] = np.unique(
+            clusters.loc[clusters["doc_id"] != clusters["cluster_id"], "doc_id"]
+            .to_numpy(np.int64)
         )
     return _near_dup_drop_cache[sf_dir]
+
+
+def _sorted_member(sorted_arr: np.ndarray, values: np.ndarray) -> np.ndarray:
+    pos = np.searchsorted(sorted_arr, values)
+    ok = pos < len(sorted_arr)
+    out = np.zeros(len(values), bool)
+    out[ok] = sorted_arr[pos[ok]] == values[ok]
+    return out
 
 
 def documents_near_deduped(sf_dir: str):
@@ -696,8 +708,7 @@ def documents_near_deduped(sf_dir: str):
     def _f(t: pa.Table) -> pa.Table:
         d = ray.get(drop_ref)
         ids = np.asarray(t["doc_id"].to_numpy(zero_copy_only=False), np.int64)
-        keep = np.fromiter((int(i) not in d for i in ids), bool, count=len(ids))
-        return pa.table({"doc_id": pa.array(ids[keep], pa.int64())})
+        return pa.table({"doc_id": pa.array(ids[~_sorted_member(d, ids)], pa.int64())})
 
     return _docs(sf_dir, columns=("doc_id",)).map_batches(_f, batch_format="pyarrow")
 
@@ -713,28 +724,29 @@ def curated_documents(sf_dir: str):
 
     from .functions.text import quality_features
 
-    # near-dup drop set (tiny; cached per sf_dir)
-    drop = _near_dup_drop_set(sf_dir)
-    # exact-dedup keeper set (one id per content hash)
+    # near-dup drop + exact keeper sets as SORTED arrays (zero-copy
+    # broadcast + searchsorted; never Python sets per the CLAUDE.md rule)
+    drop_arr = _near_dup_drop_set(sf_dir)
     keepers_df = _exact_keepers(sf_dir).to_pandas()
-    keep_ref = ray.put(set(keepers_df["doc_id"].astype(int)))
-    drop_ref = ray.put(drop)
+    keep_arr = np.unique(keepers_df["doc_id"].to_numpy(np.int64))
+    keep_ref = ray.put(keep_arr)
+    drop_ref = ray.put(drop_arr)
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"]).filter(
         expr="lang == 'en'"
     )
 
     def _f(df: pd.DataFrame) -> pd.DataFrame:
-        keep_set = ray.get(keep_ref)
-        drop_set = ray.get(drop_ref)
+        karr = ray.get(keep_ref)
+        darr = ray.get(drop_ref)
         feats = quality_features(df["text"])
         ids = df["doc_id"].to_numpy(np.int64)
         ok = (
             (feats["is_short"] == 0)
             & (feats["stop_permille"] >= 10)
             & (feats["stop_permille"] <= 400)
-            & np.fromiter((int(i) in keep_set for i in ids), bool, count=len(ids))
-            & np.fromiter((int(i) not in drop_set for i in ids), bool, count=len(ids))
+            & _sorted_member(karr, ids)
+            & ~_sorted_member(darr, ids)
         )
         return pd.DataFrame({"doc_id": ids[ok]})
 
