@@ -140,7 +140,10 @@ def test_ann_recall_pinned(ray_session):
     # centroid lists, LSH restricts to the query's exact bucket
     assert vals["ivf"] >= 900
     assert vals["ivf_kmeans"] >= 900
-    assert vals["lsh"] >= 100  # single-bucket LSH trades recall for 2^bits speedup
+    # multi-probe LSH on the near-uniform random fixture: genuinely-near
+    # neighbors barely exist, so recall is low by data property (the
+    # planted-pair test shows full recall when real signal exists)
+    assert vals["lsh"] >= 150
 
 
 def test_ngram_jaccard_exact_pairs(ray_session):
