@@ -49,6 +49,14 @@ def _geocode_pages_query(sf_dir: str):
     return geocode_pages(pages, PipelineConfig())
 
 
+def _curate_pages_query(sf_dir: str):
+    from geocoding_toolbox_ray.pipelines.curate import curate_pages
+    from geocoding_toolbox_ray.sources.pages import generate_pages_dataset
+
+    pages = generate_pages_dataset(_pages_count_for(sf_dir))
+    return curate_pages(pages)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from geocoding_toolbox_ray import queries as q
 
@@ -121,8 +129,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": q.ngram_jaccard_pairs,
         "dedup_clusters": q.dedup_clusters,
         "approx_distinct_users": q.approx_distinct_users,
-        # --- flagship web pipeline (pages corpus is engine-side; rows-only) ---
+        # --- flagship web pipelines (pages corpus is engine-side; rows-only) ---
         "geocode_pages": _geocode_pages_query,
+        "curate_pages": _curate_pages_query,
     }
 
 

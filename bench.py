@@ -128,6 +128,11 @@ def run_bench() -> dict:
         timed("ngram_jaccard_pairs", lambda: q.ngram_jaccard_pairs(SF_DIR))
         timed("dedup_clusters", lambda: q.dedup_clusters(SF_DIR))
         timed("token_histogram", lambda: q.token_histogram(SF_DIR))
+        # webtext curation headline: lang + quality + exact dedup over the
+        # same pages corpus the geocode headline reads
+        from geocoding_toolbox_ray.pipelines.curate import curate_pages
+
+        timed("curate_pages", lambda: curate_pages(read_pages(pages_dir)))
 
     total = round(sum(timings.values()), 3)
     geocode_rows_per_s = (

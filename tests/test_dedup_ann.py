@@ -224,6 +224,19 @@ def test_minhash_extreme_skew_star_cap(ray_session):
     assert set(pairs["doc_b"]) == set(range(1, n))
 
 
+def test_kmeans_centroids_deterministic(ray_session):
+    """Two runs must produce BIT-IDENTICAL centroids (the 2^-20
+    quantization kills float merge-order noise) and unit-ish norms."""
+    from geocoding_toolbox_ray.stages.ann import kmeans_centroids
+
+    sf = "/root/testdata/sf0.001"
+    c1 = kmeans_centroids(sf, n_iters=2)
+    c2 = kmeans_centroids(sf, n_iters=2)
+    assert np.array_equal(c1, c2)
+    norms = np.linalg.norm(c1, axis=1)
+    assert np.all(np.abs(norms - 1.0) < 1e-3)
+
+
 def test_ann_ivf_subset_of_bruteforce(ray_session):
     from geocoding_toolbox_ray.stages.ann import topk_cosine, topk_ivf
 

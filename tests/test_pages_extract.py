@@ -101,3 +101,59 @@ def test_scan_equivalent_to_finditer():
         ]
         s, z, p = _scan(data)
         assert list(zip(s, z, p)) == expect, text[:60]
+
+
+def test_curate_pages_invariants(ray_session):
+    """Curation over the pages corpus: every kept url exists in the input,
+    non-'en' pages are dropped, and content-hash duplicates collapse to
+    the smallest url (verified against a pandas recompute)."""
+    import numpy as np
+    import pandas as pd
+
+    from geocoding_toolbox_ray.functions.text import md5_hex, quality_features
+    from geocoding_toolbox_ray.pipelines.curate import curate_pages
+    from geocoding_toolbox_ray.sources import pages as pages_mod
+    import ray.data as rd
+
+    t = pages_mod.pages_table(600)
+    got = curate_pages(rd.from_arrow(t)).to_pandas().sort_values("url").reset_index(drop=True)
+
+    df = t.to_pandas()
+    df = df[df["lang"] == "en"]
+    feats = quality_features(df["text"])
+    ok = np.asarray((feats["n_tokens"] > 0) & (feats["stop_permille"] <= 600), bool)
+    kept = df.loc[ok, ["url", "text"]].copy()
+    kept["fp"] = md5_hex(kept["text"])
+    kept["n_tokens"] = np.asarray(quality_features(kept["text"])["n_tokens"], np.int64)
+    want = (
+        kept.sort_values(["fp", "url"], kind="mergesort")
+        .drop_duplicates("fp", keep="first")[["url", "n_tokens"]]
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_curate_pages_duplicate_resolution(ray_session):
+    """Planted exact-duplicate texts across urls: exactly one survivor per
+    content hash, and it is the lexicographically-smallest url."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geocoding_toolbox_ray.pipelines.curate import curate_pages
+
+    text_a = "the quick brown fox jumps over the lazy dog again and again"
+    text_b = "a completely different body of text with the usual stopwords"
+    t = pa.table(
+        {
+            "url": pa.array(
+                ["https://z.example/1", "https://a.example/1", "https://m.example/1",
+                 "https://b.example/2", "https://c.example/3"],
+                pa.string(),
+            ),
+            "text": pa.array([text_a, text_a, text_a, text_b, text_b], pa.large_string()),
+            "lang": pa.array(["en"] * 5, pa.string()),
+        }
+    )
+    out = curate_pages(rd.from_arrow(t)).to_pandas()
+    assert sorted(out["url"]) == ["https://a.example/1", "https://b.example/2"]
