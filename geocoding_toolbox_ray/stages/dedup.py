@@ -840,7 +840,6 @@ def dedup_clusters(pairs, max_rounds: int = 50, nbuckets: int | None = None):
     )
 
     _EMPTY_MSG = {"node": "int64", "cand": "int64"}
-    _EMPTY_LAB = {"bucket": "int64", "node": "int64", "label": "int64", "changed": "int64"}
 
     def _send(group: pd.DataFrame) -> pd.DataFrame:
         """One hash bucket: merge labels into edges, address label to dst."""
