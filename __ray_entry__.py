@@ -115,9 +115,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_customers": q.top_customers,
         "value_band_join": q.value_band_join,
         "top_orders_per_customer": q.top_orders_per_customer,
-        # --- near-dup ops (exact SQL replicas incl. hash families) ---
+        # --- near-dup ops (exact SQL replicas incl. hash families).
+        #     NOTE: every oracle-backed name MUST precede every rows-only
+        #     entry — the driver checks registry order (round-2 verdict:
+        #     only the first 50 entries were verified). ---
         "minhash_dup_pairs": q.minhash_dup_pairs,
         "simhash_dup_pairs": q.simhash_dup_pairs,
+        "ngram_jaccard_pairs": q.ngram_jaccard_pairs,
+        "dedup_clusters": q.dedup_clusters,
         # --- approximate ops (float metrics / sketches; rows-only, each
         #     pinned against ground truth in pytest) ---
         "ann_topk_cosine": q.ann_topk_cosine,
@@ -126,8 +131,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_ivf_kmeans": q.ann_topk_ivf_kmeans,
         "ann_recall": q.ann_recall,
         "embedding_dup_pairs": q.embedding_dup_pairs,
-        "ngram_jaccard_pairs": q.ngram_jaccard_pairs,
-        "dedup_clusters": q.dedup_clusters,
         "approx_distinct_users": q.approx_distinct_users,
         # --- flagship web pipelines (pages corpus is engine-side; rows-only) ---
         "geocode_pages": _geocode_pages_query,

@@ -301,12 +301,17 @@ WHERE 1000 * i.i >= {theta_permille} * (na.n_sh + nb.n_sh - i.i)
 """
 
 
-def minhash_dup_pairs_sql(est_permille: int = 500) -> str:
+def minhash_dup_pairs_sql(est_permille: int = 500, cap: int | None = None) -> str:
     """MinHash + LSH near-dup pairs replicated EXACTLY in SQL: the same
     shingles, the same code-point polynomial shingle hash, the same 64
     (a, b) permutation constants (embedded as VALUES from
     stages.dedup.MINHASH_A/B), the same positional band combine — every
-    intermediate < 2^62, exact BIGINT arithmetic end to end."""
+    intermediate < 2^62, exact BIGINT arithmetic end to end.
+
+    ``cap`` replicates the engine's RUN_ALL_PAIRS_CAP star mode (ADVICE
+    r2): within an equal-(band_id, band_hash) run of more than ``cap``
+    distinct docs, only pairs anchored at the run's min doc_id are
+    emitted — identical arithmetic in stages/dedup.py bucket_pairs."""
     from .functions.text import rolling_fingerprint_sql
     from .stages.dedup import (
         BAND_K,
@@ -316,7 +321,11 @@ def minhash_dup_pairs_sql(est_permille: int = 500) -> str:
         MINHASH_P,
         MINHASH_PERMS,
         ROWS_PER_BAND,
+        RUN_ALL_PAIRS_CAP,
     )
+
+    if cap is None:
+        cap = RUN_ALL_PAIRS_CAP
 
     perms = ", ".join(
         f"({i}, {int(a)}, {int(b)})"
@@ -342,11 +351,18 @@ band AS (
     FROM sig s JOIN w ON w.j = s.perm_id % {ROWS_PER_BAND}
     GROUP BY 1, 2
 ),
+runsize AS (
+    SELECT band_id, band_hash,
+           COUNT(DISTINCT doc_id) AS n, MIN(doc_id) AS mn
+    FROM band GROUP BY 1, 2
+),
 cand AS (
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM band a
     JOIN band b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
               AND a.doc_id < b.doc_id
+    JOIN runsize r ON r.band_id = a.band_id AND r.band_hash = a.band_hash
+    WHERE r.n <= {cap} OR a.doc_id = r.mn
 ),
 eq AS (
     SELECT c.doc_a, c.doc_b,
@@ -364,13 +380,17 @@ WHERE 1000 * neq >= {est_permille} * {MINHASH_PERMS}
 """
 
 
-def simhash_dup_pairs_sql(max_hamming: int = 3) -> str:
+def simhash_dup_pairs_sql(max_hamming: int = 3, cap: int | None = None) -> str:
     """SimHash near-dup pairs replicated exactly: the same tokenization,
     the same 62-bit token hash (two code-point polynomial hashes), the
     same frequency-weighted bit votes, the same 4x16-bit band blocking
-    (pigeonhole-complete for hamming <= 3), exact BIGINT arithmetic."""
+    (pigeonhole-complete for hamming <= 3), exact BIGINT arithmetic.
+    ``cap`` replicates the engine's star mode (see minhash_dup_pairs_sql)."""
     from .functions.text import rolling_fingerprint_sql
-    from .stages.dedup import SIMHASH_BITS
+    from .stages.dedup import RUN_ALL_PAIRS_CAP, SIMHASH_BITS
+
+    if cap is None:
+        cap = RUN_ALL_PAIRS_CAP
 
     return f"""
 WITH toks0 AS (
@@ -402,12 +422,19 @@ bband AS (
            (simhash >> (16 * b.b)) & 65535 AS band_val
     FROM sim CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) b
 ),
+runsize AS (
+    SELECT band_id, band_val,
+           COUNT(DISTINCT doc_id) AS n, MIN(doc_id) AS mn
+    FROM bband GROUP BY 1, 2
+),
 cand AS (
     SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS ha,
                     b.doc_id AS doc_b, b.simhash AS hb
     FROM bband a
     JOIN bband b ON a.band_id = b.band_id AND a.band_val = b.band_val
                AND a.doc_id < b.doc_id
+    JOIN runsize r ON r.band_id = a.band_id AND r.band_val = a.band_val
+    WHERE r.n <= {cap} OR a.doc_id = r.mn
 )
 SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
 FROM cand

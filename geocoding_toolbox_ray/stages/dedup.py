@@ -109,8 +109,14 @@ DEFAULT_NBUCKETS = 64
 TARGET_BUCKET_ROWS = 65536
 #: all-pairs cap within one equal-key run: a degenerate LSH bucket (e.g.
 #: thousands of identical boilerplate docs) would otherwise cost O(n^2)
-#: pairs; past the cap we emit star pairs (min doc vs rest), which keeps
-#: connected-component structure identical while bounding output.
+#: pairs; past the cap we emit star pairs (min doc vs rest), bounding the
+#: output at O(n).  This is a documented recall concession, NOT
+#: structure-preserving in general: star edges still pass the frac /
+#: hamming threshold filter, so two docs similar to each other but not to
+#: the run's min doc lose their pair (ADVICE r2).  The oracle SQL
+#: replicates the cap bit-for-bit (runsize CTE in
+#: oracle.minhash_dup_pairs_sql / simhash_dup_pairs_sql), so parity holds
+#: at any corpus scale.
 RUN_ALL_PAIRS_CAP = 1024
 
 
@@ -214,7 +220,9 @@ def _empty_pairs() -> pd.DataFrame:
     )
 
 
-def bucket_pairs(group: pd.DataFrame, est_threshold: float = 0.5) -> pd.DataFrame:
+def bucket_pairs(
+    group: pd.DataFrame, est_threshold: float = 0.5, cap: int = RUN_ALL_PAIRS_CAP
+) -> pd.DataFrame:
     """map_groups body over one hash BUCKET (many LSH buckets): detect runs
     of equal (band_id, band_hash) vectorized, enumerate pairs only inside
     runs of length > 1, verify with the signature-overlap estimate."""
@@ -240,8 +248,9 @@ def bucket_pairs(group: pd.DataFrame, est_threshold: float = 0.5) -> pd.DataFram
         if len(uniq) < 2:
             continue
         sigs = np.stack([np.frombuffer(sig_list[s + p], np.int64) for p in upos])
-        if len(uniq) > RUN_ALL_PAIRS_CAP:
-            # degenerate bucket: star pairs keep CC structure, bound output
+        if len(uniq) > cap:
+            # degenerate run: star pairs (min doc vs rest) bound output at
+            # O(n); replicated exactly in the oracle's runsize CTE
             ia = np.zeros(len(uniq) - 1, np.int64)
             ib = np.arange(1, len(uniq), dtype=np.int64)
         else:
@@ -263,7 +272,12 @@ def bucket_pairs(group: pd.DataFrame, est_threshold: float = 0.5) -> pd.DataFram
     return pd.concat(frames, ignore_index=True) if frames else _empty_pairs()
 
 
-def minhash_dup_pairs(docs, est_threshold: float = 0.5, n_docs: int | None = None):
+def minhash_dup_pairs(
+    docs,
+    est_threshold: float = 0.5,
+    n_docs: int | None = None,
+    cap: int = RUN_ALL_PAIRS_CAP,
+):
     """documents Dataset -> near-dup pairs Dataset (distinct doc_a < doc_b).
 
     ``n_docs`` (when known, e.g. from parquet metadata) scales the shuffle
@@ -274,7 +288,7 @@ def minhash_dup_pairs(docs, est_threshold: float = 0.5, n_docs: int | None = Non
         lambda t: band_rows(t, nbuckets=nb), batch_format="pyarrow", batch_size=2048
     )
     pairs = banded.groupby("bucket").map_groups(
-        lambda g: bucket_pairs(g, est_threshold), batch_format="pandas"
+        lambda g: bucket_pairs(g, est_threshold, cap), batch_format="pandas"
     )
     # a pair can surface from several bands (identical estimate) -> distinct
     return dedupe_pairs(pairs, "doc_a", "doc_b", "est_jaccard_permille", "min", nb)
@@ -342,7 +356,9 @@ def _empty_sim_pairs() -> pd.DataFrame:
     )
 
 
-def simhash_pairs(group: pd.DataFrame, max_hamming: int = 3) -> pd.DataFrame:
+def simhash_pairs(
+    group: pd.DataFrame, max_hamming: int = 3, cap: int = RUN_ALL_PAIRS_CAP
+) -> pd.DataFrame:
     """Run-detection over one hash bucket, pairs only within equal
     (band_id, band_val) runs, exact Hamming verification."""
     if len(group) < 2:
@@ -365,7 +381,7 @@ def simhash_pairs(group: pd.DataFrame, max_hamming: int = 3) -> pd.DataFrame:
         if len(uniq) < 2:
             continue
         run_hs = hs[s:e][upos]
-        if len(uniq) > RUN_ALL_PAIRS_CAP:
+        if len(uniq) > cap:
             ia = np.zeros(len(uniq) - 1, np.int64)
             ib = np.arange(1, len(uniq), dtype=np.int64)
         else:
@@ -384,13 +400,18 @@ def simhash_pairs(group: pd.DataFrame, max_hamming: int = 3) -> pd.DataFrame:
     return pd.concat(frames, ignore_index=True) if frames else _empty_sim_pairs()
 
 
-def simhash_dup_pairs(docs, max_hamming: int = 3, n_docs: int | None = None):
+def simhash_dup_pairs(
+    docs,
+    max_hamming: int = 3,
+    n_docs: int | None = None,
+    cap: int = RUN_ALL_PAIRS_CAP,
+):
     nb = nbuckets_for(n_docs, rows_per_doc=4)
     rows = docs.map_batches(
         lambda t: simhash_rows(t, nbuckets=nb), batch_format="pyarrow", batch_size=2048
     )
     pairs = rows.groupby("bucket").map_groups(
-        lambda g: simhash_pairs(g, max_hamming), batch_format="pandas"
+        lambda g: simhash_pairs(g, max_hamming, cap), batch_format="pandas"
     )
     return dedupe_pairs(pairs, "doc_a", "doc_b", "hamming", "min", nb)
 

@@ -224,6 +224,64 @@ def test_minhash_extreme_skew_star_cap(ray_session):
     assert set(pairs["doc_b"]) == set(range(1, n))
 
 
+def test_star_cap_oracle_parity(ray_session):
+    """ADVICE r2 (medium): past RUN_ALL_PAIRS_CAP the engine emits star
+    pairs only — the oracle SQL must replicate the cap bit-for-bit or any
+    boilerplate-heavy corpus silently hash-fails.  Exercised with cap=4 on
+    a corpus mixing a 9-doc identical run (star mode), a similar pair and
+    distinct docs, for BOTH minhash and simhash."""
+    import duckdb
+    import ray.data as rd
+
+    from geocoding_toolbox_ray import oracle
+
+    cap = 4
+    rows = [
+        {"doc_id": i, "text": "identical boilerplate page content repeated verbatim here"}
+        for i in range(9)
+    ]
+    rows += [
+        {"doc_id": 20, "text": "the quick brown fox jumps over the lazy dog again and again today"},
+        {"doc_id": 21, "text": "the quick brown fox jumps over the lazy dog again and again tomorrow"},
+        {"doc_id": 30, "text": "completely different words entirely unrelated content here now"},
+        {"doc_id": 31, "text": "another unique document about distributed stream processing"},
+    ]
+    docs_df = pd.DataFrame(rows)
+    con = duckdb.connect()
+    con.register("documents", docs_df)
+
+    mh = (
+        dedup.minhash_dup_pairs(rd.from_items(rows), est_threshold=0.5, cap=cap)
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    mh_sql = (
+        con.execute(oracle.minhash_dup_pairs_sql(cap=cap))
+        .df()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(mh[sorted(mh.columns)], mh_sql[sorted(mh_sql.columns)])
+    # the identical run (9 > cap) must appear as a star anchored at doc 0
+    star = mh[mh["doc_b"] <= 8]
+    assert len(star) == 8 and (star["doc_a"] == 0).all()
+
+    sh = (
+        dedup.simhash_dup_pairs(rd.from_items(rows), max_hamming=3, cap=cap)
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    sh_sql = (
+        con.execute(oracle.simhash_dup_pairs_sql(cap=cap))
+        .df()
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(sh[sorted(sh.columns)], sh_sql[sorted(sh_sql.columns)])
+
+
 def test_kmeans_centroids_deterministic(ray_session):
     """Two runs must produce BIT-IDENTICAL centroids (the 2^-20
     quantization kills float merge-order noise) and unit-ish norms."""
