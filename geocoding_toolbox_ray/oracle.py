@@ -86,6 +86,110 @@ LEFT JOIN winners w ON w.primary_key = s.primary_key
 """
 
 
+def _pages_candidates_sql() -> str:
+    """Extraction candidates over the deterministic pages corpus, fully in
+    SQL: the page TEXT is rebuilt inside DuckDB from the very same
+    generation constants the engine corpus uses (sources/pages.py
+    ``_page_addresses`` / ``_build_html`` / ``extract_text`` — pure
+    functions of the page index), then scanned with the IDENTICAL
+    RE2-compatible ``ADDRESS_PATTERN`` via ``regexp_extract_all``.  This
+    makes the flagship pages -> extract -> match pipeline hash-checkable
+    with no filesystem fixture and no ordering dependence on which side
+    the driver runs first (VERDICT r2 #2).
+
+    Page count is sf-proportional exactly like the engine side:
+    ``2 * COUNT(*) FROM orders`` (``__ray_entry__._pages_count_for``).
+    """
+    from .sources.pages import _FILLER, _LANG_CYCLE
+    from .sources.synthetic import _address_point_rows
+    from .stages.extract import ADDRESS_PATTERN
+
+    pts = _address_point_rows()
+    npts = len(pts)
+    vals = ",\n".join(
+        "({k}, '{ma}', '{zt}', '{zp}')".format(
+            k=k,
+            ma=r["match_address"].replace("'", "''"),
+            zt=r["zone"].title().replace("'", "''"),
+            zp=r["zip"],
+        )
+        for k, r in enumerate(pts)
+    )
+    nf = len(_FILLER)
+
+    def filler(expr: str) -> str:
+        branches = " ".join(
+            f"WHEN {k} THEN '{f}'" for k, f in enumerate(_FILLER)
+        )
+        return f"CASE ({expr}) % {nf} {branches} END"
+
+    def addr(j: int) -> str:
+        return (
+            f"(CASE WHEN (i + {j}) % 7 = 0 THEN '9999 N XYZZY' "
+            f"ELSE p{j}.match_address END) || ', ' || "
+            f"(CASE WHEN (i + {j}) % 2 = 0 THEN p{j}.zone_title "
+            f"ELSE p{j}.zip END)"
+        )
+
+    def seg(j: int) -> str:
+        return (
+            f"CASE WHEN i % 4 > {j} THEN ' Contact us at ' || {addr(j)} "
+            f"|| '. Note ' || {filler(f'i + {j}')} || '.' ELSE '' END"
+        )
+
+    en_mods = ", ".join(
+        str(k) for k, l in enumerate(_LANG_CYCLE) if l == "en"
+    )
+    joins = "\n".join(
+        f"    JOIN pgpts p{j} ON p{j}.pidx = (i * 7 + {j * 13}) % {npts}"
+        for j in range(3)
+    )
+    return f"""
+WITH pgpts(pidx, match_address, zone_title, zip) AS (VALUES
+{vals}),
+pgidx AS (
+    SELECT unnest(generate_series(0, (SELECT 2 * COUNT(*) FROM orders) - 1)) AS i
+),
+pgtext AS (
+    SELECT i,
+           'https://site' || CAST(i % 1000 AS VARCHAR)
+               || '.example.ut.us/page/' || CAST(i AS VARCHAR) AS url,
+           'Page ' || CAST(i AS VARCHAR) || ' Listing ' || CAST(i AS VARCHAR)
+               || {seg(0)}
+               || {seg(1)}
+               || {seg(2)}
+               || ' ' || {filler('i')} || '.' AS text
+    FROM pgidx
+{joins}
+    WHERE i % {len(_LANG_CYCLE)} IN ({en_mods})
+),
+pgext AS (
+    SELECT url,
+           regexp_extract_all(text, '{ADDRESS_PATTERN}', 1) AS streets,
+           regexp_extract_all(text, '{ADDRESS_PATTERN}', 2) AS zones
+    FROM pgtext
+),
+pgm AS (
+    SELECT url, streets, zones,
+           unnest(generate_series(1, len(streets))) AS k
+    FROM pgext
+)
+SELECT url || '#' || CAST(k - 1 AS VARCHAR) AS primary_key,
+       streets[k] AS input_street,
+       zones[k] AS input_zone
+FROM pgm
+"""
+
+
+def geocode_pages_sql(accept_score: int = 70) -> str:
+    """Flagship end-to-end oracle: SQL-regenerated pages -> identical RE2
+    extraction -> the existing geocode machinery (same 11-column output as
+    the engine's ``pipelines/geocode.py geocode_pages``)."""
+    return geocode_orders_sql(
+        accept_score=accept_score, candidates_sql=_pages_candidates_sql()
+    )
+
+
 def counters_sql(accept_score: int = 70) -> str:
     """Run-level counters over the geocode output (reference A1-A3,
     geocode.py:136-163): floor(x+0.5) replaces round() so Python and DuckDB

@@ -136,6 +136,7 @@ def test_tile_counts_salted_parity(ray_session, con):
         "minhash_dup_pairs",
         "simhash_dup_pairs",
         "dedup_clusters",
+        "geocode_pages",
         "media_features",
         "media_frames",
         "streaming_user_state",
