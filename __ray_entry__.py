@@ -128,10 +128,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dup_pairs": q.simhash_dup_pairs,
         "ngram_jaccard_pairs": q.ngram_jaccard_pairs,
         "dedup_clusters": q.dedup_clusters,
-        # --- flagship pages pipeline, now hash-checked end to end: the
+        # --- flagship pages pipelines, now hash-checked end to end: the
         #     oracle regenerates the deterministic page text in SQL and
-        #     runs the identical RE2 extraction (VERDICT r2 #2) ---
+        #     runs the identical RE2 extraction / content fingerprint
+        #     (VERDICT r2 #2, #4) ---
         "geocode_pages": _geocode_pages_query,
+        "curate_pages": _curate_pages_query,
         # --- approximate ops (float metrics / sketches; rows-only, each
         #     pinned against ground truth in pytest) ---
         "ann_topk_cosine": q.ann_topk_cosine,
@@ -141,8 +143,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_recall": q.ann_recall,
         "embedding_dup_pairs": q.embedding_dup_pairs,
         "approx_distinct_users": q.approx_distinct_users,
-        # --- flagship web curation pipeline (engine-side corpus; rows-only) ---
-        "curate_pages": _curate_pages_query,
     }
 
 
@@ -205,4 +205,5 @@ def oracle_sql() -> dict[str, str]:
         "simhash_dup_pairs": oracle.simhash_dup_pairs_sql(),
         "dedup_clusters": oracle.dedup_clusters_sql(),
         "geocode_pages": oracle.geocode_pages_sql(),
+        "curate_pages": oracle.curate_pages_sql(),
     }

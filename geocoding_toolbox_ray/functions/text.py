@@ -179,23 +179,26 @@ def rolling_fingerprint(text: str) -> int:
     return h
 
 
-_roll_powers = np.ones(1, np.uint64)  # pw[j] = B^j mod p, grown on demand
+_roll_powers_by_base: dict[int, np.ndarray] = {}  # pw[j] = B^j mod p, grown on demand
 
 
-def _roll_powers_upto(n: int) -> np.ndarray:
-    global _roll_powers
-    if len(_roll_powers) < n:
-        grow = max(n, 2 * len(_roll_powers))
+def _roll_powers_upto(n: int, base: int = ROLL_BASE) -> np.ndarray:
+    cur = _roll_powers_by_base.get(base)
+    if cur is None:
+        cur = np.ones(1, np.uint64)
+    if len(cur) < n:
+        grow = max(n, 2 * len(cur))
         pw = np.empty(grow, np.uint64)
-        pw[: len(_roll_powers)] = _roll_powers
-        b, p = np.uint64(ROLL_BASE), np.uint64(ROLL_MOD)
-        for j in range(len(_roll_powers), grow):
+        pw[: len(cur)] = cur
+        b, p = np.uint64(base), np.uint64(ROLL_MOD)
+        for j in range(len(cur), grow):
             pw[j] = (pw[j - 1] * b) % p
-        _roll_powers = pw
-    return _roll_powers
+        cur = pw
+    _roll_powers_by_base[base] = cur
+    return cur
 
 
-def rolling_fingerprint_batch(text) -> np.ndarray:
+def rolling_fingerprint_batch(text, base: int = ROLL_BASE) -> np.ndarray:
     """Vectorized over the WHOLE batch in one pass: all strings are joined
     and encoded once, per-position terms c_i * B^(pos-from-end) mod p are
     computed for every character at once, and per-string hashes fall out
@@ -218,7 +221,7 @@ def rolling_fingerprint_batch(text) -> np.ndarray:
     starts = ends - lens
     owner = np.repeat(np.arange(n), lens)
     pos_from_end = (ends[owner] - 1) - np.arange(total)
-    pw = _roll_powers_upto(int(lens.max()))[pos_from_end]
+    pw = _roll_powers_upto(int(lens.max()), base)[pos_from_end]
     terms = (codes * pw) % np.uint64(ROLL_MOD)
     nonempty = lens > 0
     sums = np.add.reduceat(terms, starts[nonempty])
@@ -226,12 +229,12 @@ def rolling_fingerprint_batch(text) -> np.ndarray:
     return out
 
 
-def rolling_fingerprint_sql(expr: str) -> str:
+def rolling_fingerprint_sql(expr: str, base: int = ROLL_BASE) -> str:
     """DuckDB equivalent: Horner fold via list_reduce over code points.
     Exact integer parity with the engine (all intermediates < 2^51)."""
     return (
         f"CASE WHEN length({expr}) = 0 THEN CAST(0 AS BIGINT) ELSE "
         f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
         f"list_transform(regexp_split_to_array({expr}, ''), x -> CAST(ord(x) AS BIGINT))), "
-        f"(h, c) -> (h * {ROLL_BASE} + c) % {ROLL_MOD}) END"
+        f"(h, c) -> (h * {base} + c) % {ROLL_MOD}) END"
     )

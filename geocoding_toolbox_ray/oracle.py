@@ -86,23 +86,21 @@ LEFT JOIN winners w ON w.primary_key = s.primary_key
 """
 
 
-def _pages_candidates_sql() -> str:
-    """Extraction candidates over the deterministic pages corpus, fully in
-    SQL: the page TEXT is rebuilt inside DuckDB from the very same
-    generation constants the engine corpus uses (sources/pages.py
-    ``_page_addresses`` / ``_build_html`` / ``extract_text`` — pure
-    functions of the page index), then scanned with the IDENTICAL
-    RE2-compatible ``ADDRESS_PATTERN`` via ``regexp_extract_all``.  This
-    makes the flagship pages -> extract -> match pipeline hash-checkable
-    with no filesystem fixture and no ordering dependence on which side
-    the driver runs first (VERDICT r2 #2).
+def _pages_corpus_ctes() -> str:
+    """CTE fragment regenerating the deterministic pages corpus (en pages
+    only) fully in SQL: the page TEXT is rebuilt inside DuckDB from the
+    very same generation constants the engine corpus uses
+    (sources/pages.py ``_page_addresses`` / ``_build_html`` /
+    ``extract_text`` — pure functions of the page index).  This makes the
+    flagship pages pipelines hash-checkable with no filesystem fixture
+    and no ordering dependence on which side the driver runs first
+    (VERDICT r2 #2).  Exposes ``pgtext(i, url, text)``.
 
     Page count is sf-proportional exactly like the engine side:
     ``2 * COUNT(*) FROM orders`` (``__ray_entry__._pages_count_for``).
     """
     from .sources.pages import _FILLER, _LANG_CYCLE
     from .sources.synthetic import _address_point_rows
-    from .stages.extract import ADDRESS_PATTERN
 
     pts = _address_point_rows()
     npts = len(pts)
@@ -144,8 +142,7 @@ def _pages_candidates_sql() -> str:
         f"    JOIN pgpts p{j} ON p{j}.pidx = (i * 7 + {j * 13}) % {npts}"
         for j in range(3)
     )
-    return f"""
-WITH pgpts(pidx, match_address, zone_title, zip) AS (VALUES
+    return f"""pgpts(pidx, match_address, zone_title, zip) AS (VALUES
 {vals}),
 pgidx AS (
     SELECT unnest(generate_series(0, (SELECT 2 * COUNT(*) FROM orders) - 1)) AS i
@@ -162,7 +159,16 @@ pgtext AS (
     FROM pgidx
 {joins}
     WHERE i % {len(_LANG_CYCLE)} IN ({en_mods})
-),
+)"""
+
+
+def _pages_candidates_sql() -> str:
+    """Candidates over the SQL-regenerated pages corpus, scanned with the
+    IDENTICAL RE2-compatible ``ADDRESS_PATTERN`` via regexp_extract_all."""
+    from .stages.extract import ADDRESS_PATTERN
+
+    return f"""
+WITH {_pages_corpus_ctes()},
 pgext AS (
     SELECT url,
            regexp_extract_all(text, '{ADDRESS_PATTERN}', 1) AS streets,
@@ -188,6 +194,35 @@ def geocode_pages_sql(accept_score: int = 70) -> str:
     return geocode_orders_sql(
         accept_score=accept_score, candidates_sql=_pages_candidates_sql()
     )
+
+
+def curate_pages_sql() -> str:
+    """Curation headline oracle over the SQL-regenerated pages corpus:
+    same quality gate (token count + stopword permille), dedup keyed on
+    the TEXT itself (``PARTITION BY text``) — content-identity grouping
+    is hash-free in SQL, which leaves the engine free to use the fastest
+    hash (md5; see pipelines/curate.py docstring), keep smallest url."""
+    from .functions.text import quality_sql
+    from .pipelines.curate import MAX_STOP_PERMILLE
+
+    q = quality_sql("text")
+    return f"""
+WITH {_pages_corpus_ctes()},
+pgq AS (
+    SELECT url, text, {q['n_tokens']} AS n_tokens, {q['stop_permille']} AS sp
+    FROM pgtext
+),
+pgg AS (
+    SELECT url, text, n_tokens FROM pgq
+    WHERE n_tokens > 0 AND sp <= {MAX_STOP_PERMILLE}
+),
+pgr AS (
+    SELECT url, n_tokens,
+           row_number() OVER (PARTITION BY text ORDER BY url ASC) AS rn
+    FROM pgg
+)
+SELECT url, n_tokens FROM pgr WHERE rn = 1
+"""
 
 
 def counters_sql(accept_score: int = 70) -> str:

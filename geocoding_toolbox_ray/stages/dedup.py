@@ -550,6 +550,89 @@ def _str_bucket(values, nbuckets: int) -> np.ndarray:
     )
 
 
+def _block_column(blk, col: str) -> np.ndarray:
+    """int64 column out of a raw Ray Data block (arrow table or pandas);
+    empty buckets emit schema-less blocks — treat a missing column as
+    zero rows."""
+    if isinstance(blk, pa.Table):
+        if col not in blk.schema.names:
+            return np.zeros(0, np.int64)
+        return np.asarray(blk[col].to_numpy(zero_copy_only=False), np.int64)
+    if col not in blk.columns:
+        return np.zeros(0, np.int64)
+    return blk[col].to_numpy(np.int64)
+
+
+def _remote_sorted_column(ds, col: str):
+    """Union a Dataset column into ONE sorted-unique numpy broadcast
+    WITHOUT the driver ever holding the data (VERDICT r2 #3): the block
+    refs stream to a remote task whose return value lives directly in the
+    object store; the driver keeps only the ObjectRef, and every probe
+    task reads the array zero-copy.
+
+    Scale contract: the unioned array must fit one worker's heap — true
+    by construction for dup-involved doc/pair sets (bounded by actual
+    duplication).  If a corpus ever breaks that, swap the broadcast
+    filter for a hash semi-join (``Dataset.join`` on the key) — the
+    callers are factored so that is a one-line change.
+    """
+    import ray
+
+    refs = [br for b in ds.iter_internal_ref_bundles() for br in b.block_refs]
+    return _sorted_union_task.remote(refs, col)
+
+
+def _lazy_remote(fn):
+    """Defer ``ray.remote`` decoration to first use so importing this
+    module never touches Ray."""
+    holder = {}
+
+    def call(*args):
+        import ray
+
+        if "r" not in holder:
+            holder["r"] = ray.remote(fn)
+        return holder["r"].remote(*args)
+
+    call.remote = call
+    return call
+
+
+@_lazy_remote
+def _sorted_union_task(refs, col):
+    import ray
+
+    parts = [_block_column(ray.get(r), col) for r in refs]
+    if not parts:
+        return np.zeros(0, np.int64)
+    return np.unique(np.concatenate(parts))
+
+
+@_lazy_remote
+def _involved_from_pairs_task(cand: np.ndarray) -> np.ndarray:
+    if not len(cand):
+        return np.zeros(0, np.int64)
+    return np.unique(np.concatenate([cand >> 31, cand & 0x7FFFFFFF]))
+
+
+@_lazy_remote
+def _sorted_kv_task(refs, key_col, val_col):
+    import ray
+
+    ks, vs = [], []
+    for r in refs:
+        blk = ray.get(r)
+        ks.append(_block_column(blk, key_col))
+        vs.append(_block_column(blk, val_col))
+    if not ks:
+        z = np.zeros(0, np.int64)
+        return z, z
+    k = np.concatenate(ks)
+    v = np.concatenate(vs)
+    keys, first = np.unique(k, return_index=True)
+    return keys, v[first]
+
+
 def ngram_jaccard_exact_pairs(
     docs,
     theta_permille: int = 500,
@@ -568,8 +651,14 @@ def ngram_jaccard_exact_pairs(
     DuckDB with identical integer arithmetic.
 
     Scale assumptions (documented per SURVEY §2): the near-dup-involved doc
-    subset fits a broadcast hash set (run exact dedup first so identical
-    docs collapse); all other state is hash-partitioned.
+    subset fits a single worker's heap as a sorted-array broadcast (run
+    exact dedup first so identical docs collapse); all other state is
+    hash-partitioned.  The driver holds ONLY ObjectRefs — the broadcast
+    arrays are built by remote tasks from streamed block refs
+    (VERDICT r2 #3: no ``iter_batches``/``to_pandas`` on the driver), and
+    the full shingle table is never materialized (it is recomputed once
+    for the intersection pass instead — shingling is cheap relative to
+    holding O(corpus x shingles) in the object store).
     """
     import ray
 
@@ -589,7 +678,7 @@ def ngram_jaccard_exact_pairs(
             }
         )
 
-    S = docs.map_batches(_shingle_rows, batch_format="pyarrow").materialize()
+    S = docs.map_batches(_shingle_rows, batch_format="pyarrow")
 
     # shingle document frequency FUSED into the bucketed co-group: every
     # row of a given shingle hashes to the same bucket, so df is a
@@ -684,19 +773,11 @@ def ngram_jaccard_exact_pairs(
     # broadcast membership as SORTED numpy arrays, not Python sets:
     # ray.get of an ndarray is zero-copy per batch, while a big set would
     # pickle-deserialize on EVERY batch (measured ~100 s of pure
-    # deserialization at sf0.1 before this change)
-    parts = [
-        b["pk"].to_numpy(np.int64)
-        for b in raw_cand.iter_batches(batch_format="pandas", batch_size=65536)
-    ]
-    cand_arr = (
-        np.unique(np.concatenate(parts)) if parts else np.zeros(0, np.int64)
-    )
-    inv_arr = np.unique(
-        np.concatenate([cand_arr >> 31, cand_arr & 0x7FFFFFFF])
-    ) if len(cand_arr) else np.zeros(0, np.int64)
-    inv_ref = ray.put(inv_arr)
-    cand_ref = ray.put(cand_arr)
+    # deserialization at sf0.1 before this change).  The arrays are built
+    # by remote tasks straight from block refs — the driver never holds
+    # the candidate set.
+    cand_ref = _remote_sorted_column(raw_cand, "pk")
+    inv_ref = _involved_from_pairs_task.remote(cand_ref)
 
     def _sorted_member(sorted_arr: np.ndarray, values: np.ndarray) -> np.ndarray:
         pos = np.searchsorted(sorted_arr, values)
@@ -710,6 +791,9 @@ def ngram_jaccard_exact_pairs(
         ids = np.asarray(t["doc_id"].to_numpy(zero_copy_only=False), np.int64)
         return t.filter(pa.array(_sorted_member(s, ids)))
 
+    # SI is the dup-INVOLVED shingle subset — bounded by actual
+    # duplication, so materializing it (for the two consumers below) is
+    # the documented small-side exception, unlike the full S table
     SI = S.map_batches(_only_involved, batch_format="pyarrow").materialize()
 
     # exact intersection counts: pairs per shingle over involved docs,
@@ -744,18 +828,25 @@ def ngram_jaccard_exact_pairs(
         .map_groups(_pk_sum, batch_format="pandas")
     )
 
-    # per-involved-doc shingle counts: two parallel sorted arrays
-    nsh_frames = [
-        b[["doc_id", "n_sh"]].drop_duplicates("doc_id")
-        for b in SI.iter_batches(batch_format="pandas", batch_size=65536)
+    # per-involved-doc shingle counts: two parallel sorted arrays, built
+    # remotely from per-batch (doc_id, n_sh) partial dedups — driver
+    # holds only the ref
+    def _nsh_partial(t: pa.Table) -> pa.Table:
+        d = np.asarray(t["doc_id"].to_numpy(zero_copy_only=False), np.int64)
+        n = np.asarray(t["n_sh"].to_numpy(zero_copy_only=False), np.int64)
+        keys, first = np.unique(d, return_index=True)
+        return pa.table(
+            {
+                "doc_id": pa.array(keys, pa.int64()),
+                "n_sh": pa.array(n[first], pa.int64()),
+            }
+        )
+
+    nsh_src = SI.map_batches(_nsh_partial, batch_format="pyarrow")
+    nsh_refs = [
+        br for b in nsh_src.iter_internal_ref_bundles() for br in b.block_refs
     ]
-    if nsh_frames:
-        nsh_pd = pd.concat(nsh_frames).drop_duplicates("doc_id").sort_values("doc_id")
-        nsh_keys = nsh_pd["doc_id"].to_numpy(np.int64)
-        nsh_vals = nsh_pd["n_sh"].to_numpy(np.int64)
-    else:
-        nsh_keys = nsh_vals = np.zeros(0, np.int64)
-    nsh_ref = ray.put((nsh_keys, nsh_vals))
+    nsh_ref = _sorted_kv_task.remote(nsh_refs, "doc_id", "n_sh")
 
     _OUT = {"doc_a": "int64", "doc_b": "int64", "jaccard_permille": "int64"}
 

@@ -137,6 +137,7 @@ def test_tile_counts_salted_parity(ray_session, con):
         "simhash_dup_pairs",
         "dedup_clusters",
         "geocode_pages",
+        "curate_pages",
         "media_features",
         "media_frames",
         "streaming_user_state",
