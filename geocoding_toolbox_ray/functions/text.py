@@ -8,11 +8,27 @@ builder from one table of constants, so DuckDB oracles are mechanical.
 from __future__ import annotations
 
 import hashlib
+import re
 
 import numpy as np
 import pandas as pd
 
 TOKEN_PATTERN = r"\S+"
+
+#: RE2's '\s' class written out EXPLICITLY (ADVICE r2): Python
+#: ``str.split()`` also splits Unicode whitespace (U+00A0, U+2028, ...)
+#: and Python ``re.ASCII \s`` additionally matches \x0b — both diverge
+#: from the RE2 '\s' = [\t\n\f\r ] the oracle CTEs split with.  The SAME
+#: literal serves both sides: Python re and DuckDB RE2 each interpret
+#: the \t/\n/\f/\r escapes inside the class identically.
+WS_SPLIT_PATTERN = r"[\t\n\f\r ]+"
+_WS_SPLIT_RE = re.compile(WS_SPLIT_PATTERN)
+
+
+def ws_tokens(text: str) -> list[str]:
+    """Whitespace tokenization bit-identical to the oracle's
+    ``regexp_split_to_array(..., WS_SPLIT_PATTERN)`` + empty filter."""
+    return [t for t in _WS_SPLIT_RE.split(text) if t]
 
 #: language -> stopword alternation, in tie-break priority order.
 LANGS: tuple[str, ...] = ("en", "es", "de", "fr")

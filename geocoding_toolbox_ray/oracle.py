@@ -9,6 +9,7 @@ a mechanical identity check, not a re-implementation.
 from __future__ import annotations
 
 from .functions.cells import X0, Y0, cell_encode_sql
+from .functions.text import WS_SPLIT_PATTERN
 from .functions.cleanse import cleanse_street_sql, cleanse_zone_sql
 from .functions.scoring import score_sql
 from .functions.standardize import standardize_sql
@@ -383,9 +384,9 @@ def doc_fingerprint_sql() -> str:
 def _doc_shingles_ctes() -> str:
     """Shared CTE fragment: documents -> distinct word-3-gram shingle rows
     (doc_id, sh), exactly mirroring stages/dedup.py _shingle_strings."""
-    return """toks0 AS (
+    return f"""toks0 AS (
     SELECT doc_id,
-           list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS ts
+           list_filter(regexp_split_to_array(lower(text), '{WS_SPLIT_PATTERN}'), x -> x <> '') AS ts
     FROM documents
 ),
 idx AS (
@@ -534,7 +535,7 @@ def simhash_dup_pairs_sql(max_hamming: int = 3, cap: int | None = None) -> str:
     return f"""
 WITH toks0 AS (
     SELECT doc_id,
-           list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS ts
+           list_filter(regexp_split_to_array(lower(text), '{WS_SPLIT_PATTERN}'), x -> x <> '') AS ts
     FROM documents
 ),
 tok AS (SELECT doc_id, unnest(ts) AS t FROM toks0),
@@ -606,7 +607,7 @@ SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY u
 def token_histogram_sql(k: int = 100) -> str:
     return f"""
 WITH toks0 AS (
-    SELECT list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS ts
+    SELECT list_filter(regexp_split_to_array(lower(text), '{WS_SPLIT_PATTERN}'), x -> x <> '') AS ts
     FROM documents
 ),
 tok AS (SELECT unnest(ts) AS token FROM toks0),

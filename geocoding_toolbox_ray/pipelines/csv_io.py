@@ -106,15 +106,30 @@ def execute_csv_sharded(
     """Huge-output variant of ``execute_csv``: the result streams through
     ``ds.write_csv`` as one CSV shard per block — no driver
     materialization, each shard carries the 11-name header, rows stay in
-    input order within a shard.  Use for outputs that don't fit one file;
-    ``execute_csv`` remains the byte-conformance path."""
-    config = config or PipelineConfig(preserve_order=True)
-    candidates = read_candidates_csv(csv_path, id_field, street_field, zone_field)
-    index_ref = build_index_ref(config.locators)
-    run_health_probe(candidates, config, index_ref)
-    out = geocode_candidates(candidates, config, index_ref).select_columns(list(HEADER))
+    input order within a shard (enforced below: the streaming executor
+    reorders blocks unless ``preserve_order`` is set — ADVICE r2).  Use
+    for outputs that don't fit one file; ``execute_csv`` remains the
+    byte-conformance path."""
+    from ray.data import DataContext
 
-    out_dir = Path(output_directory) / f"geocoding_results_{time.strftime('%Y%m%d%H%M%S')}"
-    out_dir.mkdir(parents=True, exist_ok=True)
-    out.write_csv(str(out_dir))
+    config = config or PipelineConfig(preserve_order=True)
+    ctx = DataContext.get_current()
+    prev = ctx.execution_options.preserve_order
+    ctx.execution_options.preserve_order = True
+    try:
+        candidates = read_candidates_csv(csv_path, id_field, street_field, zone_field)
+        index_ref = build_index_ref(config.locators)
+        run_health_probe(candidates, config, index_ref)
+        out = geocode_candidates(candidates, config, index_ref).select_columns(
+            list(HEADER)
+        )
+
+        out_dir = (
+            Path(output_directory)
+            / f"geocoding_results_{time.strftime('%Y%m%d%H%M%S')}"
+        )
+        out_dir.mkdir(parents=True, exist_ok=True)
+        out.write_csv(str(out_dir))
+    finally:
+        ctx.execution_options.preserve_order = prev
     return out_dir

@@ -630,10 +630,12 @@ def token_histogram(sf_dir: str, k: int = 100):
     sort + limit for the top-k (deterministic n DESC, token ASC
     tie-break)."""
 
+    from .functions.text import ws_tokens
+
     def _partial(df: pd.DataFrame) -> pd.DataFrame:
         toks: list[str] = []
         for s in df["text"]:
-            toks.extend(s.lower().split())
+            toks.extend(ws_tokens(s.lower()))
         if not toks:
             return pd.DataFrame(
                 {

@@ -282,6 +282,49 @@ def test_star_cap_oracle_parity(ray_session):
     pd.testing.assert_frame_equal(sh[sorted(sh.columns)], sh_sql[sorted(sh_sql.columns)])
 
 
+def test_unicode_whitespace_tokenization_parity(ray_session):
+    """ADVICE r2: engine tokenization must match RE2 '[\\t\\n\\f\\r ]+'
+    exactly — Python str.split() also splits U+00A0/U+2028 and re.ASCII
+    \\s also matches \\x0b.  Docs containing those characters must hash
+    identically in engine and oracle."""
+    import duckdb
+    import ray.data as rd
+
+    from geocoding_toolbox_ray import oracle
+
+    rows = [
+        # NBSP inside: ONE token for RE2, two for str.split()
+        {"doc_id": 0, "text": "alpha\xa0beta gamma delta epsilon zeta eta"},
+        {"doc_id": 1, "text": "alpha\xa0beta gamma delta epsilon zeta eta theta"},
+        # vertical tab: ONE token for RE2, two for re.ASCII \\s
+        {"doc_id": 2, "text": "one\x0btwo three four five six seven"},
+        {"doc_id": 3, "text": "one\x0btwo three four five six seven eight"},
+        # line separator U+2028
+        {"doc_id": 4, "text": "aa bb cc dd ee ff gg"},
+        {"doc_id": 5, "text": "aa bb cc dd ee ff gg hh"},
+    ]
+    docs_df = pd.DataFrame(rows)
+    con = duckdb.connect()
+    con.register("documents", docs_df)
+
+    for builder, q_fn in [
+        (oracle.minhash_dup_pairs_sql, lambda ds: dedup.minhash_dup_pairs(ds, 0.5)),
+        (oracle.simhash_dup_pairs_sql, lambda ds: dedup.simhash_dup_pairs(ds, 3)),
+        (
+            oracle.ngram_jaccard_exact_pairs_sql,
+            lambda ds: dedup.ngram_jaccard_exact_pairs(ds, 500),
+        ),
+    ]:
+        eng = q_fn(rd.from_items(rows)).to_pandas()
+        sql = con.execute(builder()).df()
+        cols = sorted(eng.columns)
+        a = eng[cols].sort_values(cols).reset_index(drop=True)
+        b = sql[cols].sort_values(cols).reset_index(drop=True)
+        assert len(a) == len(b), (builder.__name__, len(a), len(b))
+        for c in cols:
+            assert a[c].tolist() == b[c].tolist(), (builder.__name__, c)
+
+
 def test_kmeans_centroids_deterministic(ray_session):
     """Two runs must produce BIT-IDENTICAL centroids (the 2^-20
     quantization kills float merge-order noise) and unit-ish norms."""
