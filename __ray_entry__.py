@@ -140,6 +140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_lsh": q.ann_topk_lsh,
         "ann_topk_ivf": q.ann_topk_ivf,
         "ann_topk_ivf_kmeans": q.ann_topk_ivf_kmeans,
+        "ann_topk_ivf_pruned": q.ann_topk_ivf_pruned,
         "ann_recall": q.ann_recall,
         "embedding_dup_pairs": q.embedding_dup_pairs,
         "approx_distinct_users": q.approx_distinct_users,

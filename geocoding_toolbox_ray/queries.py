@@ -1052,6 +1052,15 @@ def ann_topk_ivf_kmeans(sf_dir: str):
     return topk_ivf_kmeans(sf_dir)
 
 
+def ann_topk_ivf_pruned(sf_dir: str):
+    """IVF probe over the list-partitioned embedding store: identical
+    rows to ann_topk_ivf (asserted in tests) with the read pruned to the
+    probed partitions — the 100 TB ANN read path (rows-only)."""
+    from .stages.ann import topk_ivf_pruned
+
+    return topk_ivf_pruned(sf_dir)
+
+
 def ann_recall(sf_dir: str) -> pd.DataFrame:
     """Recall@10 of the LSH / IVF / k-means-IVF approximate tiers vs exact
     cosine (rows-only; deterministic value pinned in tests)."""

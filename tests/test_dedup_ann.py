@@ -146,6 +146,45 @@ def test_ann_recall_pinned(ray_session):
     assert vals["lsh"] >= 150
 
 
+def test_ivf_pruned_matches_scan(ray_session):
+    """The list-partitioned store must return IDENTICAL rows to the
+    scan-everything IVF — only the read volume differs."""
+    import shutil
+
+    from geocoding_toolbox_ray.stages.ann import (
+        IVF_STORE_ROOT,
+        topk_ivf,
+        topk_ivf_pruned,
+    )
+
+    shutil.rmtree(IVF_STORE_ROOT, ignore_errors=True)
+    sf = "/root/testdata/sf0.001"
+    a = topk_ivf(sf).reset_index(drop=True)
+    b = topk_ivf_pruned(sf).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    # warm-cache second call hits the cached store
+    b2 = topk_ivf_pruned(sf).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b2)
+
+
+def test_ivf_kmeans_uses_refined_centroids(ray_session):
+    """Round-3 regression pin: topk_ivf used to IGNORE its centroids
+    argument, so the kmeans variant silently probed the seed quantizer."""
+    from geocoding_toolbox_ray.stages.ann import (
+        ivf_centroids,
+        kmeans_centroids,
+        topk_ivf,
+        topk_ivf_kmeans,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    refined = kmeans_centroids(sf)
+    assert not np.allclose(refined, ivf_centroids(sf))  # refinement moved them
+    a = topk_ivf_kmeans(sf).reset_index(drop=True)
+    b = topk_ivf(sf, centroids=refined).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
 def test_ngram_jaccard_exact_pairs(ray_session):
     """Exact operator finds the identical pair at 1000 permille, keeps the
     half-overlapping pair at >= theta, and excludes the disjoint doc."""

@@ -166,7 +166,13 @@ def test_rows_only_queries_run(ray_session):
     import __ray_entry__ as entrymod
 
     qs = entrymod.queries()
-    for name in ("ann_topk_cosine", "ann_topk_lsh", "ann_topk_ivf", "approx_distinct_users"):
+    for name in (
+        "ann_topk_cosine",
+        "ann_topk_lsh",
+        "ann_topk_ivf",
+        "ann_topk_ivf_pruned",
+        "approx_distinct_users",
+    ):
         res = qs[name](SF_DIR)
         n = len(res) if isinstance(res, pd.DataFrame) else res.count()
         assert n >= 0
