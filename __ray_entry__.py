@@ -79,6 +79,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_assign_lineitem": q.tile_assign_lineitem,
         "tile_counts": q.tile_counts,
         "tile_counts_salted": q.tile_counts_salted,
+        "distinct_orders_per_returnflag": q.distinct_orders_per_returnflag,
+        "distinct_orders_per_returnflag_salted": q.distinct_orders_per_returnflag_salted,
         # --- geocode parameter variants + join/skew/sampling (oracle-checked) ---
         "geocode_orders_centerlines": q.geocode_orders_centerlines,
         "geocode_orders_wgs84": q.geocode_orders_wgs84,
@@ -162,6 +164,8 @@ def oracle_sql() -> dict[str, str]:
         "tile_assign_lineitem": oracle.tile_assign_lineitem_sql(),
         "tile_counts": oracle.tile_counts_sql(),
         "tile_counts_salted": oracle.tile_counts_sql(),
+        "distinct_orders_per_returnflag": oracle.distinct_orders_per_returnflag_sql(),
+        "distinct_orders_per_returnflag_salted": oracle.distinct_orders_per_returnflag_sql(),
         "geocode_orders_centerlines": oracle.geocode_orders_centerlines_sql(),
         "geocode_orders_wgs84": oracle.geocode_orders_wgs84_sql(),
         "geocode_pobox": oracle.geocode_pobox_sql(),

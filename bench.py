@@ -133,6 +133,13 @@ def run_bench() -> dict:
         from geocoding_toolbox_ray.pipelines.curate import curate_pages
 
         timed("curate_pages", lambda: curate_pages(read_pages(pages_dir)))
+        # hot-key COUNT(DISTINCT) through the salted two-phase shuffle
+        # (the naive-vs-salted skew comparison runs in `bench.py --skew`
+        # so the per-round bench total stays comparable across rounds)
+        timed(
+            "distinct_orders_per_returnflag_salted",
+            lambda: q.distinct_orders_per_returnflag_salted(SF_DIR),
+        )
 
     total = round(sum(timings.values()), 3)
     geocode_rows_per_s = (
@@ -201,6 +208,78 @@ def run_scaling() -> dict:
     }
 
 
+def run_skew() -> dict:
+    """Planted-skew COUNT(DISTINCT) comparison (VERDICT r2 #6): one key
+    holds ~94% of 16M rows — the naive wide step leaves one straggler
+    reducer holding 15M rows while the value-salted variant splits it
+    into 32 balanced sub-groups.  Prints one JSON line with both times."""
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+        log_to_driver=False,
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geocoding_toolbox_ray.stages.salt import (
+        naive_distinct_count,
+        salted_distinct_count,
+    )
+
+    rd.range(100_000).map_batches(lambda t: t, batch_format="pyarrow").count()
+    n_skew = 16_000_000
+
+    def _skew_rows(t: pa.Table) -> pa.Table:
+        ids = t["id"].to_numpy()
+        m = ids % 16
+        k = np.where(m < 15, "hot", np.char.add("cold", (ids % 7).astype("U1")))
+        v = (ids * 2654435761) % (n_skew // 2)
+        return pa.table(
+            {
+                "k": pa.array(k.tolist(), pa.string()),
+                "v": pa.array(v.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def _skew_ds():
+        return rd.range(n_skew).map_batches(
+            _skew_rows, batch_format="pyarrow", batch_size=65536
+        )
+
+    res = {}
+    for name, fn in (
+        ("naive", lambda: naive_distinct_count(_skew_ds(), "k", "v")),
+        ("salted", lambda: salted_distinct_count(_skew_ds(), "k", "v", salt=32)),
+    ):
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn().to_pandas()
+            dt = time.perf_counter() - t0
+            best = dt if best is None or dt < best else best
+        res[name] = round(best, 1)
+    out = {
+        "metric": "skew_distinct_naive_vs_salted",
+        "naive_sec": res["naive"],
+        "salted_sec": res["salted"],
+        "speedup": round(res["naive"] / res["salted"], 2),
+        "n_rows": n_skew,
+        "num_cpus": NUM_CPUS,
+        "loadavg": round(os.getloadavg()[0], 1),
+    }
+    ray.shutdown()
+    return out
+
+
 def run_stats() -> None:
     """Print the headline pipeline's per-operator ds.stats() breakdown —
     the measure-don't-guess view used to tune batch/block geometry."""
@@ -227,6 +306,8 @@ def run_stats() -> None:
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--skew" in sys.argv:
+        print(json.dumps(run_skew()))
     elif "--stats" in sys.argv:
         run_stats()
     else:

@@ -347,6 +347,15 @@ def tile_assign_lineitem_sql() -> str:
     )
 
 
+def distinct_orders_per_returnflag_sql() -> str:
+    """Shared oracle for the salted AND unsalted hot-key distinct — the
+    value-salted shuffle must be output-invisible."""
+    return (
+        "SELECT l_returnflag, CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) "
+        "AS n_distinct FROM lineitem GROUP BY 1"
+    )
+
+
 def tile_counts_sql() -> str:
     tx, ty = tile_assign_sql("qx", "qy")
     return (

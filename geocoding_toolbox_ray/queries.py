@@ -159,6 +159,34 @@ def tile_counts_salted(sf_dir: str):
     return _f(sf_dir)
 
 
+def distinct_orders_per_returnflag_salted(sf_dir: str):
+    """COUNT(DISTINCT l_orderkey) per l_returnflag via the two-phase
+    VALUE-salted shuffle (VERDICT r2 #6): l_returnflag has only 3 values
+    — the textbook hot-key distinct that per-batch count pre-aggregation
+    cannot absorb.  Same oracle as the unsalted twin."""
+    import ray.data as rd
+
+    from .stages.salt import salted_distinct_count
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_orderkey"]
+    )
+    return salted_distinct_count(ds, "l_returnflag", "l_orderkey", salt=16)
+
+
+def distinct_orders_per_returnflag(sf_dir: str):
+    """The unsalted twin: wide step keyed on the 3-value hot key itself —
+    parallelism-capped baseline kept for the bench comparison."""
+    import ray.data as rd
+
+    from .stages.salt import naive_distinct_count
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_orderkey"]
+    )
+    return naive_distinct_count(ds, "l_returnflag", "l_orderkey")
+
+
 # ------------------------------------------------------- text analysis
 
 def _docs(sf_dir: str, columns=("doc_id", "text")):

@@ -138,6 +138,8 @@ def test_tile_counts_salted_parity(ray_session, con):
         "dedup_clusters",
         "geocode_pages",
         "curate_pages",
+        "distinct_orders_per_returnflag",
+        "distinct_orders_per_returnflag_salted",
         "media_features",
         "media_frames",
         "streaming_user_state",
