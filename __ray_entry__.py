@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geocode_orders_centerlines": q.geocode_orders_centerlines,
         "geocode_orders_wgs84": q.geocode_orders_wgs84,
         "geocode_pobox": q.geocode_pobox,
+        "geocode_orders_units": q.geocode_orders_units,
         "geocode_join_orders": q.geocode_join_orders,
         "orders_without_lineitems": q.orders_without_lineitems,
         "cell_skew_topk": q.cell_skew_topk,
@@ -169,6 +170,7 @@ def oracle_sql() -> dict[str, str]:
         "geocode_orders_centerlines": oracle.geocode_orders_centerlines_sql(),
         "geocode_orders_wgs84": oracle.geocode_orders_wgs84_sql(),
         "geocode_pobox": oracle.geocode_pobox_sql(),
+        "geocode_orders_units": oracle.geocode_orders_units_sql(),
         "geocode_join_orders": oracle.geocode_join_orders_sql(),
         "orders_without_lineitems": oracle.orders_without_lineitems_sql(),
         "cell_skew_topk": oracle.cell_skew_topk_sql(),

@@ -61,6 +61,13 @@ _STREET_TYPES = (
 
 _UNIT_WORDS = ("apt", "unit", "suite", "ste", "bsmt", "trlr")
 
+#: trailing unit designator on the STANDARDIZED string ("... apt 3",
+#: "... suite 4b").  Matching ignores the unit (the locator layer keys on
+#: the base address); ``standardizedAddress`` keeps it.  RE2-compatible —
+#: the SQL builder uses the same literal.
+_UNIT_TAIL_PATTERN = r"\s+(?:" + "|".join(_UNIT_WORDS) + r")\s+[a-z0-9]+$"
+_UNIT_TAIL_RE = re.compile(_UNIT_TAIL_PATTERN)
+
 _COMPONENT_PATTERN = (
     r"^(?P<house>\d+)?\s*"
     r"(?P<prefix_dir>north|south|east|west)?\s*"
@@ -79,6 +86,12 @@ def standardize(cleansed_street: str) -> str:
     for abbr, full in EXPANSIONS:
         out = re.sub(r"\b%s\b" % abbr, full, out)
     return out
+
+
+def strip_unit(standardized: str) -> str:
+    """Match key: the standardized street without its trailing unit
+    designator (identity when no unit is present)."""
+    return _UNIT_TAIL_RE.sub("", standardized)
 
 
 def parse_components(standardized: str) -> dict:
@@ -110,8 +123,20 @@ def parse_components_arrow(col: pa.Array | pa.ChunkedArray) -> pa.StructArray:
 
 # -------------------------------------------------------------------- sql
 
+def standardize_arrow_strip_unit(col: pa.Array | pa.ChunkedArray):
+    """Vectorized ``strip_unit`` over a standardized column."""
+    return pc.replace_substring_regex(
+        col, pattern=_UNIT_TAIL_PATTERN, replacement=""
+    )
+
+
 def standardize_sql(expr: str) -> str:
     out = f"lower({expr})"
     for abbr, full in EXPANSIONS:
         out = f"regexp_replace({out}, '\\b{abbr}\\b', '{full}', 'g')"
     return out
+
+
+def strip_unit_sql(expr: str) -> str:
+    """Same literal as the engine's ``_UNIT_TAIL_RE`` (RE2 both sides)."""
+    return f"regexp_replace({expr}, '{_UNIT_TAIL_PATTERN}', '')"

@@ -12,7 +12,7 @@ from .functions.cells import X0, Y0, cell_encode_sql
 from .functions.text import WS_SPLIT_PATTERN
 from .functions.cleanse import cleanse_street_sql, cleanse_zone_sql
 from .functions.scoring import score_sql
-from .functions.standardize import standardize_sql
+from .functions.standardize import standardize_sql, strip_unit_sql
 from .functions.tiles import tile_assign_sql
 from .pipelines.candidates import derive_sql
 from .pipelines.spatial import DX_BY_MOD3, DY_BY_MOD2
@@ -49,17 +49,22 @@ cleansed AS (
            {cleanse_zone_sql('input_zone')} AS zone_clean
     FROM candidates
 ),
-std AS (
+std0 AS (
     SELECT *, {standardize_sql('street_clean')} AS addr_std_in,
            lower(zone_clean) AS zone_key
     FROM cleansed
+),
+std AS (
+    -- match key ignores a trailing unit designator; standardizedAddress
+    -- keeps it (same strip_unit constants as the engine)
+    SELECT *, {strip_unit_sql('addr_std_in')} AS addr_key FROM std0
 ),
 {address_points_values_sql('ap', include_pobox=(pobox == 'true'))},
 scored AS (
     SELECT s.primary_key, s.addr_std_in,
            ap.point_id, ap.addr_std, ap.match_address, ap.x, ap.y,
            ap.address_grid, ap.locator,
-           {score_sql('s.addr_std_in', 'ap.addr_std')} AS score
+           {score_sql('s.addr_key', 'ap.addr_std')} AS score
     FROM std s
     JOIN ap ON (ap.zone = s.zone_key OR ap.zip = s.zone_key){locator_filter}
 ),
@@ -862,6 +867,12 @@ def geocode_pobox_sql() -> str:
     from .pipelines.candidates import derive_pobox_sql
 
     return geocode_orders_sql(pobox="true", candidates_sql=derive_pobox_sql())
+
+
+def geocode_orders_units_sql() -> str:
+    from .pipelines.candidates import derive_units_sql
+
+    return geocode_orders_sql(candidates_sql=derive_units_sql())
 
 
 def geocode_join_orders_sql() -> str:

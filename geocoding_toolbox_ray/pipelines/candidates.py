@@ -86,6 +86,71 @@ def derive_sql() -> str:
     )
 
 
+UNIT_DESIGNATORS = ("APT", "UNIT", "SUITE", "STE")
+
+
+def derive_units_candidates(batch: pa.Table) -> pa.Table:
+    """Unit/suite-bearing candidate rows (round-3 grammar depth): the same
+    house/dir/name base as ``derive_candidates`` with a deterministic
+    trailing unit designator on every even row — these must match the
+    SAME locator rows as their unitless twins (the match key strips the
+    unit) while ``standardizedAddress`` keeps the unit text."""
+    i = np.asarray(batch["o_orderkey"].to_numpy(zero_copy_only=False), np.int64)
+    house = 1 + i % 12
+    dir_idx = np.where(i % 5 == 0, i % 4, house % 4)
+    dirs = np.array(NSEW, object)[dir_idx]
+    names = np.array(STREETS6, object)[(i // 4) % 6]
+    base = (
+        pd.Series(house).astype(str) + " " + pd.Series(dirs) + " " + pd.Series(names)
+    )
+    unit_word = pd.Series(np.array(UNIT_DESIGNATORS, object)[(i // 2) % 4])
+    unit = unit_word + " " + pd.Series(1 + i % 9).astype(str)
+    street = base.where(i % 2 == 1, base + " " + unit)
+    zone = pd.Series(np.array(ZONES6, object)[(i // 3) % 6])
+    return pa.table(
+        {
+            "primary_key": pa.array(i.astype(str), pa.string()),
+            "input_street": pa.array(street, pa.string()),
+            "input_zone": pa.array(zone, pa.string()),
+        }
+    )
+
+
+def derive_units_sql() -> str:
+    def _case(expr: str, options: tuple[str, ...]) -> str:
+        whens = " ".join(
+            f"WHEN {k} THEN '{v.replace(chr(39), chr(39) * 2)}'" for k, v in enumerate(options)
+        )
+        return f"CASE {expr} {whens} END"
+
+    dir_case = (
+        "CASE WHEN o_orderkey % 5 = 0 THEN "
+        + _case("o_orderkey % 4", NSEW)
+        + " ELSE "
+        + _case("(1 + o_orderkey % 12) % 4", NSEW)
+        + " END"
+    )
+    base = (
+        "CAST(1 + o_orderkey % 12 AS VARCHAR) || ' ' || "
+        + dir_case
+        + " || ' ' || "
+        + _case("(o_orderkey // 4) % 6", STREETS6)
+    )
+    unit = (
+        _case("(o_orderkey // 2) % 4", UNIT_DESIGNATORS)
+        + " || ' ' || CAST(1 + o_orderkey % 9 AS VARCHAR)"
+    )
+    street = (
+        f"CASE WHEN o_orderkey % 2 = 1 THEN ({base}) "
+        f"ELSE ({base}) || ' ' || ({unit}) END"
+    )
+    zone = _case("(o_orderkey // 3) % 6", ZONES6)
+    return (
+        "SELECT CAST(o_orderkey AS VARCHAR) AS primary_key, "
+        f"{street} AS input_street, {zone} AS input_zone FROM orders"
+    )
+
+
 def derive_pobox_candidates(batch: pa.Table) -> pa.Table:
     """PO Box candidate rows: 'PO Box {1 + i%8}' (reference points hold
     boxes 1..5, so 6..8 exercise the fuzzy tier)."""

@@ -511,6 +511,18 @@ def geocode_pobox(sf_dir: str):
     return geocode_candidates(cands, PipelineConfig(pobox="true"))
 
 
+def geocode_orders_units(sf_dir: str):
+    """Unit/suite-bearing addresses (round-3 grammar depth): the match
+    key strips the trailing 'APT 3' / 'SUITE 4' designator so unit rows
+    hit the same locator rows as their unitless twins, while
+    standardizedAddress keeps the unit text."""
+    from .pipelines.candidates import derive_units_candidates
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey"])
+    cands = orders.map_batches(derive_units_candidates, batch_format="pyarrow")
+    return geocode_candidates(cands, PipelineConfig())
+
+
 def geocode_join_orders(sf_dir: str):
     """J5 re-join: geocode output x orders on primary_key via the native
     hash-partitioned Dataset.join (both sides large -> shuffle join)."""

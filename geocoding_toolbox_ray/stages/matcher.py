@@ -31,7 +31,7 @@ import pyarrow.compute as pc
 from ..config import DEFAULT_ACCEPT_SCORE, HEADER
 from ..functions.cleanse import cleanse_street_arrow, cleanse_zone_arrow
 from ..functions.scoring import score_batch
-from ..functions.standardize import standardize_arrow
+from ..functions.standardize import standardize_arrow, standardize_arrow_strip_unit
 
 #: reference behavior on a None street: str(ex)[:500] of the AttributeError
 #: raised inside _cleanse_street (geocode.py:46, caught at :253-254)
@@ -230,22 +230,24 @@ class MatcherStage:
         )
         if isinstance(street_dict, pa.ChunkedArray):
             street_dict = street_dict.combine_chunks()
-        addr_std = pc.take(
-            standardize_arrow(cleanse_street_arrow(street_dict.dictionary)),
-            street_dict.indices,
-        )
+        std_dict = standardize_arrow(cleanse_street_arrow(street_dict.dictionary))
+        addr_std = pc.take(std_dict, street_dict.indices)
         zone_dict = pc.dictionary_encode(pc.cast(batch["input_zone"], pa.string()))
         if isinstance(zone_dict, pa.ChunkedArray):
             zone_dict = zone_dict.combine_chunks()
         zone_key = pc.take(
             pc.utf8_lower(cleanse_zone_arrow(zone_dict.dictionary)), zone_dict.indices
         )
+        # match key ignores a trailing unit designator ("... apt 3"); the
+        # reported standardizedAddress keeps it (round-3 grammar depth)
+        addr_key = pc.take(standardize_arrow_strip_unit(std_dict), street_dict.indices)
 
         probe = pa.table(
             {
                 "__row": pa.array(np.arange(n, dtype=np.int64)),
                 "zone_key": pa.array(zone_key.combine_chunks() if isinstance(zone_key, pa.ChunkedArray) else zone_key),
-                "addr_std": pa.array(addr_std.combine_chunks() if isinstance(addr_std, pa.ChunkedArray) else addr_std),
+                "addr_std": pa.array(addr_key.combine_chunks() if isinstance(addr_key, pa.ChunkedArray) else addr_key),
+                "addr_full": pa.array(addr_std.combine_chunks() if isinstance(addr_std, pa.ChunkedArray) else addr_std),
             }
         )
         # exact tier: Acero hash join vs the broadcast reference (right unique)
@@ -279,7 +281,7 @@ class MatcherStage:
         locator = pc.coalesce(joined["ex_locator"], joined["fz_locator"])
         match_address = pc.coalesce(joined["ex_match_address"], joined["fz_match_address"])
         address_grid = pc.coalesce(joined["ex_address_grid"], joined["fz_address_grid"])
-        standardized = pc.if_else(matched, joined["addr_std"], pa.scalar(None, pa.string()))
+        standardized = pc.if_else(matched, joined["addr_full"], pa.scalar(None, pa.string()))
         message = pc.if_else(
             null_street,
             pa.scalar(NULL_STREET_MESSAGE, pa.string()),

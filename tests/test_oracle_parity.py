@@ -186,6 +186,7 @@ def test_rows_only_queries_run(ray_session):
         "geocode_orders_centerlines",
         "geocode_orders_wgs84",
         "geocode_pobox",
+        "geocode_orders_units",
         "geocode_join_orders",
         "cell_skew_topk",
         "sample_orders",

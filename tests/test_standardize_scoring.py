@@ -51,6 +51,52 @@ def test_standardize_sql_parity():
         assert got == standardize.standardize(s), s
 
 
+def test_strip_unit_scalar_arrow_sql_parity():
+    cases = [
+        "259 west main apt 3",
+        "259 west main suite 4b",
+        "10 north state route 6 unit 9",
+        "259 west main",  # identity when no unit
+        "ste phen street",  # 'ste' mid-string is NOT a trailing unit
+        "",
+    ]
+    got_arrow = standardize.standardize_arrow_strip_unit(pa.array(cases)).to_pylist()
+    con = duckdb.connect()
+    for s, ga in zip(cases, got_arrow):
+        expected = standardize.strip_unit(s)
+        assert ga == expected, s
+        gs = con.execute("SELECT " + standardize.strip_unit_sql(_lit(s))).fetchone()[0]
+        assert gs == expected, s
+    assert standardize.strip_unit("259 west main apt 3") == "259 west main"
+    assert standardize.strip_unit("259 west main") == "259 west main"
+
+
+def test_unit_address_matches_and_keeps_unit(ray_session):
+    """A unit-bearing address must match its base locator row at score
+    100 with the unit preserved in standardizedAddress."""
+    import ray.data as rd
+
+    from geocoding_toolbox_ray.config import PipelineConfig
+    from geocoding_toolbox_ray.pipelines.geocode import geocode_candidates
+
+    cands = rd.from_items(
+        [
+            {"primary_key": "1", "input_street": "259 W MAIN APT 3", "input_zone": "Delta"},
+            {"primary_key": "2", "input_street": "259 W MAIN", "input_zone": "Delta"},
+        ]
+    )
+    out = (
+        geocode_candidates(cands, PipelineConfig(concurrency=1))
+        .to_pandas()
+        .set_index("primary_key")
+    )
+    assert out.loc["1", "score"] == 100
+    assert out.loc["1", "matchAddress"] == "259 W MAIN"
+    assert out.loc["1", "standardizedAddress"] == "259 west main apt 3"
+    assert out.loc["1", "x"] == out.loc["2", "x"]
+    assert out.loc["2", "standardizedAddress"] == "259 west main"
+
+
 def test_parse_components():
     c = standardize.parse_components("123 south main street")
     assert c["house"] == "123"
