@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- geocoding core (oracle-checked) ---
         "geocode_orders": q.geocode_orders,
+        "geocode_orders_dedup": q.geocode_orders_dedup,
         "counters_report": q.counters_report,
         "cleanse_street_documents": q.cleanse_street_documents,
         "cleanse_zone_orders": q.cleanse_zone_orders,
@@ -130,6 +131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dup_pairs": q.minhash_dup_pairs,
         "simhash_dup_pairs": q.simhash_dup_pairs,
         "ngram_jaccard_pairs": q.ngram_jaccard_pairs,
+        "ngram_novelty": q.ngram_novelty,
         "dedup_clusters": q.dedup_clusters,
         # --- flagship pages pipelines, now hash-checked end to end: the
         #     oracle regenerates the deterministic page text in SQL and
@@ -155,6 +157,7 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "geocode_orders": oracle.geocode_orders_sql(),
+        "geocode_orders_dedup": oracle.geocode_orders_sql(),
         "counters_report": oracle.counters_sql(),
         "cleanse_street_documents": oracle.cleanse_street_documents_sql(),
         "cleanse_zone_orders": oracle.cleanse_zone_orders_sql(),
@@ -208,6 +211,7 @@ def oracle_sql() -> dict[str, str]:
         "value_band_join": oracle.value_band_join_sql(),
         "top_orders_per_customer": oracle.top_orders_per_customer_sql(),
         "ngram_jaccard_pairs": oracle.ngram_jaccard_exact_pairs_sql(),
+        "ngram_novelty": oracle.ngram_novelty_sql(),
         "minhash_dup_pairs": oracle.minhash_dup_pairs_sql(),
         "simhash_dup_pairs": oracle.simhash_dup_pairs_sql(),
         "dedup_clusters": oracle.dedup_clusters_sql(),

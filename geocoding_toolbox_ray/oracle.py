@@ -596,6 +596,27 @@ WHERE bit_count(xor(ha, hb)) <= {max_hamming}
 """
 
 
+def ngram_novelty_sql() -> str:
+    """Per-doc novelty permille: fraction of distinct word-3-grams that
+    appear in no other document — identical shingling and integer
+    permille arithmetic as stages/dedup.py ngram_novelty."""
+    return f"""
+WITH {_doc_shingles_ctes()},
+n AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+df AS (SELECT sh, COUNT(*) AS df FROM sh GROUP BY 1),
+per AS (
+    SELECT s.doc_id,
+           COUNT(*) FILTER (WHERE d.df > 1) AS dup
+    FROM sh s JOIN df d ON d.sh = s.sh
+    GROUP BY 1
+)
+SELECT p.doc_id,
+       CAST(floor(1000.0 * (n.n_sh - p.dup) / n.n_sh + 0.5) AS BIGINT)
+           AS novelty_permille
+FROM per p JOIN n ON n.doc_id = p.doc_id
+"""
+
+
 def dedup_clusters_sql(theta_permille: int = 500) -> str:
     """Connected components over the exact-Jaccard pair graph via a
     recursive CTE (reachability closure + per-node MIN), mirroring the

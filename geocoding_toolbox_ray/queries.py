@@ -42,6 +42,18 @@ def geocode_orders(sf_dir: str):
     return geocode_candidates(cands, PipelineConfig())
 
 
+def geocode_orders_dedup(sf_dir: str):
+    """Pipeline-level N1: geocode each DISTINCT (street, zone) once, then
+    hash-join results back to every input row — identical 11-column
+    output to geocode_orders (same oracle), the right trade when
+    duplication is extreme."""
+    from .pipelines.geocode import geocode_candidates_dedup
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey"])
+    cands = orders.map_batches(derive_candidates, batch_format="pyarrow")
+    return geocode_candidates_dedup(cands, PipelineConfig())
+
+
 def counters_report(sf_dir: str) -> pd.DataFrame:
     """Run counters (reference geocode.py:136-163) as a 1-row table."""
     from ray.data.aggregate import Count, Sum
@@ -652,6 +664,14 @@ def ngram_jaccard_pairs(sf_dir: str):
     from .stages.dedup import ngram_jaccard_exact_pairs
 
     return ngram_jaccard_exact_pairs(_docs(sf_dir), theta_permille=500)
+
+
+def ngram_novelty(sf_dir: str):
+    """Per-doc n-gram novelty permille (fraction of distinct 3-grams in
+    no other document) — the boilerplate-detection curation signal."""
+    from .stages.dedup import ngram_novelty as _f
+
+    return _f(_docs(sf_dir))
 
 
 def dedup_clusters(sf_dir: str):

@@ -600,6 +600,24 @@ def _shingle_strings(text: str, n_words: int = 3) -> list[str]:
     return list({" ".join(toks[i : i + n_words]) for i in range(len(toks) - n_words + 1)})
 
 
+def shingle_rows_batch(t: pa.Table, n_words: int = 3) -> pa.Table:
+    """docs batch -> (doc_id, sh, n_sh) distinct-shingle rows."""
+    ids = np.asarray(t["doc_id"].to_numpy(zero_copy_only=False), np.int64)
+    out_doc, out_sh, out_n = [], [], []
+    for did, txt in zip(ids, t["text"].to_pylist()):
+        shs = _shingle_strings(txt, n_words)
+        out_doc.extend([did] * len(shs))
+        out_sh.extend(shs)
+        out_n.extend([len(shs)] * len(shs))
+    return pa.table(
+        {
+            "doc_id": pa.array(np.asarray(out_doc, np.int64), pa.int64()),
+            "sh": pa.array(out_sh, pa.string()),
+            "n_sh": pa.array(np.asarray(out_n, np.int64), pa.int64()),
+        }
+    )
+
+
 def _str_bucket(values, nbuckets: int) -> np.ndarray:
     """Deterministic crc32 bucket for string keys."""
     return np.fromiter(
@@ -745,23 +763,9 @@ def ngram_jaccard_exact_pairs(
     """
     import ray
 
-    def _shingle_rows(t: pa.Table) -> pa.Table:
-        ids = np.asarray(t["doc_id"].to_numpy(zero_copy_only=False), np.int64)
-        out_doc, out_sh, out_n = [], [], []
-        for did, txt in zip(ids, t["text"].to_pylist()):
-            shs = _shingle_strings(txt, n_words)
-            out_doc.extend([did] * len(shs))
-            out_sh.extend(shs)
-            out_n.extend([len(shs)] * len(shs))
-        return pa.table(
-            {
-                "doc_id": pa.array(np.asarray(out_doc, np.int64), pa.int64()),
-                "sh": pa.array(out_sh, pa.string()),
-                "n_sh": pa.array(np.asarray(out_n, np.int64), pa.int64()),
-            }
-        )
-
-    S = docs.map_batches(_shingle_rows, batch_format="pyarrow")
+    S = docs.map_batches(
+        lambda t: shingle_rows_batch(t, n_words), batch_format="pyarrow"
+    )
 
     # shingle document frequency FUSED into the bucketed co-group: every
     # row of a given shingle hashes to the same bucket, so df is a
@@ -953,6 +957,71 @@ def ngram_jaccard_exact_pairs(
         )
 
     return I.map_batches(_finish, batch_format="pandas")
+
+def ngram_novelty(docs, n_words: int = 3, nbuckets: int = DEFAULT_NBUCKETS):
+    """Per-document n-gram NOVELTY score — the standard curation signal
+    for boilerplate-heavy web corpora: the permille fraction of a doc's
+    distinct word n-grams that appear in NO other document.  Low novelty
+    = mostly corpus-duplicated text.
+
+    Fully distributed, two bounded shuffles: (1) shingle rows co-group on
+    hash(shingle) — document frequency is a vectorized in-bucket
+    transform, and per-(bucket, doc) PARTIAL (n_seen, n_dup) counts come
+    out of the same pass; (2) partials co-group on hash(doc_id) and sum
+    vectorized.  Integer permille arithmetic (floor(x+0.5)) replicated in
+    ``oracle.ngram_novelty_sql``.
+    """
+    S = docs.map_batches(
+        lambda t: shingle_rows_batch(t, n_words), batch_format="pyarrow"
+    )
+    s_tag = S.map_batches(
+        lambda t: pa.table(
+            {
+                "bucket": pa.array(_str_bucket(t["sh"].to_pylist(), nbuckets), pa.int64()),
+                "sh": t["sh"],
+                "doc_id": t["doc_id"],
+                "n_sh": t["n_sh"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def _partials(g: pd.DataFrame) -> pd.DataFrame:
+        """One shingle-hash bucket: df per shingle, then per-doc partial
+        (rows seen here, rows duplicated corpus-wide) counts."""
+        df = g.groupby("sh", sort=False)["sh"].transform("size").to_numpy(np.int64)
+        doc = g["doc_id"].to_numpy(np.int64)
+        n_sh = g["n_sh"].to_numpy(np.int64)
+        keys, first = np.unique(doc, return_index=True)
+        dup = np.bincount(
+            np.searchsorted(keys, doc[df > 1]), minlength=len(keys)
+        ).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "bucket2": _mix_bucket(keys, np.zeros(len(keys), np.int64), 64),
+                "doc_id": keys,
+                "n_sh": n_sh[first],
+                "part_dup": dup,
+            }
+        )
+
+    def _combine(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("doc_id", sort=False).agg(
+            n_sh=("n_sh", "first"), dup=("part_dup", "sum")
+        )
+        doc = agg.index.to_numpy(np.int64)
+        n = agg["n_sh"].to_numpy(np.int64)
+        dup = agg["dup"].to_numpy(np.int64)
+        nov = np.floor(1000.0 * (n - dup) / n + 0.5).astype(np.int64)
+        return pd.DataFrame({"doc_id": doc, "novelty_permille": nov})
+
+    return (
+        s_tag.groupby("bucket")
+        .map_groups(_partials, batch_format="pandas")
+        .groupby("bucket2")
+        .map_groups(_combine, batch_format="pandas")
+    )
+
 
 def dedup_clusters(pairs, max_rounds: int = 50, nbuckets: int | None = None):
     """Near-dup pair list -> cluster assignment (doc_id, cluster_id) via

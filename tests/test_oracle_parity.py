@@ -133,6 +133,7 @@ def test_tile_counts_salted_parity(ray_session, con):
         "dedup_exact",
         "ann_topk_quantized",
         "ngram_jaccard_pairs",
+        "ngram_novelty",
         "minhash_dup_pairs",
         "simhash_dup_pairs",
         "dedup_clusters",
@@ -187,6 +188,7 @@ def test_rows_only_queries_run(ray_session):
         "geocode_orders_wgs84",
         "geocode_pobox",
         "geocode_orders_units",
+        "geocode_orders_dedup",
         "geocode_join_orders",
         "cell_skew_topk",
         "sample_orders",
