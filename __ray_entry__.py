@@ -132,6 +132,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dup_pairs": q.simhash_dup_pairs,
         "ngram_jaccard_pairs": q.ngram_jaccard_pairs,
         "ngram_novelty": q.ngram_novelty,
+        "shared_passage_pairs": q.shared_passage_pairs,
         "dedup_clusters": q.dedup_clusters,
         # --- flagship pages pipelines, now hash-checked end to end: the
         #     oracle regenerates the deterministic page text in SQL and
@@ -212,6 +213,7 @@ def oracle_sql() -> dict[str, str]:
         "top_orders_per_customer": oracle.top_orders_per_customer_sql(),
         "ngram_jaccard_pairs": oracle.ngram_jaccard_exact_pairs_sql(),
         "ngram_novelty": oracle.ngram_novelty_sql(),
+        "shared_passage_pairs": oracle.shared_passage_pairs_sql(),
         "minhash_dup_pairs": oracle.minhash_dup_pairs_sql(),
         "simhash_dup_pairs": oracle.simhash_dup_pairs_sql(),
         "dedup_clusters": oracle.dedup_clusters_sql(),

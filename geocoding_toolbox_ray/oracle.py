@@ -395,8 +395,8 @@ def doc_fingerprint_sql() -> str:
     return "SELECT doc_id, md5(text) AS fp FROM documents"
 
 
-def _doc_shingles_ctes() -> str:
-    """Shared CTE fragment: documents -> distinct word-3-gram shingle rows
+def _doc_shingles_ctes(n_words: int = 3) -> str:
+    """Shared CTE fragment: documents -> distinct word-n-gram shingle rows
     (doc_id, sh), exactly mirroring stages/dedup.py _shingle_strings."""
     return f"""toks0 AS (
     SELECT doc_id,
@@ -405,13 +405,13 @@ def _doc_shingles_ctes() -> str:
 ),
 idx AS (
     SELECT doc_id, ts,
-           unnest(generate_series(1, greatest(len(ts) - 2, 1))) AS i
+           unnest(generate_series(1, greatest(len(ts) - {n_words - 1}, 1))) AS i
     FROM toks0
 ),
 sh AS (
     SELECT DISTINCT doc_id,
-           CASE WHEN len(ts) < 3 THEN array_to_string(ts, ' ')
-                ELSE ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] END AS sh
+           CASE WHEN len(ts) < {n_words} THEN array_to_string(ts, ' ')
+                ELSE array_to_string(ts[i:i+{n_words - 1}], ' ') END AS sh
     FROM idx
 )"""
 
@@ -593,6 +593,18 @@ cand AS (
 SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
 FROM cand
 WHERE bit_count(xor(ha, hb)) <= {max_hamming}
+"""
+
+
+def shared_passage_pairs_sql(w: int = 8) -> str:
+    """Doc pairs sharing >= 1 contiguous w-token window + shared distinct
+    window count — same windows as the engine's generalized shingling."""
+    return f"""
+WITH {_doc_shingles_ctes(w)}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(COUNT(*) AS BIGINT) AS shared_windows
+FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+GROUP BY 1, 2
 """
 
 

@@ -666,6 +666,14 @@ def ngram_jaccard_pairs(sf_dir: str):
     return ngram_jaccard_exact_pairs(_docs(sf_dir), theta_permille=500)
 
 
+def shared_passage_pairs(sf_dir: str):
+    """Passage-level duplicate detection: doc pairs sharing contiguous
+    8-token windows + shared-window counts (boilerplate signal)."""
+    from .stages.dedup import shared_passage_pairs as _f
+
+    return _f(_docs(sf_dir))
+
+
 def ngram_novelty(sf_dir: str):
     """Per-doc n-gram novelty permille (fraction of distinct 3-grams in
     no other document) — the boilerplate-detection curation signal."""

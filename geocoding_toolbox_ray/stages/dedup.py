@@ -958,6 +958,87 @@ def ngram_jaccard_exact_pairs(
 
     return I.map_batches(_finish, batch_format="pandas")
 
+def shared_passage_pairs(docs, w: int = 8, nbuckets: int = DEFAULT_NBUCKETS):
+    """Passage-level duplicate detection (the Lee-et-al-style exact
+    substring-dup signal at word granularity): pairs of documents sharing
+    at least one contiguous ``w``-token window, with the count of shared
+    DISTINCT windows.  Long boilerplate/quoted passages surface as
+    high-count pairs even when whole-document similarity is low — the
+    complement to jaccard/minhash whole-doc dedup.
+
+    Shuffle shape: one co-group on hash(window string) — pairs are
+    enumerated only inside equal-window runs (bounded by true passage
+    duplication) with per-bucket partial counts — then one coarse
+    pair-key bucket sum.  Oracle: ``oracle.shared_passage_pairs_sql``
+    (same windows via the generalized shingle CTE, plain pair-count SQL).
+    """
+    S = docs.map_batches(lambda t: shingle_rows_batch(t, w), batch_format="pyarrow")
+    s_tag = S.map_batches(
+        lambda t: pa.table(
+            {
+                "bucket": pa.array(_str_bucket(t["sh"].to_pylist(), nbuckets), pa.int64()),
+                "sh": t["sh"],
+                "doc_id": t["doc_id"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    PKSHIFT = np.int64(1) << np.int64(31)
+
+    def _pair_counts(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sh", "doc_id"], kind="mergesort")
+        sh = g["sh"].to_numpy(object)
+        ids = g["doc_id"].to_numpy(np.int64)
+        same = sh[1:] == sh[:-1]
+        bounds = np.flatnonzero(~same) + 1
+        starts = np.concatenate([[0], bounds])
+        ends = np.concatenate([bounds, [len(g)]])
+        pks = []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            run = np.unique(ids[s:e])
+            if len(run) < 2:
+                continue
+            ia, ib = np.triu_indices(len(run), k=1)
+            pks.append(run[ia] * PKSHIFT + run[ib])
+        if not pks:
+            return pd.DataFrame(
+                {
+                    "bucket": pd.array([], "int64"),
+                    "pk": pd.array([], "int64"),
+                    "part_n": pd.array([], "int64"),
+                }
+            )
+        pk = np.concatenate(pks)
+        uniq, counts = np.unique(pk, return_counts=True)
+        return pd.DataFrame(
+            {
+                "bucket": _mix_bucket(uniq, np.zeros(len(uniq), np.int64), nbuckets),
+                "pk": uniq,
+                "part_n": counts.astype(np.int64),
+            }
+        )
+
+    def _pair_sum(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("pk", sort=False)["part_n"].sum()
+        pk = s.index.to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_a": pk >> 31,
+                "doc_b": pk & 0x7FFFFFFF,
+                "shared_windows": s.to_numpy(np.int64),
+            }
+        )
+
+    return (
+        s_tag.groupby("bucket")
+        .map_groups(_pair_counts, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(_pair_sum, batch_format="pandas")
+    )
+
+
 def ngram_novelty(docs, n_words: int = 3, nbuckets: int = DEFAULT_NBUCKETS):
     """Per-document n-gram NOVELTY score — the standard curation signal
     for boilerplate-heavy web corpora: the permille fraction of a doc's

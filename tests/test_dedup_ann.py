@@ -321,6 +321,22 @@ def test_star_cap_oracle_parity(ray_session):
     pd.testing.assert_frame_equal(sh[sorted(sh.columns)], sh_sql[sorted(sh_sql.columns)])
 
 
+def test_shared_passage_pairs_planted(ray_session):
+    """Two docs sharing one 8-token quoted passage but otherwise disjoint
+    must pair up; unrelated docs must not."""
+    import ray.data as rd
+
+    quote = "the quick brown fox jumps over lazy dogs"  # 8 tokens
+    rows = [
+        {"doc_id": 1, "text": f"intro words here {quote} completely different tail one"},
+        {"doc_id": 2, "text": f"other opening {quote} and some unrelated ending text"},
+        {"doc_id": 3, "text": "nothing in common with anyone else at all here today"},
+    ]
+    out = dedup.shared_passage_pairs(rd.from_items(rows), w=8).to_pandas()
+    assert set(zip(out["doc_a"], out["doc_b"])) == {(1, 2)}
+    assert int(out["shared_windows"].iloc[0]) == 1
+
+
 def test_unicode_whitespace_tokenization_parity(ray_session):
     """ADVICE r2: engine tokenization must match RE2 '[\\t\\n\\f\\r ]+'
     exactly — Python str.split() also splits U+00A0/U+2028 and re.ASCII

@@ -134,6 +134,7 @@ def test_tile_counts_salted_parity(ray_session, con):
         "ann_topk_quantized",
         "ngram_jaccard_pairs",
         "ngram_novelty",
+        "shared_passage_pairs",
         "minhash_dup_pairs",
         "simhash_dup_pairs",
         "dedup_clusters",
