@@ -651,6 +651,42 @@ SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY u
 """
 
 
+def token_cms_topk_sql(k: int = 20) -> str:
+    """CMS replica: bucket sums per hash row over the full vocabulary,
+    min over rows for the exact top-k tokens — same constants
+    (stages/sketch.py CMS_*), same polynomial hash, exact BIGINT."""
+    from .functions.text import ROLL_MOD, rolling_fingerprint_sql
+    from .stages.sketch import CMS_A, CMS_B, CMS_D, CMS_W
+
+    bucket_cols = ", ".join(
+        f"(({CMS_A[j]} * ph + {CMS_B[j]}) % {ROLL_MOD}) % {CMS_W} AS h{j}"
+        for j in range(CMS_D)
+    )
+    bs = ",\n".join(
+        f"bs{j} AS (SELECT h{j}, CAST(SUM(n) AS BIGINT) AS s FROM b GROUP BY 1)"
+        for j in range(CMS_D)
+    )
+    joins = "\n".join(f"JOIN bs{j} ON bs{j}.h{j} = b.h{j}" for j in range(CMS_D))
+    least = ", ".join(f"bs{j}.s" for j in range(CMS_D))
+    return f"""
+WITH toks0 AS (
+    SELECT list_filter(regexp_split_to_array(lower(text), '{WS_SPLIT_PATTERN}'), x -> x <> '') AS ts
+    FROM documents
+),
+tok AS (SELECT unnest(ts) AS token FROM toks0),
+c AS (SELECT token, COUNT(*) AS n FROM tok GROUP BY 1),
+h AS (SELECT token, n, {rolling_fingerprint_sql('token')} AS ph FROM c),
+b AS (SELECT token, n, {bucket_cols} FROM h),
+{bs},
+topk AS (SELECT token, n FROM c ORDER BY n DESC, token ASC LIMIT {k})
+SELECT t.token, CAST(t.n AS BIGINT) AS n,
+       CAST(LEAST({least}) AS BIGINT) AS est_n
+FROM topk t
+JOIN b ON b.token = t.token
+{joins}
+"""
+
+
 def token_histogram_sql(k: int = 100) -> str:
     return f"""
 WITH toks0 AS (

@@ -739,6 +739,56 @@ def token_histogram(sf_dir: str, k: int = 100):
     )
 
 
+def token_cms_topk(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """Count-Min-Sketch point estimates for the exact top-k tokens —
+    a mergeable sketch that is EXACT integer arithmetic end to end
+    (counters are sums, the estimate a min of bucket sums over the
+    SQL-replicable polynomial hash), so unlike HLL it hash-matches a
+    DuckDB oracle.  Output (token, n, est_n); est_n >= n always (CMS
+    one-sided error).
+
+    Distributed shape: the (CMS_D x CMS_W) counter matrix is ONE
+    mergeable AggregateFn over the documents stream (merge-order
+    independent); the top-k token list comes from the exact
+    token_histogram pipeline (k rows to the driver — final result)."""
+    import pyarrow as pa  # noqa: F811
+    from ray.data.aggregate import AggregateFn
+
+    from .functions.text import rolling_fingerprint_batch, ws_tokens
+    from .stages.ann import ray_agg_result
+    from .stages.sketch import CMS_D, CMS_W, cms_accumulate, cms_estimate
+
+    def _acc_block(acc: np.ndarray, block) -> np.ndarray:
+        t = block if isinstance(block, pa.Table) else pa.Table.from_pandas(block)
+        toks: list[str] = []
+        for s in t["text"].to_pylist():
+            toks.extend(ws_tokens(s.lower()))
+        if not toks:
+            return acc
+        uniq, counts = np.unique(np.asarray(toks, object), return_counts=True)
+        ph = rolling_fingerprint_batch(pd.Series(uniq))
+        return cms_accumulate(acc.copy(), ph, counts.astype(np.int64))
+
+    agg = AggregateFn(
+        init=lambda k_: np.zeros((CMS_D, CMS_W), np.int64),
+        merge=lambda a, b: a + b,
+        accumulate_block=_acc_block,
+        name="cms",
+    )
+    acc = np.asarray(ray_agg_result(_docs(sf_dir).aggregate(agg), "cms"))
+
+    top = token_histogram(sf_dir, k).to_pandas()
+    ph = rolling_fingerprint_batch(pd.Series(top["token"].to_numpy(object)))
+    est = cms_estimate(acc, ph)
+    return pd.DataFrame(
+        {
+            "token": top["token"].to_numpy(object),
+            "n": top["n"].to_numpy(np.int64),
+            "est_n": est,
+        }
+    )
+
+
 #: near-dup drop sets are deterministic per sf_dir; computing the
 #: pair+CC pipeline once and reusing it across the queries that apply it
 #: (documents_near_deduped, curated_documents) saves a full recompute

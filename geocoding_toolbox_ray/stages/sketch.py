@@ -69,3 +69,44 @@ def hll_estimate(regs: np.ndarray) -> float:
     if est <= 2.5 * HLL_M and zeros:
         est = HLL_M * np.log(HLL_M / zeros)  # small-range correction
     return float(est)
+
+
+# -------------------------------------------------- Count-Min Sketch (CMS)
+#
+# Unlike HLL (whose ln-based estimate can't hash-match SQL), a CMS is
+# EXACT integer arithmetic end to end: counters are sums, the estimate is
+# a min of bucket sums — so the whole sketch is oracle-checkable with the
+# repo's SQL-replicable hash family (h_j(t) = (a_j*poly(t)+b_j) mod p
+# mod w; every product < 2^62).  Counters merge by +, so Ray's
+# nondeterministic merge order cannot change the result.
+
+CMS_D = 3
+CMS_W = 1024
+#: (a_j, b_j) pairwise-independent-hash constants < 2^31 (fixed primes)
+CMS_A = (1000003, 1000033, 1000037)
+CMS_B = (12345, 67891, 24681)
+
+
+def cms_bucket(poly_hashes: np.ndarray, j: int) -> np.ndarray:
+    """Row-j CMS bucket of SQL-replicable polynomial token hashes."""
+    from ..functions.text import ROLL_MOD
+
+    h = poly_hashes.astype(np.int64)
+    return ((CMS_A[j] * h + CMS_B[j]) % ROLL_MOD) % CMS_W
+
+
+def cms_accumulate(acc: np.ndarray, tokens: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Add (token poly-hash, count) pairs into a (CMS_D, CMS_W) counter
+    matrix — pure sums, merge-order independent."""
+    for j in range(CMS_D):
+        np.add.at(acc[j], cms_bucket(tokens, j), counts)
+    return acc
+
+
+def cms_estimate(acc: np.ndarray, poly_hashes: np.ndarray) -> np.ndarray:
+    """Point estimates: min over rows of the bucket counters (classic CMS
+    one-sided overestimate)."""
+    ests = np.stack(
+        [acc[j][cms_bucket(poly_hashes, j)] for j in range(CMS_D)]
+    )
+    return ests.min(axis=0).astype(np.int64)

@@ -139,6 +139,7 @@ def test_tile_counts_salted_parity(ray_session, con):
         "simhash_dup_pairs",
         "dedup_clusters",
         "geocode_pages",
+        "geocode_pages_dedup",
         "curate_pages",
         "distinct_orders_per_returnflag",
         "distinct_orders_per_returnflag_salted",
@@ -146,6 +147,7 @@ def test_tile_counts_salted_parity(ray_session, con):
         "media_frames",
         "streaming_user_state",
         "token_histogram",
+        "token_cms_topk",
         "documents_near_deduped",
         "curated_documents",
         "contamination_flags",
