@@ -137,6 +137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_frames": q.media_frames,
         "ann_topk_quantized": q.ann_topk_quantized,
         "streaming_user_state": q.streaming_user_state,
+        "streaming_watermark": q.streaming_watermark,
         "events_window": q.events_window,
         "events_sliding_window": q.events_sliding_window,
         "events_asof_join": q.events_asof_join,
@@ -226,6 +227,7 @@ def oracle_sql() -> dict[str, str]:
         "media_frames": oracle.media_frames_sql(),
         "ann_topk_quantized": oracle.ann_topk_quantized_sql(),
         "streaming_user_state": oracle.streaming_user_state_sql(),
+        "streaming_watermark": oracle.streaming_watermark_sql(),
         "events_window": oracle.events_window_sql(),
         "events_sliding_window": oracle.events_sliding_window_sql(),
         "events_asof_join": oracle.events_asof_join_sql(),

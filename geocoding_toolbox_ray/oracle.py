@@ -1023,6 +1023,39 @@ FROM events GROUP BY 1
 """
 
 
+def streaming_watermark_sql() -> str:
+    """Watermark drop rule as one window function: per-user running max
+    ts over the SAME deterministic arrival order (16-block reversal of
+    event_id — stages/streaming.py arrival_key), an event is late when
+    its ts trails that max by more than the allowed lateness."""
+    from .stages.streaming import WATERMARK_LATENESS_US
+
+    return f"""
+WITH w AS (
+    SELECT user_id, epoch_us(ts) AS tsu,
+           CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
+           MAX(epoch_us(ts)) OVER (
+               PARTITION BY user_id
+               ORDER BY (event_id // 16) * 16 + 15 - (event_id % 16)
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ) AS wm
+    FROM events
+),
+f AS (
+    SELECT *,
+           CASE WHEN wm IS NOT NULL AND tsu < wm - {WATERMARK_LATENESS_US}
+                THEN 1 ELSE 0 END AS late
+    FROM w
+)
+SELECT user_id,
+       CAST(SUM(1 - late) AS BIGINT) AS n_kept,
+       CAST(COALESCE(SUM(CASE WHEN late = 0 THEN cents END), 0) AS BIGINT)
+           AS kept_cents,
+       CAST(SUM(late) AS BIGINT) AS n_late
+FROM f GROUP BY 1
+"""
+
+
 def events_asof_join_sql() -> str:
     return """
 WITH purchases AS (

@@ -1021,6 +1021,17 @@ def streaming_user_state(sf_dir: str) -> pa.Table:
     return run_incremental(ev)
 
 
+def streaming_watermark(sf_dir: str) -> pa.Table:
+    """Event-time watermark / late-data semantics: events arrive in a
+    deterministic scrambled order (16-block reversal of event_id) and
+    per-user rows older than max-seen ts minus 1h are dropped as LATE —
+    counted separately from the kept aggregates."""
+    from .stages.streaming import run_incremental_watermark
+
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    return run_incremental_watermark(ev)
+
+
 # ------------------------------------------------------------ multimodal
 
 def _media_from_docs(sf_dir: str):

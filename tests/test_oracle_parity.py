@@ -146,6 +146,7 @@ def test_tile_counts_salted_parity(ray_session, con):
         "media_features",
         "media_frames",
         "streaming_user_state",
+        "streaming_watermark",
         "token_histogram",
         "token_cms_topk",
         "documents_near_deduped",

@@ -61,3 +61,49 @@ def test_incremental_state_mid_stream(ray_session):
     )
     assert got["n_events"].tolist() == expect["n_events"].tolist()
     assert got["value_cents"].tolist() == expect["value_cents"].tolist()
+
+
+def test_watermark_drops_planted_late_rows(ray_session):
+    """A row arriving (by arrival order) with ts far older than the
+    user's max-seen ts must be counted late and excluded from kept
+    aggregates; slightly-old rows inside the lateness bound are kept."""
+    import ray.data as rd
+
+    from geocoding_toolbox_ray.stages.streaming import run_incremental_watermark
+
+    base = pd.Timestamp("2024-01-01")
+    hours = {0: 0, 1: 24, 2: 23.5, 3: 20, 15: 48}
+    # arrival_key reverses 16-blocks: event_ids 0..15 ARRIVE as 15..0.
+    # user 7: event 15 arrives FIRST (ts 48h, kept, watermark 48h);
+    # events 3/2/1/0 then all trail 48h - 1h -> late.
+    rows = []
+    for eid, h in hours.items():
+        rows.append(
+            {
+                "event_id": eid,
+                "user_id": 7,
+                "ts": base + pd.Timedelta(hours=h),
+                "value": 1.0,
+            }
+        )
+    # user 8: two rows 30 min apart, reversed arrival -> still kept
+    rows.append({"event_id": 4, "user_id": 8, "ts": base + pd.Timedelta(minutes=30), "value": 2.0})
+    rows.append({"event_id": 5, "user_id": 8, "ts": base, "value": 3.0})
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    out = (
+        run_incremental_watermark(ds, n_buckets=2)
+        .to_pandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    # user 7 arrival order by eid: 15, 3, 2, 1, 0 -> first kept (48h),
+    # 20h late, 23.5h late, 24h late, 0h late
+    assert out.loc[7, "n_kept"] == 1
+    assert out.loc[7, "n_late"] == 4
+    assert out.loc[7, "kept_cents"] == 100
+    # user 8 arrival order: eid 5 (ts 0) then eid 4 (ts +30min)?  16-block
+    # reversal maps 4 -> 11 and 5 -> 10, so eid 5 arrives first; both kept
+    # (30 min < 1h lateness)
+    assert out.loc[8, "n_kept"] == 2
+    assert out.loc[8, "n_late"] == 0
+    assert out.loc[8, "kept_cents"] == 500
