@@ -100,6 +100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_assign_lineitem": q.tile_assign_lineitem,
         "tile_counts": q.tile_counts,
         "tile_counts_salted": q.tile_counts_salted,
+        "tile_pyramid": q.tile_pyramid,
         "distinct_orders_per_returnflag": q.distinct_orders_per_returnflag,
         "distinct_orders_per_returnflag_salted": q.distinct_orders_per_returnflag_salted,
         # --- geocode parameter variants + join/skew/sampling (oracle-checked) ---
@@ -192,6 +193,7 @@ def oracle_sql() -> dict[str, str]:
         "tile_assign_lineitem": oracle.tile_assign_lineitem_sql(),
         "tile_counts": oracle.tile_counts_sql(),
         "tile_counts_salted": oracle.tile_counts_sql(),
+        "tile_pyramid": oracle.tile_pyramid_sql(),
         "distinct_orders_per_returnflag": oracle.distinct_orders_per_returnflag_sql(),
         "distinct_orders_per_returnflag_salted": oracle.distinct_orders_per_returnflag_sql(),
         "geocode_orders_centerlines": oracle.geocode_orders_centerlines_sql(),

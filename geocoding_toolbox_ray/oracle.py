@@ -352,6 +352,24 @@ def tile_assign_lineitem_sql() -> str:
     )
 
 
+def tile_pyramid_sql(levels: int = 4) -> str:
+    """Pyramid rollup oracle: parent tiles are exact integer halvings."""
+    from .functions.tiles import DEFAULT_ZOOM
+
+    tx, ty = tile_assign_sql("qx", "qy")
+    sel = "\nUNION ALL\n".join(
+        f"SELECT {DEFAULT_ZOOM - lv} AS zoom, tx // {1 << lv} AS tile_x, "
+        f"ty // {1 << lv} AS tile_y FROM t"
+        for lv in range(levels)
+    )
+    return (
+        "WITH qpts AS (" + _uniform_points_select() + "), "
+        f"t AS (SELECT {tx} AS tx, {ty} AS ty FROM qpts), "
+        f"lv AS ({sel}) "
+        "SELECT zoom, tile_x, tile_y, COUNT(*) AS n FROM lv GROUP BY 1, 2, 3"
+    )
+
+
 def distinct_orders_per_returnflag_sql() -> str:
     """Shared oracle for the salted AND unsalted hot-key distinct — the
     value-salted shuffle must be output-invisible."""

@@ -171,6 +171,14 @@ def tile_counts_salted(sf_dir: str):
     return _f(sf_dir)
 
 
+def tile_pyramid(sf_dir: str):
+    """Web-map pyramid build: per-tile counts at 4 zoom levels in one
+    pass (parents = exact integer halvings of child tiles)."""
+    from .pipelines.spatial import tile_pyramid as _f
+
+    return _f(sf_dir)
+
+
 def distinct_orders_per_returnflag_salted(sf_dir: str):
     """COUNT(DISTINCT l_orderkey) per l_returnflag via the two-phase
     VALUE-salted shuffle (VERDICT r2 #6): l_returnflag has only 3 values

@@ -143,6 +143,7 @@ def test_tile_counts_salted_parity(ray_session, con):
         "curate_pages",
         "distinct_orders_per_returnflag",
         "distinct_orders_per_returnflag_salted",
+        "tile_pyramid",
         "media_features",
         "media_frames",
         "streaming_user_state",
