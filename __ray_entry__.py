@@ -130,6 +130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curated_documents": q.curated_documents,
         "token_histogram": q.token_histogram,
         "token_cms_topk": q.token_cms_topk,
+        "sequence_packing": q.sequence_packing,
         "contamination_flags": q.contamination_flags,
         "redact_documents": q.redact_documents,
         "split_assignment": q.split_assignment,
@@ -221,6 +222,7 @@ def oracle_sql() -> dict[str, str]:
         "curated_documents": oracle.curated_documents_sql(),
         "token_histogram": oracle.token_histogram_sql(),
         "token_cms_topk": oracle.token_cms_topk_sql(),
+        "sequence_packing": oracle.sequence_packing_sql(),
         "contamination_flags": oracle.contamination_flags_sql(),
         "redact_documents": oracle.redact_documents_sql(),
         "split_assignment": oracle.split_assignment_sql(),

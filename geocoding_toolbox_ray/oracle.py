@@ -669,6 +669,26 @@ SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY u
 """
 
 
+def sequence_packing_sql(max_len: int = 2048) -> str:
+    """Packing layout as one window cumsum (exclusive)."""
+    from .functions.text import token_count_sql
+
+    return f"""
+WITH c AS (SELECT doc_id, {token_count_sql('text')} AS n_tokens FROM documents),
+s AS (
+    SELECT doc_id, n_tokens,
+           CAST(COALESCE(SUM(n_tokens) OVER (
+               ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS BIGINT) AS cum
+    FROM c
+)
+SELECT doc_id, n_tokens,
+       CAST(cum // {max_len} AS BIGINT) AS seq_id,
+       CAST(cum % {max_len} AS BIGINT) AS seq_offset
+FROM s
+"""
+
+
 def token_cms_topk_sql(k: int = 20) -> str:
     """CMS replica: bucket sums per hash row over the full vocabulary,
     min over rows for the exact top-k tokens — same constants

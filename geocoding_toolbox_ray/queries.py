@@ -747,6 +747,50 @@ def token_histogram(sf_dir: str, k: int = 100):
     )
 
 
+SEQ_PACK_MAXLEN = 2048
+
+
+def sequence_packing(sf_dir: str, max_len: int = SEQ_PACK_MAXLEN):
+    """LLM training-sequence packing layout: concatenate documents in
+    doc_id order and split into fixed ``max_len``-token sequences — each
+    doc gets (seq_id, seq_offset) via a DISTRIBUTED exclusive prefix sum
+    of token counts (stages/scan.py: range-bucket partials, driver holds
+    only B bucket scalars, within-bucket vectorized cumsum).  Oracle:
+    one SQL window cumsum."""
+    import pyarrow.parquet as pq
+
+    from .functions.text import token_count
+    from .stages.scan import ordered_prefix_sum
+
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+
+    def _counts(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": pa.array(token_count(t["text"]), pa.int64()),
+            }
+        )
+
+    counts = _docs(sf_dir).map_batches(_counts, batch_format="pyarrow")
+    scanned = ordered_prefix_sum(
+        counts, "doc_id", "n_tokens", max_key=n_docs + 1
+    )
+
+    def _layout(t: pa.Table) -> pa.Table:
+        cum = np.asarray(t["cum_prev"].to_numpy(zero_copy_only=False), np.int64)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": t["n_tokens"],
+                "seq_id": pa.array(cum // max_len, pa.int64()),
+                "seq_offset": pa.array(cum % max_len, pa.int64()),
+            }
+        )
+
+    return scanned.map_batches(_layout, batch_format="pyarrow")
+
+
 def token_cms_topk(sf_dir: str, k: int = 20) -> pd.DataFrame:
     """Count-Min-Sketch point estimates for the exact top-k tokens —
     a mergeable sketch that is EXACT integer arithmetic end to end

@@ -150,6 +150,7 @@ def test_tile_counts_salted_parity(ray_session, con):
         "streaming_watermark",
         "token_histogram",
         "token_cms_topk",
+        "sequence_packing",
         "documents_near_deduped",
         "curated_documents",
         "contamination_flags",

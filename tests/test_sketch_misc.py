@@ -152,3 +152,30 @@ def test_shuffle_and_repartition_preserve_rows(ray_session):
     assert sorted(shuffled.to_pandas()["o_orderkey"]) == base
     repart = ds.repartition(8)
     assert sorted(repart.to_pandas()["o_orderkey"]) == base
+
+
+def test_ordered_prefix_sum_matches_numpy(ray_session):
+    """Distributed exclusive scan == numpy cumsum over the key order,
+    regardless of input block order."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geocoding_toolbox_ray.stages.scan import ordered_prefix_sum
+
+    rng = np.random.RandomState(7)
+    n = 5000
+    keys = rng.permutation(n).astype(np.int64)  # scrambled input order
+    vals = rng.randint(1, 50, n).astype(np.int64)
+    ds = rd.from_arrow(
+        pa.table({"k": pa.array(keys), "v": pa.array(vals)})
+    ).repartition(13)
+    out = (
+        ordered_prefix_sum(ds, "k", "v", max_key=n)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    order = np.argsort(keys)
+    expect = np.concatenate([[0], np.cumsum(vals[order][:-1])])
+    assert out["cum_prev"].to_numpy(np.int64).tolist() == expect.tolist()
