@@ -669,6 +669,36 @@ SELECT u AS doc_id, MIN(v) AS cluster_id FROM reach GROUP BY u
 """
 
 
+def document_chunks_sql(size: int = 512, stride: int = 384) -> str:
+    """Sliding-window chunk rows via list slicing — same tokenization
+    (WS_SPLIT_PATTERN), same integer chunk-count rule as the engine."""
+    return f"""
+WITH toks0 AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '{WS_SPLIT_PATTERN}'), x -> x <> '') AS ts
+    FROM documents
+),
+nc AS (
+    SELECT doc_id, ts, len(ts) AS n,
+           CASE WHEN len(ts) > {size}
+                THEN 1 + (len(ts) - {size} + {stride} - 1) // {stride}
+                ELSE 1 END AS n_chunks
+    FROM toks0
+),
+k AS (
+    SELECT doc_id, ts, n,
+           unnest(generate_series(0, n_chunks - 1)) AS chunk_id
+    FROM nc
+)
+SELECT doc_id, chunk_id,
+       array_to_string(ts[chunk_id * {stride} + 1 : chunk_id * {stride} + {size}], ' ')
+           AS chunk_text,
+       CAST(least({size}, greatest(n - chunk_id * {stride}, 0)) AS BIGINT)
+           AS n_chunk_tokens
+FROM k
+"""
+
+
 def sequence_packing_sql(max_len: int = 2048) -> str:
     """Packing layout as one window cumsum (exclusive)."""
     from .functions.text import token_count_sql

@@ -747,6 +747,43 @@ def token_histogram(sf_dir: str, k: int = 100):
     )
 
 
+CHUNK_SIZE = 512
+CHUNK_STRIDE = 384
+
+
+def document_chunks(sf_dir: str, size: int = CHUNK_SIZE, stride: int = CHUNK_STRIDE):
+    """Sliding-window document chunking for training (size-token chunks,
+    stride overlap): every doc emits chunk rows (doc_id, chunk_id,
+    chunk_text, n_chunk_tokens); a new chunk starts only while the
+    previous one did not already reach the end.  Token rule shared with
+    the oracle: n_chunks = 1 + ceil((n - size)/stride) for n > size."""
+    from .functions.text import ws_tokens
+
+    def _chunks(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"].to_numpy(zero_copy_only=False), np.int64)
+        out_doc, out_k, out_text, out_n = [], [], [], []
+        for did, txt in zip(ids, t["text"].to_pylist()):
+            toks = ws_tokens(txt.lower())
+            n = len(toks)
+            extra = (n - size + stride - 1) // stride if n > size else 0
+            for k in range(1 + extra):
+                part = toks[k * stride : k * stride + size]
+                out_doc.append(did)
+                out_k.append(k)
+                out_text.append(" ".join(part))
+                out_n.append(len(part))
+        return pa.table(
+            {
+                "doc_id": pa.array(np.asarray(out_doc, np.int64), pa.int64()),
+                "chunk_id": pa.array(np.asarray(out_k, np.int64), pa.int64()),
+                "chunk_text": pa.array(out_text, pa.string()),
+                "n_chunk_tokens": pa.array(np.asarray(out_n, np.int64), pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(_chunks, batch_format="pyarrow")
+
+
 SEQ_PACK_MAXLEN = 2048
 
 
