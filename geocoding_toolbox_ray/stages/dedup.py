@@ -1104,7 +1104,55 @@ def ngram_novelty(docs, n_words: int = 3, nbuckets: int = DEFAULT_NBUCKETS):
     )
 
 
-def dedup_clusters(pairs, max_rounds: int = 50, nbuckets: int | None = None):
+#: below this edge count the whole component graph fits one task
+#: comfortably — the bucketed rounds' fixed Ray overhead (~2 s/round)
+#: would dominate, so solve it in ONE remote task with vectorized
+#: pointer-jumping instead.  At web scale (heavy duplication) the edge
+#: volume crosses the threshold and the distributed rounds take over.
+SMALL_GRAPH_EDGES = 1_000_000
+
+
+@_lazy_remote
+def _cc_small_task(refs):
+    """Single-task connected components: gather (node, dst) edge blocks,
+    vectorized min-label propagation + pointer jumping (O(log n) numpy
+    rounds).  cluster_id = smallest doc_id in the component (nodes are
+    sorted ascending, so the smallest label INDEX is the smallest id)."""
+    import ray
+
+    us, vs = [], []
+    for r in refs:
+        blk = ray.get(r)
+        us.append(_block_column(blk, "node"))
+        vs.append(_block_column(blk, "dst"))
+    u = np.concatenate(us) if us else np.zeros(0, np.int64)
+    v = np.concatenate(vs) if vs else np.zeros(0, np.int64)
+    nodes, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+    a, b = inv[: len(u)], inv[len(u) :]
+    lbl = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        m = np.minimum(lbl[a], lbl[b])
+        new = lbl.copy()
+        np.minimum.at(new, a, m)
+        np.minimum.at(new, b, m)
+        new = np.minimum(new, new[new])  # pointer jumping
+        if np.array_equal(new, lbl):
+            break
+        lbl = new
+    return pa.table(
+        {
+            "doc_id": pa.array(nodes, pa.int64()),
+            "cluster_id": pa.array(nodes[lbl], pa.int64()),
+        }
+    )
+
+
+def dedup_clusters(
+    pairs,
+    max_rounds: int = 50,
+    nbuckets: int | None = None,
+    small_graph_edges: int = SMALL_GRAPH_EDGES,
+):
     """Near-dup pair list -> cluster assignment (doc_id, cluster_id) via
     min-label propagation, expressed as bucketed co-group rounds
     (VERDICT r1 #2 rewrite: no per-node ``map_groups`` dispatch, no
@@ -1139,10 +1187,20 @@ def dedup_clusters(pairs, max_rounds: int = 50, nbuckets: int | None = None):
     edges0 = pairs.map_batches(
         lambda t: _sym(t.select(["doc_a", "doc_b"])), batch_format="pyarrow"
     ).materialize()
+    n_edges = edges0.count()
+    if n_edges <= small_graph_edges:
+        # scale-adaptive fast path: one remote task, vectorized pointer
+        # jumping — the bucketed rounds below cost ~2 s of fixed Ray
+        # overhead PER ROUND, which dwarfs a small graph's actual work
+        import ray
+        import ray.data as rd
+
+        refs = [br for bd in edges0.iter_internal_ref_bundles() for br in bd.block_refs]
+        return rd.from_arrow(ray.get(_cc_small_task.remote(refs)))
     if nbuckets is None:
         # per-round dispatch cost is paid once per bucket, so size the
         # bucket count to the (known, materialized) edge volume
-        nbuckets = max(8, (edges0.count() + TARGET_BUCKET_ROWS - 1) // TARGET_BUCKET_ROWS)
+        nbuckets = max(8, (n_edges + TARGET_BUCKET_ROWS - 1) // TARGET_BUCKET_ROWS)
 
     def _bucket_of(nodes: np.ndarray) -> np.ndarray:
         return _mix_bucket(nodes, np.zeros(len(nodes), np.int64), nbuckets)

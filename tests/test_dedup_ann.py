@@ -229,20 +229,24 @@ def test_dedup_clusters_min_label(ray_session):
 
 def test_dedup_clusters_chain_converges(ray_session):
     """A 5-node path needs multiple propagation rounds (label travels one
-    hop per round); validates the multi-round fixpoint + convergence
-    aggregate without burning minutes of per-round Ray overhead."""
+    hop per round); validates the DISTRIBUTED multi-round fixpoint +
+    convergence aggregate (small_graph_edges=0 forces the bucketed path
+    past the round-3 single-task fast path), and that the fast path
+    produces identical labels."""
     import ray.data as rd
 
     from geocoding_toolbox_ray.stages.dedup import dedup_clusters
 
-    pairs = rd.from_items(
-        [{"doc_a": i, "doc_b": i + 1} for i in range(100, 104)]
-        + [{"doc_a": 200, "doc_b": 201}]
-    )
-    out = dedup_clusters(pairs).to_pandas()
+    items = [{"doc_a": i, "doc_b": i + 1} for i in range(100, 104)] + [
+        {"doc_a": 200, "doc_b": 201}
+    ]
+    out = dedup_clusters(rd.from_items(items), small_graph_edges=0).to_pandas()
     got = dict(zip(out["doc_id"], out["cluster_id"]))
     assert all(got[i] == 100 for i in range(100, 105))
     assert got[200] == got[201] == 200
+    fast = dedup_clusters(rd.from_items(items)).to_pandas()
+    got_fast = dict(zip(fast["doc_id"], fast["cluster_id"]))
+    assert got_fast == got
 
 
 def test_minhash_extreme_skew_star_cap(ray_session):
