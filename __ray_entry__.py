@@ -131,6 +131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_histogram": q.token_histogram,
         "token_cms_topk": q.token_cms_topk,
         "sequence_packing": q.sequence_packing,
+        "sequence_packing_shuffled": q.sequence_packing_shuffled,
         "document_chunks": q.document_chunks,
         "contamination_flags": q.contamination_flags,
         "redact_documents": q.redact_documents,
@@ -224,6 +225,7 @@ def oracle_sql() -> dict[str, str]:
         "token_histogram": oracle.token_histogram_sql(),
         "token_cms_topk": oracle.token_cms_topk_sql(),
         "sequence_packing": oracle.sequence_packing_sql(),
+        "sequence_packing_shuffled": oracle.sequence_packing_shuffled_sql(),
         "document_chunks": oracle.document_chunks_sql(),
         "contamination_flags": oracle.contamination_flags_sql(),
         "redact_documents": oracle.redact_documents_sql(),

@@ -719,6 +719,31 @@ FROM s
 """
 
 
+def sequence_packing_shuffled_sql(max_len: int = 2048) -> str:
+    """Shuffled packing: window cumsum ordered by the same deterministic
+    multiplicative-hash shuffle key (bijective mod 2^32 — no ties)."""
+    from .functions.text import token_count_sql
+
+    return f"""
+WITH c AS (
+    SELECT doc_id, {token_count_sql('text')} AS n_tokens,
+           (doc_id * 2654435761) % 4294967296 AS sk
+    FROM documents
+),
+s AS (
+    SELECT doc_id, n_tokens,
+           CAST(COALESCE(SUM(n_tokens) OVER (
+               ORDER BY sk ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS BIGINT) AS cum
+    FROM c
+)
+SELECT doc_id, n_tokens,
+       CAST(cum // {max_len} AS BIGINT) AS seq_id,
+       CAST(cum % {max_len} AS BIGINT) AS seq_offset
+FROM s
+"""
+
+
 def token_cms_topk_sql(k: int = 20) -> str:
     """CMS replica: bucket sums per hash row over the full vocabulary,
     min over rows for the exact top-k tokens — same constants

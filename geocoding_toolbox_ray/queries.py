@@ -828,6 +828,45 @@ def sequence_packing(sf_dir: str, max_len: int = SEQ_PACK_MAXLEN):
     return scanned.map_batches(_layout, batch_format="pyarrow")
 
 
+def sequence_packing_shuffled(sf_dir: str, max_len: int = SEQ_PACK_MAXLEN):
+    """Realistic training layout: documents are SHUFFLED first — a
+    deterministic multiplicative-hash order (odd multiplier mod 2^32 is a
+    bijection, so no ties) — then packed.  Same distributed prefix scan,
+    keyed on the shuffle key; oracle orders its window cumsum by the
+    identical hash expression."""
+    from .functions.text import token_count
+    from .stages.scan import ordered_prefix_sum
+
+    def _counts(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"].to_numpy(zero_copy_only=False), np.int64)
+        shuffle_key = (ids * 2654435761) % 4294967296
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "shuffle_key": pa.array(shuffle_key, pa.int64()),
+                "n_tokens": pa.array(token_count(t["text"]), pa.int64()),
+            }
+        )
+
+    counts = _docs(sf_dir).map_batches(_counts, batch_format="pyarrow")
+    scanned = ordered_prefix_sum(
+        counts, "shuffle_key", "n_tokens", max_key=4294967296
+    )
+
+    def _layout(t: pa.Table) -> pa.Table:
+        cum = np.asarray(t["cum_prev"].to_numpy(zero_copy_only=False), np.int64)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": t["n_tokens"],
+                "seq_id": pa.array(cum // max_len, pa.int64()),
+                "seq_offset": pa.array(cum % max_len, pa.int64()),
+            }
+        )
+
+    return scanned.map_batches(_layout, batch_format="pyarrow")
+
+
 def token_cms_topk(sf_dir: str, k: int = 20) -> pd.DataFrame:
     """Count-Min-Sketch point estimates for the exact top-k tokens —
     a mergeable sketch that is EXACT integer arithmetic end to end

@@ -151,6 +151,7 @@ def test_tile_counts_salted_parity(ray_session, con):
         "token_histogram",
         "token_cms_topk",
         "sequence_packing",
+        "sequence_packing_shuffled",
         "document_chunks",
         "documents_near_deduped",
         "curated_documents",
