@@ -150,6 +150,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_customers": q.top_customers,
         "value_band_join": q.value_band_join,
         "top_orders_per_customer": q.top_orders_per_customer,
+        # --- round-3 additions: weighted sampling, interval join, grouped
+        #     large-domain exact percentiles (all oracle-checked) ---
+        "weighted_sample_orders": q.weighted_sample_orders,
+        "orders_range_join": q.orders_range_join,
+        "orders_price_percentiles": q.orders_price_percentiles,
         # --- near-dup ops (exact SQL replicas incl. hash families).
         #     NOTE: every oracle-backed name MUST precede every rows-only
         #     entry — the driver checks registry order (round-2 verdict:
@@ -167,6 +172,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geocode_pages": _geocode_pages_query,
         "geocode_pages_dedup": _geocode_pages_dedup_query,
         "curate_pages": _curate_pages_query,
+        "pages_domain_cap": q.pages_domain_cap,
         # --- approximate ops (float metrics / sketches; rows-only, each
         #     pinned against ground truth in pytest) ---
         "ann_topk_cosine": q.ann_topk_cosine,
@@ -253,4 +259,8 @@ def oracle_sql() -> dict[str, str]:
         "geocode_pages": oracle.geocode_pages_sql(),
         "geocode_pages_dedup": oracle.geocode_pages_sql(),
         "curate_pages": oracle.curate_pages_sql(),
+        "pages_domain_cap": oracle.pages_domain_cap_sql(),
+        "weighted_sample_orders": oracle.weighted_sample_orders_sql(),
+        "orders_range_join": oracle.orders_range_join_sql(),
+        "orders_price_percentiles": oracle.orders_price_percentiles_sql(),
     }

@@ -1268,3 +1268,82 @@ WITH r AS (
 )
 SELECT event_type, event_id FROM r WHERE rn <= {per_group}
 """
+
+
+def weighted_sample_orders_sql() -> str:
+    """Weighted deterministic sampling: identical multiplicative-hash +
+    whole-dollar-weight integer arithmetic as the engine kernel."""
+    from .queries import WEIGHT_SAMPLE_SCALE
+
+    return (
+        "SELECT o_orderkey, o_custkey FROM orders "
+        f"WHERE ((o_orderkey * 2654435761) % 4294967296) % {WEIGHT_SAMPLE_SCALE} "
+        "< CAST(floor(o_totalprice + 0.5) AS BIGINT)"
+    )
+
+
+def orders_range_join_sql() -> str:
+    """Interval self-join reference: straight SQL range predicate; the
+    engine's bucketed searchsorted must count identically (microsecond
+    timestamp arithmetic is exact on both sides)."""
+    return """
+SELECT a.o_orderkey,
+       CAST(COUNT(b.o_orderkey) AS BIGINT) AS n_repeat
+FROM orders a
+LEFT JOIN orders b
+  ON b.o_custkey = a.o_custkey
+ AND b.o_orderkey <> a.o_orderkey
+ AND b.o_orderdate >= a.o_orderdate
+ AND b.o_orderdate < a.o_orderdate + INTERVAL 30 DAY
+GROUP BY a.o_orderkey
+"""
+
+
+def pages_domain_cap_sql(cap: int | None = None) -> str:
+    """Per-domain cap over the SQL-regenerated pages corpus: host from the
+    same url layout, rank = row_number() per host ordered by url."""
+    from .queries import DOMAIN_CAP
+
+    cap = DOMAIN_CAP if cap is None else cap
+    return f"""
+WITH {_pages_corpus_ctes()},
+ph AS (
+    SELECT url, regexp_extract(url, 'https://([^/]+)/', 1) AS host FROM pgtext
+),
+pr AS (
+    SELECT host, url,
+           row_number() OVER (PARTITION BY host ORDER BY url ASC) AS rnk
+    FROM ph
+)
+SELECT host, url, rnk FROM pr WHERE rnk <= {cap}
+"""
+
+
+def orders_price_percentiles_sql() -> str:
+    """Per-priority exact percentiles of price cents — same integer
+    percentile definition as doc_length_percentiles (smallest v with
+    cumulative count >= ceil(p * n / 1000))."""
+    from .queries import PERCENTILES_PM
+
+    ps = ", ".join(f"({p})" for p in PERCENTILES_PM)
+    return f"""
+WITH t AS (
+    SELECT o_orderpriority AS prio,
+           CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+    FROM orders
+),
+tot AS (SELECT prio, COUNT(*) AS n FROM t GROUP BY 1),
+c AS (SELECT prio, cents, COUNT(*) AS cnt FROM t GROUP BY 1, 2),
+cum AS (
+    SELECT prio, cents,
+           SUM(cnt) OVER (PARTITION BY prio ORDER BY cents) AS cum
+    FROM c
+),
+ps(p) AS (VALUES {ps})
+SELECT tot.prio AS o_orderpriority,
+       CAST(ps.p AS BIGINT) AS p_permille,
+       (SELECT MIN(cum.cents) FROM cum
+        WHERE cum.prio = tot.prio AND cum.cum >= (ps.p * tot.n + 999) // 1000)
+           AS price_cents
+FROM tot, ps
+"""

@@ -1683,3 +1683,272 @@ def stratified_sample_events(sf_dir: str, per_group: int = 3):
         return g[["event_type", "event_id"]]
 
     return ev.groupby("event_type").map_groups(_rank, batch_format="pandas")
+
+
+# ------------------------------------------ round-3 additions: curation /
+# joins / selection operators
+
+
+def weighted_sample_orders(sf_dir: str):
+    """Deterministic WEIGHTED sampling (importance sampling by order
+    value — the curation analogue of quality-weighted document sampling):
+    keep probability proportional to whole-dollar price / 500000 via the
+    same multiplicative hash family as ``sample_orders``.  All-integer
+    arithmetic on both engines, so the exact sample is oracle-checkable
+    (reference N3 sampling is RNG-based and is not)."""
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+
+    def _f(t: pa.Table) -> pa.Table:
+        k = np.asarray(t["o_orderkey"].to_numpy(zero_copy_only=False), np.int64)
+        dollars = np.floor(
+            np.asarray(t["o_totalprice"].to_numpy(zero_copy_only=False), np.float64)
+            + 0.5
+        ).astype(np.int64)
+        h = ((k * 2654435761) % 4294967296) % WEIGHT_SAMPLE_SCALE
+        return t.select(["o_orderkey", "o_custkey"]).filter(pa.array(h < dollars))
+
+    return orders.map_batches(_f, batch_format="pyarrow")
+
+
+WEIGHT_SAMPLE_SCALE = 500_000
+
+RANGE_JOIN_WINDOW_US = 30 * 86_400 * 1_000_000  # 30 days in microseconds
+
+
+def orders_range_join(sf_dir: str):
+    """Interval (range) self-join — a join class the as-of join does not
+    cover: for every order, count the OTHER orders by the same customer
+    dated within [d, d + 30 days).  Implemented as a bucketed co-shuffle
+    on hash(custkey) (never an all-pairs product): within each coarse
+    bucket rows are lexsorted by (custkey, date) and each customer segment
+    is answered by one vectorized ``searchsorted`` of the segment against
+    its shifted self — O(n log n) per bucket, pair set never materialized.
+    The per-segment loop runs once per customer-in-bucket with all row
+    work vectorized; bucket count scales via SESSION_BUCKETS."""
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    )
+
+    def _prep(t: pa.Table) -> pa.Table:
+        ck = np.asarray(t["o_custkey"].to_numpy(zero_copy_only=False), np.int64)
+        ts = np.asarray(
+            t["o_orderdate"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False),
+            np.int64,
+        )
+        return pa.table(
+            {
+                "bucket": pa.array((ck * 2654435761 % 2**32) % SESSION_BUCKETS, pa.int64()),
+                "o_custkey": pa.array(ck, pa.int64()),
+                "o_orderkey": t["o_orderkey"],
+                "ts": pa.array(ts, pa.int64()),
+            }
+        )
+
+    def _count(g: pd.DataFrame) -> pd.DataFrame:
+        ck = g["o_custkey"].to_numpy(np.int64)
+        ts = g["ts"].to_numpy(np.int64)
+        ok = g["o_orderkey"].to_numpy(np.int64)
+        order = np.lexsort((ts, ck))
+        ck, ts, ok = ck[order], ts[order], ok[order]
+        seg_starts = np.flatnonzero(np.r_[True, ck[1:] != ck[:-1]])
+        seg_ends = np.r_[seg_starts[1:], len(ck)]
+        n_rep = np.empty(len(ck), np.int64)
+        for s, e in zip(seg_starts, seg_ends):
+            sub = ts[s:e]
+            hi = np.searchsorted(sub, sub + RANGE_JOIN_WINDOW_US, side="left")
+            lo = np.searchsorted(sub, sub, side="left")
+            n_rep[s:e] = hi - lo - 1  # [d, d+30d) includes self at lo
+        return pd.DataFrame({"o_orderkey": ok, "n_repeat": n_rep})
+
+    return (
+        orders.map_batches(_prep, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_count, batch_format="pandas")
+    )
+
+
+DOMAIN_CAP = 3
+
+
+def pages_domain_cap(sf_dir: str, cap: int = DOMAIN_CAP):
+    """Per-domain document cap over the pages corpus (classic web-corpus
+    curation: bound any single host's contribution so boilerplate-heavy
+    sites cannot dominate the training mix): keep the first ``cap`` pages
+    per host in url order.  Per-batch partial capping bounds the shuffle
+    to <= cap rows per (batch, host); hosts are hashed into coarse buckets
+    (one map_groups dispatch per bucket) and the per-host rank is
+    recovered vectorized inside each bucket."""
+    from .functions.text import rolling_fingerprint_batch
+    from .sources.pages import generate_pages_dataset
+    from .stages.extract import filter_lang
+
+    pages = generate_pages_dataset(_nrows(sf_dir, "orders") * 2)
+
+    def _partial(t: pa.Table) -> pd.DataFrame:
+        t = filter_lang(t)
+        host = pa.compute.list_element(
+            pa.compute.split_pattern(t["url"].combine_chunks(), "/"), 2
+        )
+        df = pd.DataFrame(
+            {"host": host.to_pylist(), "url": t["url"].to_pylist()}
+        ).sort_values(["host", "url"], kind="mergesort")
+        df = df.loc[df.groupby("host", sort=False).cumcount() < cap]
+        df = df.assign(
+            bucket=rolling_fingerprint_batch(df["host"].tolist()) % SESSION_BUCKETS
+        )
+        return df
+
+    def _rank(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["host", "url"], kind="mergesort")
+        rnk = g.groupby("host", sort=False).cumcount().to_numpy() + 1
+        g = g.assign(rnk=rnk.astype(np.int64))
+        return g.loc[g["rnk"] <= cap, ["host", "url", "rnk"]]
+
+    return (
+        pages.map_batches(_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_rank, batch_format="pandas")
+    )
+
+
+COARSE_CENTS_SHIFT = 16  # pass-1 bin width: 2^16 cents (~$655)
+
+
+def orders_price_percentiles(sf_dir: str) -> pd.DataFrame:
+    """EXACT per-group percentiles over a LARGE value domain (price cents:
+    ~50M possible values, where ``doc_length_percentiles``'s one-shot
+    value-count histogram would be unbounded): two-pass distributed
+    selection.  Pass 1 builds a coarse histogram (cents >> 16 per
+    priority — bounded by value-domain/2^16 x n_groups, independent of
+    row count) via per-batch partials + a coarse-bucket reduce; the
+    driver locates the target coarse bin and residual rank for each
+    (priority, percentile).  Pass 2 re-streams the input, keeps only rows
+    in the <= |groups| x |percentiles| target bins (sorted-array
+    membership probe), and exact-counts values there through the same
+    bucketed reduce.  Driver memory stays bounded by the value domain
+    shift, never by row count."""
+    orders = _read(sf_dir, "orders", columns=["o_orderpriority", "o_totalprice"])
+
+    def _cents_of(df: pd.DataFrame) -> np.ndarray:
+        return np.floor(
+            df["o_totalprice"].to_numpy(np.float64) * 100.0 + 0.5
+        ).astype(np.int64)
+
+    def _partial_coarse(df: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            pd.DataFrame(
+                {
+                    "prio": df["o_orderpriority"].to_numpy(),
+                    "coarse": _cents_of(df) >> COARSE_CENTS_SHIFT,
+                }
+            )
+            .groupby(["prio", "coarse"], sort=False)
+            .size()
+            .reset_index(name="part_n")
+        )
+        out["part_n"] = out["part_n"].astype(np.int64)
+        out["bucket"] = (
+            out["coarse"].to_numpy(np.int64) * 2654435761 % 2**32
+        ) % SESSION_BUCKETS
+        return out
+
+    def _merge_counts(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.groupby(["prio", "coarse"], sort=False)["part_n"]
+            .sum()
+            .reset_index(name="n")
+        )
+
+    hist = (
+        orders.map_batches(_partial_coarse, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(_merge_counts, batch_format="pandas")
+        .to_pandas()
+    )
+
+    # driver side: locate (priority, percentile) -> (coarse bin, residual
+    # rank below that bin); the table is bounded by domain/2^16 x groups.
+    prios = sorted(hist["prio"].unique())
+    pid = {p: i for i, p in enumerate(prios)}
+    targets: list[tuple[str, int, int, int]] = []  # (prio, p, bin, need)
+    for p_name in prios:
+        h = hist.loc[hist["prio"] == p_name].sort_values("coarse")
+        cum = h["n"].cumsum().to_numpy(np.int64)
+        bins = h["coarse"].to_numpy(np.int64)
+        n = int(cum[-1])
+        for p in PERCENTILES_PM:
+            need = (p * n + 999) // 1000
+            i = int(np.searchsorted(cum, need))
+            below = int(cum[i - 1]) if i > 0 else 0
+            targets.append((p_name, p, int(bins[i]), need - below))
+
+    tkeys = np.unique(
+        np.array([pid[t[0]] * 4096 + t[2] for t in targets], np.int64)
+    )
+
+    # pass 2 ships only int64 keys through the shuffle (pid, not the
+    # priority string); empty partials stay all-int64 so Ray block schema
+    # inference never sees a zero-row object column.
+    _empty_partial = pd.DataFrame(
+        {
+            "pid": pd.array([], dtype="int64"),
+            "coarse": pd.array([], dtype="int64"),
+            "part_n": pd.array([], dtype="int64"),
+            "bucket": pd.array([], dtype="int64"),
+        }
+    )
+
+    def _partial_exact(df: pd.DataFrame) -> pd.DataFrame:
+        cents = _cents_of(df)
+        pids = df["o_orderpriority"].map(pid).to_numpy(np.int64)
+        key = pids * 4096 + (cents >> COARSE_CENTS_SHIFT)
+        idx = np.searchsorted(tkeys, key)
+        idx[idx == len(tkeys)] = 0
+        sel = tkeys[idx] == key
+        if not sel.any():
+            return _empty_partial
+        out = (
+            pd.DataFrame({"pid": pids[sel], "coarse": cents[sel]})
+            .groupby(["pid", "coarse"], sort=False)
+            .size()
+            .reset_index(name="part_n")
+        )
+        out["part_n"] = out["part_n"].astype(np.int64)
+        out["bucket"] = (
+            out["coarse"].to_numpy(np.int64) * 2654435761 % 2**32
+        ) % SESSION_BUCKETS
+        return out
+
+    def _merge_exact(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.groupby(["pid", "coarse"], sort=False)["part_n"]
+            .sum()
+            .reset_index(name="n")
+        )
+
+    exact = (
+        orders.map_batches(_partial_exact, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(_merge_exact, batch_format="pandas")
+        .to_pandas()
+    )
+
+    rows = []
+    for p_name, p, tbin, rank_in in targets:
+        e = exact.loc[
+            (exact["pid"] == pid[p_name])
+            & ((exact["coarse"].to_numpy(np.int64) >> COARSE_CENTS_SHIFT) == tbin)
+        ].sort_values("coarse")
+        cum = e["n"].cumsum().to_numpy(np.int64)
+        vals = e["coarse"].to_numpy(np.int64)
+        rows.append((p_name, p, int(vals[np.searchsorted(cum, rank_in)])))
+    rows.sort()
+    return pd.DataFrame(
+        {
+            "o_orderpriority": [r[0] for r in rows],
+            "p_permille": pd.array([r[1] for r in rows], "int64"),
+            "price_cents": pd.array([r[2] for r in rows], "int64"),
+        }
+    )

@@ -236,3 +236,55 @@ def test_knn_topk_join_parity(ray_session, con):
         entrymod.oracle_sql()["knn_topk_join"],
         con,
     )
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "weighted_sample_orders",
+        "orders_range_join",
+        "orders_price_percentiles",
+        "pages_domain_cap",
+    ],
+)
+def test_round3_additions_parity(name, ray_session, con):
+    import __ray_entry__ as entrymod
+
+    compare(entrymod.queries()[name](SF_DIR), entrymod.oracle_sql()[name], con)
+
+
+def test_orders_range_join_has_matches(ray_session):
+    """The interval join must have real signal: some orders repeat within
+    the 30-day window (guards against a degenerate all-zero fixture)."""
+    from geocoding_toolbox_ray import queries
+
+    df = queries.orders_range_join(SF_DIR).to_pandas()
+    assert (df["n_repeat"] > 0).any()
+    assert len(df) == df["o_orderkey"].nunique()
+
+
+def test_pages_domain_cap_semantics(ray_session):
+    """Cap invariants: never more than DOMAIN_CAP urls per host, ranks are
+    1..cap, and kept urls are the lexicographically smallest per host."""
+    from geocoding_toolbox_ray import queries
+
+    df = queries.pages_domain_cap(SF_DIR).to_pandas()
+    per_host = df.groupby("host").size()
+    assert (per_host <= queries.DOMAIN_CAP).all()
+    assert set(df["rnk"]) <= set(range(1, queries.DOMAIN_CAP + 1))
+
+
+def test_weighted_sample_orders_weighting(ray_session):
+    """Kept orders must skew high-value: the mean kept price exceeds the
+    input mean (the whole point of importance sampling)."""
+    import duckdb
+
+    from geocoding_toolbox_ray import queries
+
+    kept = queries.weighted_sample_orders(SF_DIR).to_pandas()
+    con2 = duckdb.connect()
+    full = con2.execute(
+        f"SELECT o_orderkey, o_totalprice FROM '{SF_DIR}/orders.parquet'"
+    ).df()
+    merged = full.merge(kept[["o_orderkey"]], on="o_orderkey")
+    assert merged["o_totalprice"].mean() > full["o_totalprice"].mean()
