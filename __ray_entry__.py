@@ -155,6 +155,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample_orders": q.weighted_sample_orders,
         "orders_range_join": q.orders_range_join,
         "orders_price_percentiles": q.orders_price_percentiles,
+        "bpe_pair_counts": q.bpe_pair_counts,
         # --- near-dup ops (exact SQL replicas incl. hash families).
         #     NOTE: every oracle-backed name MUST precede every rows-only
         #     entry — the driver checks registry order (round-2 verdict:
@@ -173,6 +174,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geocode_pages_dedup": _geocode_pages_dedup_query,
         "curate_pages": _curate_pages_query,
         "pages_domain_cap": q.pages_domain_cap,
+        "pages_host_reputation": q.pages_host_reputation,
         # --- approximate ops (float metrics / sketches; rows-only, each
         #     pinned against ground truth in pytest) ---
         "ann_topk_cosine": q.ann_topk_cosine,
@@ -260,6 +262,8 @@ def oracle_sql() -> dict[str, str]:
         "geocode_pages_dedup": oracle.geocode_pages_sql(),
         "curate_pages": oracle.curate_pages_sql(),
         "pages_domain_cap": oracle.pages_domain_cap_sql(),
+        "pages_host_reputation": oracle.pages_host_reputation_sql(),
+        "bpe_pair_counts": oracle.bpe_pair_counts_sql(),
         "weighted_sample_orders": oracle.weighted_sample_orders_sql(),
         "orders_range_join": oracle.orders_range_join_sql(),
         "orders_price_percentiles": oracle.orders_price_percentiles_sql(),

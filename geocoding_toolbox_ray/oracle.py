@@ -1347,3 +1347,45 @@ SELECT tot.prio AS o_orderpriority,
            AS price_cents
 FROM tot, ps
 """
+
+
+def bpe_pair_counts_sql(k: int = 50) -> str:
+    """Adjacent-token-pair top-k: identical RE2 tokenization as the engine
+    (WS_SPLIT_PATTERN), pairs joined with a single space, same
+    (n DESC, pair ASC) tie-break."""
+    return f"""
+WITH toks0 AS (
+    SELECT list_filter(regexp_split_to_array(lower(text), '{WS_SPLIT_PATTERN}'), x -> x <> '') AS ts
+    FROM documents
+),
+pr AS (
+    SELECT ts[i] || ' ' || ts[i + 1] AS pair
+    FROM (SELECT ts, unnest(generate_series(1, len(ts) - 1)) AS i FROM toks0)
+),
+c AS (SELECT pair, COUNT(*) AS n FROM pr GROUP BY 1)
+SELECT pair, n FROM c ORDER BY n DESC, pair ASC LIMIT {k}
+"""
+
+
+def pages_host_reputation_sql(min_avg_tokens: int | None = None) -> str:
+    """Host-reputation gate over the SQL-regenerated pages corpus: same
+    integer cross-multiplied threshold (SUM(tokens) >= T * COUNT(*)) as
+    the engine — no float average on either side."""
+    from .functions.text import token_count_sql
+    from .queries import HOST_MIN_AVG_TOKENS
+
+    t = HOST_MIN_AVG_TOKENS if min_avg_tokens is None else min_avg_tokens
+    return f"""
+WITH {_pages_corpus_ctes()},
+ph AS (
+    SELECT url, regexp_extract(url, 'https://([^/]+)/', 1) AS host,
+           {token_count_sql('text')} AS n_tokens
+    FROM pgtext
+),
+hs AS (
+    SELECT host, CAST(SUM(n_tokens) AS BIGINT) AS s, COUNT(*) AS c
+    FROM ph GROUP BY 1
+),
+good AS (SELECT host FROM hs WHERE s >= {t} * c)
+SELECT ph.url, ph.host FROM ph JOIN good USING (host)
+"""

@@ -1952,3 +1952,144 @@ def orders_price_percentiles(sf_dir: str) -> pd.DataFrame:
             "price_cents": pd.array([r[2] for r in rows], "int64"),
         }
     )
+
+
+def bpe_pair_counts(sf_dir: str, k: int = 50):
+    """One BPE/WordPiece vocabulary-induction round at corpus scale: count
+    adjacent lowercase token pairs across every document and return the
+    top-k merge candidates (deterministic n DESC, pair ASC tie-break).
+    Per-batch partial pair counts — adjacency computed vectorized over the
+    flattened token stream with doc-boundary masking, counted with one
+    np.unique — then the same coarse crc-bucket pandas reduce as
+    token_histogram (pair cardinality ~ vocab^2: NEVER a Ray groupby key)
+    and a distributed sort + limit."""
+    from .functions.text import ws_tokens
+
+    _empty = pd.DataFrame(
+        {
+            "bucket": pd.array([], "int64"),
+            "pair": pd.array([], "object"),
+            "part_n": pd.array([], "int64"),
+        }
+    )
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks: list[str] = []
+        lens: list[int] = []
+        for s in df["text"]:
+            ts = ws_tokens(s.lower())
+            toks.extend(ts)
+            lens.append(len(ts))
+        if len(toks) < 2:
+            return _empty
+        arr = np.asarray(toks, object)
+        ends = np.cumsum(np.asarray(lens, np.int64))
+        valid = np.ones(len(arr) - 1, bool)
+        last_pos = ends[:-1] - 1  # a pair starting at a doc's last token
+        valid[last_pos[last_pos >= 0]] = False  # would cross documents
+        pairs = arr[:-1][valid] + " " + arr[1:][valid]
+        if len(pairs) == 0:
+            return _empty
+        uniq, counts = np.unique(pairs, return_counts=True)
+        return pd.DataFrame(
+            {
+                "bucket": _crc_bucket(uniq),
+                "pair": uniq,
+                "part_n": counts.astype(np.int64),
+            }
+        )
+
+    def _reduce(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("pair", sort=False)["part_n"].sum()
+        return pd.DataFrame(
+            {"pair": s.index.to_numpy(object), "n": s.to_numpy(np.int64)}
+        )
+
+    return (
+        _docs(sf_dir)
+        .map_batches(_partial, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(_reduce, batch_format="pandas")
+        .sort(["n", "pair"], descending=[True, False])
+        .limit(k)
+    )
+
+
+HOST_MIN_AVG_TOKENS = 30
+
+
+def pages_host_reputation(sf_dir: str, min_avg_tokens: int = HOST_MIN_AVG_TOKENS):
+    """Host-level reputation gating (web-curation staple: judge the SITE,
+    then keep or drop its pages): aggregate mean tokens/page per host,
+    admit hosts whose average clears the bar, keep only their pages.
+    Stage 1 is a bounded per-host (sum, count) aggregate — per-batch
+    partials through the coarse crc-bucket reduce — whose qualifying-host
+    result is broadcast as a SORTED numpy unicode array (searchsorted
+    probe; at web scale build it remotely via the
+    stages/dedup._remote_sorted_column pattern instead of collecting).
+    Stage 2 re-streams the corpus and filters by host membership.  The
+    threshold compare is integer cross-multiplied (sum >= T * count) so
+    no float average exists on either engine."""
+    from .functions.text import token_count
+    from .sources.pages import generate_pages_dataset
+    from .stages.extract import filter_lang
+
+    n_pages = _nrows(sf_dir, "orders") * 2
+
+    def _host_tokens(t: pa.Table) -> pd.DataFrame:
+        t = filter_lang(t)
+        host = pa.compute.list_element(
+            pa.compute.split_pattern(t["url"].combine_chunks(), "/"), 2
+        ).to_pylist()
+        ntok = token_count(pd.Series(t["text"].to_pylist()))
+        return pd.DataFrame({"host": host, "n_tokens": np.asarray(ntok, np.int64)})
+
+    def _partial(t: pa.Table) -> pd.DataFrame:
+        df = _host_tokens(t)
+        g = df.groupby("host", sort=False)["n_tokens"].agg(["sum", "size"])
+        out = pd.DataFrame(
+            {
+                "host": g.index.to_numpy(object),
+                "part_s": g["sum"].to_numpy(np.int64),
+                "part_c": g["size"].to_numpy(np.int64),
+            }
+        )
+        out["bucket"] = _crc_bucket(out["host"].tolist())
+        return out
+
+    def _reduce(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("host", sort=False)[["part_s", "part_c"]].sum()
+        keep = m["part_s"].to_numpy(np.int64) >= min_avg_tokens * m[
+            "part_c"
+        ].to_numpy(np.int64)
+        return pd.DataFrame({"host": m.index.to_numpy(object)[keep]})
+
+    good = (
+        generate_pages_dataset(n_pages)
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_reduce, batch_format="pandas")
+        .to_pandas()
+    )
+    good_hosts = np.sort(good["host"].to_numpy(str))
+
+    def _filter(t: pa.Table) -> pd.DataFrame:
+        t = filter_lang(t)
+        host = np.asarray(
+            pa.compute.list_element(
+                pa.compute.split_pattern(t["url"].combine_chunks(), "/"), 2
+            ).to_pylist(),
+            str,
+        )
+        if len(good_hosts) == 0:
+            sel = np.zeros(len(host), bool)
+        else:
+            idx = np.searchsorted(good_hosts, host)
+            idx[idx == len(good_hosts)] = 0
+            sel = good_hosts[idx] == host
+        urls = np.asarray(t["url"].to_pylist(), object)
+        return pd.DataFrame({"url": urls[sel], "host": host[sel].astype(object)})
+
+    return generate_pages_dataset(n_pages).map_batches(
+        _filter, batch_format="pyarrow"
+    )

@@ -245,6 +245,8 @@ def test_knn_topk_join_parity(ray_session, con):
         "orders_range_join",
         "orders_price_percentiles",
         "pages_domain_cap",
+        "bpe_pair_counts",
+        "pages_host_reputation",
     ],
 )
 def test_round3_additions_parity(name, ray_session, con):
@@ -288,3 +290,22 @@ def test_weighted_sample_orders_weighting(ray_session):
     ).df()
     merged = full.merge(kept[["o_orderkey"]], on="o_orderkey")
     assert merged["o_totalprice"].mean() > full["o_totalprice"].mean()
+
+
+def test_pages_host_reputation_splits(ray_session):
+    """The reputation gate must have signal: some hosts kept, some dropped."""
+    from geocoding_toolbox_ray import queries
+
+    df = queries.pages_host_reputation(SF_DIR).to_pandas()
+    n_hosts_kept = df["host"].nunique()
+    assert 0 < n_hosts_kept < 800
+
+
+def test_bpe_pair_counts_ordering(ray_session):
+    """Top-k merge candidates arrive pre-sorted (n DESC, pair ASC)."""
+    from geocoding_toolbox_ray import queries
+
+    df = queries.bpe_pair_counts(SF_DIR).to_pandas()
+    assert len(df) == 50
+    n = df["n"].to_numpy()
+    assert (n[:-1] >= n[1:]).all()
