@@ -156,6 +156,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_range_join": q.orders_range_join,
         "orders_price_percentiles": q.orders_price_percentiles,
         "bpe_pair_counts": q.bpe_pair_counts,
+        # exact-integer PageRank over the lineitem x orders bipartite graph
+        "pagerank_suppliers": q.pagerank_suppliers,
         # --- near-dup ops (exact SQL replicas incl. hash families).
         #     NOTE: every oracle-backed name MUST precede every rows-only
         #     entry — the driver checks registry order (round-2 verdict:
@@ -264,6 +266,7 @@ def oracle_sql() -> dict[str, str]:
         "pages_domain_cap": oracle.pages_domain_cap_sql(),
         "pages_host_reputation": oracle.pages_host_reputation_sql(),
         "bpe_pair_counts": oracle.bpe_pair_counts_sql(),
+        "pagerank_suppliers": oracle.pagerank_suppliers_sql(),
         "weighted_sample_orders": oracle.weighted_sample_orders_sql(),
         "orders_range_join": oracle.orders_range_join_sql(),
         "orders_price_percentiles": oracle.orders_price_percentiles_sql(),

@@ -1389,3 +1389,59 @@ hs AS (
 good AS (SELECT host FROM hs WHERE s >= {t} * c)
 SELECT ph.url, ph.host FROM ph JOIN good USING (host)
 """
+
+
+def pagerank_suppliers_sql(iters: int | None = None) -> str:
+    """Exact-integer PageRank replica: K unrolled iteration CTEs built from
+    the SAME constants as stages/graph.py (scale, damping ratio, customer
+    offset).  Every step is BIGINT floor division (`//`) so both engines
+    compute bit-identical ranks; SUM is cast back from HUGEINT."""
+    from .stages.graph import (
+        PR_CUST_OFFSET,
+        PR_DAMP_DEN,
+        PR_DAMP_NUM,
+        PR_ITERS,
+        PR_SCALE,
+    )
+
+    k = PR_ITERS if iters is None else iters
+    its = []
+    for i in range(1, k + 1):
+        its.append(
+            f"""r{i} AS (
+    SELECT n.node_id,
+           CAST({PR_DAMP_DEN - PR_DAMP_NUM} * ({PR_SCALE} // nn.n) // {PR_DAMP_DEN}
+                + {PR_DAMP_NUM} * COALESCE(i.inc, 0) // {PR_DAMP_DEN} AS BIGINT)
+               AS pr_score
+    FROM nodes n CROSS JOIN nn
+    LEFT JOIN (
+        SELECT e.dst AS node_id, CAST(SUM(r.pr_score // d.d) AS BIGINT) AS inc
+        FROM edges e
+        JOIN r{i - 1} r ON r.node_id = e.src
+        JOIN deg d ON d.src = e.src
+        GROUP BY e.dst
+    ) i ON i.node_id = n.node_id
+)"""
+        )
+    chain = ",\n".join(its)
+    return f"""
+WITH e0 AS (
+    SELECT DISTINCT CAST(l.l_suppkey AS BIGINT) AS s,
+           CAST(o.o_custkey AS BIGINT) AS c
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+edges AS (
+    SELECT s AS src, {PR_CUST_OFFSET} + c AS dst FROM e0
+    UNION ALL
+    SELECT {PR_CUST_OFFSET} + c AS src, s AS dst FROM e0
+),
+nodes AS (SELECT DISTINCT src AS node_id FROM edges),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY src),
+r0 AS (
+    SELECT node_id, CAST({PR_SCALE} // nn.n AS BIGINT) AS pr_score
+    FROM nodes CROSS JOIN nn
+),
+{chain}
+SELECT node_id, pr_score FROM r{k} ORDER BY node_id
+"""

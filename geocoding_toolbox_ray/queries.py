@@ -2093,3 +2093,53 @@ def pages_host_reputation(sf_dir: str, min_avg_tokens: int = HOST_MIN_AVG_TOKENS
     return generate_pages_dataset(n_pages).map_batches(
         _filter, batch_format="pyarrow"
     )
+
+
+# ------------------------------------------------------------- graph
+
+def pagerank_suppliers(sf_dir: str):
+    """Exact-integer PageRank over the real relational graph: supplier <->
+    customer edges via lineitem x orders (both directions, so every node
+    has out-degree >= 1).  Edge derivation: the orders key->custkey map is
+    a sorted-array broadcast built REMOTELY from block refs (never a
+    Python dict through ray.put); lineitem streams once through a
+    searchsorted lookup, packs each directed edge into one int64, and the
+    DISTINCT edge set comes out of the coarse-bucket + np.unique reduce
+    (edge cardinality ~ suppliers x customers: never a Ray groupby key).
+    Iteration semantics and the DuckDB unrolled-CTE oracle share every
+    constant (stages/graph.py)."""
+    import ray
+
+    from .stages.dedup import TARGET_BUCKET_ROWS, _sorted_kv_task
+    from .stages.graph import PR_CUST_OFFSET, pagerank
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    kv_ref = _sorted_kv_task.remote(
+        [br for bd in orders.iter_internal_ref_bundles() for br in bd.block_refs],
+        "o_orderkey",
+        "o_custkey",
+    )
+    nb = max(8, _nrows(sf_dir, "lineitem") * 2 // TARGET_BUCKET_ROWS + 1)
+    mask = (1 << 31) - 1
+
+    def _edges(t: pa.Table) -> pa.Table:
+        okeys, custs = ray.get(kv_ref)  # zero-copy object-store views
+        lo = np.asarray(t["l_orderkey"].to_numpy(zero_copy_only=False), np.int64)
+        sup = np.asarray(t["l_suppkey"].to_numpy(zero_copy_only=False), np.int64)
+        cust = custs[np.searchsorted(okeys, lo)] + PR_CUST_OFFSET
+        pack = np.unique(np.concatenate([(sup << 31) | cust, (cust << 31) | sup]))
+        return pa.table(
+            {"bucket": pa.array(pack % nb, pa.int64()), "pack": pa.array(pack)}
+        )
+
+    def _uniq(g: pd.DataFrame) -> pd.DataFrame:
+        pk = np.unique(g["pack"].to_numpy(np.int64))
+        return pd.DataFrame({"src": pk >> 31, "dst": pk & mask})
+
+    edges = (
+        _read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
+        .map_batches(_edges, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_uniq, batch_format="pandas")
+    )
+    return pagerank(edges)

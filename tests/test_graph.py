@@ -1,0 +1,126 @@
+"""PageRank (stages/graph.py): exact-integer semantics, path equivalence,
+dangling-node policy."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from geocoding_toolbox_ray.stages.graph import (
+    PR_DAMP_DEN,
+    PR_DAMP_NUM,
+    PR_SCALE,
+    _pagerank_numpy,
+    pagerank,
+)
+
+
+def _edges_ds(src, dst):
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array(np.asarray(src, np.int64)),
+                "dst": pa.array(np.asarray(dst, np.int64)),
+            }
+        )
+    )
+
+
+def _run(src, dst, **kw) -> pd.DataFrame:
+    return (
+        pagerank(_edges_ds(src, dst), **kw)
+        .to_pandas()
+        .sort_values("node_id")
+        .reset_index(drop=True)
+    )
+
+
+def test_small_vs_distributed_paths_identical(ray_session):
+    """The single-task fast path and the per-iteration aggregate path must
+    produce bit-identical ranks (integer arithmetic has no merge-order
+    freedom to hide behind)."""
+    rng = np.random.RandomState(7)
+    src = rng.randint(0, 40, 300)
+    dst = rng.randint(0, 40, 300)
+    keep = src != dst
+    pk = np.unique(src[keep].astype(np.int64) * 64 + dst[keep])
+    s, d = pk // 64, pk % 64
+    a = _run(s, d)  # fast path (under the small-graph threshold)
+    b = _run(s, d, small_graph_edges=0)  # forced distributed path
+    assert a.equals(b)
+    assert a["pr_score"].sum() <= PR_SCALE
+
+
+def test_star_graph_ranks(ray_session):
+    """Hub-and-spoke: the hub must outrank every leaf, leaves tie."""
+    leaves = np.arange(1, 9)
+    src = np.concatenate([leaves, np.zeros(8, np.int64)])
+    dst = np.concatenate([np.zeros(8, np.int64), leaves])
+    df = _run(src, dst)
+    hub = df.loc[df["node_id"] == 0, "pr_score"].iloc[0]
+    leaf = df.loc[df["node_id"] != 0, "pr_score"]
+    assert (leaf < hub).all()
+    assert leaf.nunique() == 1
+
+
+def test_dangling_node_leaks_mass():
+    """A dst-only node contributes nothing (no redistribution) — the SQL
+    deg-join semantics.  2-node chain 0->1: node 1 keeps only damped
+    inflow + base; total mass < PR_SCALE."""
+    rank = _pagerank_numpy(
+        np.array([0]), np.array([1]), 2, 3, PR_SCALE, PR_DAMP_NUM, PR_DAMP_DEN
+    )
+    assert rank.sum() < PR_SCALE
+    assert rank[1] > rank[0]  # the sink accumulates, the source only has base
+
+
+def test_uniform_cycle_is_uniform():
+    """On a directed cycle every node keeps exactly the initial mass
+    (rank//1 passes through whole): fixed point of the integer iteration."""
+    n = 10
+    si = np.arange(n)
+    di = (si + 1) % n
+    r1 = _pagerank_numpy(si, di, n, 1, PR_SCALE, PR_DAMP_NUM, PR_DAMP_DEN)
+    r5 = _pagerank_numpy(si, di, n, 5, PR_SCALE, PR_DAMP_NUM, PR_DAMP_DEN)
+    assert len(set(r1.tolist())) == 1
+    assert np.array_equal(r1, r5)
+
+
+def test_empty_edges(ray_session):
+    out = pagerank(_edges_ds(np.zeros(0, np.int64), np.zeros(0, np.int64)))
+    assert out.count() == 0
+    # (to_pandas drops columns on an empty Dataset — assert on the schema)
+    assert out.schema().names == ["node_id", "pr_score"]
+
+
+@pytest.mark.parametrize("forced_small", [True, False])
+def test_pagerank_suppliers_oracle_parity_both_paths(ray_session, forced_small):
+    """sf0.001 parity against the unrolled-CTE DuckDB oracle for BOTH
+    execution paths (the driver only ever sees the size-selected one)."""
+    import duckdb
+
+    import geocoding_toolbox_ray.stages.graph as G
+    from geocoding_toolbox_ray import oracle, queries
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in ("orders", "lineitem"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    odf = con.execute(oracle.pagerank_suppliers_sql()).df()
+
+    orig = G.PR_SMALL_GRAPH_EDGES
+    try:
+        G.PR_SMALL_GRAPH_EDGES = orig if forced_small else 0
+        res = (
+            queries.pagerank_suppliers(sf)
+            .to_pandas()
+            .sort_values("node_id")
+            .reset_index(drop=True)
+        )
+    finally:
+        G.PR_SMALL_GRAPH_EDGES = orig
+    assert res.equals(odf)

@@ -247,6 +247,7 @@ def test_knn_topk_join_parity(ray_session, con):
         "pages_domain_cap",
         "bpe_pair_counts",
         "pages_host_reputation",
+        "pagerank_suppliers",
     ],
 )
 def test_round3_additions_parity(name, ray_session, con):
