@@ -158,6 +158,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_pair_counts": q.bpe_pair_counts,
         # exact-integer PageRank over the lineitem x orders bipartite graph
         "pagerank_suppliers": q.pagerank_suppliers,
+        # Gopher-style repetition signals / hashing-trick features /
+        # integer tf-idf lexical search (all oracle-checked)
+        "repetition_signals_documents": q.repetition_signals_documents,
+        "feature_hash_documents": q.feature_hash_documents,
+        "tfidf_search_topk": q.tfidf_search_topk,
         # --- near-dup ops (exact SQL replicas incl. hash families).
         #     NOTE: every oracle-backed name MUST precede every rows-only
         #     entry — the driver checks registry order (round-2 verdict:
@@ -267,6 +272,9 @@ def oracle_sql() -> dict[str, str]:
         "pages_host_reputation": oracle.pages_host_reputation_sql(),
         "bpe_pair_counts": oracle.bpe_pair_counts_sql(),
         "pagerank_suppliers": oracle.pagerank_suppliers_sql(),
+        "repetition_signals_documents": oracle.repetition_signals_documents_sql(),
+        "feature_hash_documents": oracle.feature_hash_documents_sql(),
+        "tfidf_search_topk": oracle.tfidf_search_topk_sql(),
         "weighted_sample_orders": oracle.weighted_sample_orders_sql(),
         "orders_range_join": oracle.orders_range_join_sql(),
         "orders_price_percentiles": oracle.orders_price_percentiles_sql(),

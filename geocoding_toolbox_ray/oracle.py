@@ -1445,3 +1445,108 @@ r0 AS (
 {chain}
 SELECT node_id, pr_score FROM r{k} ORDER BY node_id
 """
+
+
+def _doc_tokens_cte() -> str:
+    """Lowercased RE2-exact whitespace token list per document (the shared
+    tokenization every text oracle splits with)."""
+    return f"""toks AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '{WS_SPLIT_PATTERN}'),
+                       x -> x <> '') AS ts
+    FROM documents
+)"""
+
+
+def repetition_signals_documents_sql() -> str:
+    """Gopher-style repetition signals: identical integer floor arithmetic
+    (`//`) and the same keep thresholds as the engine constants."""
+    from .queries import REP_BIGRAM_MAX_PERMILLE, REP_DUP_MAX_PERMILLE
+
+    return f"""
+WITH {_doc_tokens_cte()},
+base AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n FROM toks),
+dst AS (
+    SELECT doc_id, CAST(COUNT(DISTINCT t) AS BIGINT) AS d
+    FROM (SELECT doc_id, unnest(ts) AS t FROM toks) GROUP BY 1
+),
+bg AS (
+    SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_n
+    FROM (
+        SELECT doc_id, ts[i] || ' ' || ts[i + 1] AS pair, COUNT(*) AS c
+        FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 1)) AS i
+              FROM toks)
+        GROUP BY 1, 2
+    ) GROUP BY 1
+),
+sig AS (
+    SELECT b.doc_id, b.n AS n_tokens,
+           CASE WHEN b.n > 0
+                THEN (1000 * (b.n - COALESCE(d.d, 0))) // b.n
+                ELSE CAST(0 AS BIGINT) END AS dup_token_permille,
+           CASE WHEN b.n >= 2
+                THEN (1000 * COALESCE(bg.top_n, 0)) // (b.n - 1)
+                ELSE CAST(0 AS BIGINT) END AS top_bigram_permille
+    FROM base b
+    LEFT JOIN dst d USING (doc_id)
+    LEFT JOIN bg USING (doc_id)
+)
+SELECT doc_id, n_tokens, dup_token_permille, top_bigram_permille,
+       CAST(CASE WHEN dup_token_permille <= {REP_DUP_MAX_PERMILLE}
+                  AND top_bigram_permille <= {REP_BIGRAM_MAX_PERMILLE}
+            THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM sig ORDER BY doc_id
+"""
+
+
+def feature_hash_documents_sql() -> str:
+    """Signed feature hashing replica: the SAME rolling polynomial hash
+    (functions/text.py) drives dim = h % K and the sign bit (h // K) % 2;
+    zero-cancelled weights are dropped on both sides."""
+    from .functions.text import rolling_fingerprint_sql
+    from .queries import FEAT_HASH_DIMS
+
+    K = FEAT_HASH_DIMS
+    return f"""
+WITH {_doc_tokens_cte()},
+tk AS (SELECT doc_id, unnest(ts) AS t FROM toks),
+h AS (SELECT doc_id, {rolling_fingerprint_sql('t')} AS hv FROM tk),
+f AS (
+    SELECT doc_id, hv % {K} AS dim,
+           CASE WHEN (hv // {K}) % 2 = 0 THEN 1 ELSE -1 END AS s
+    FROM h
+)
+SELECT doc_id, dim, CAST(SUM(s) AS BIGINT) AS weight
+FROM f GROUP BY 1, 2 HAVING SUM(s) <> 0
+ORDER BY doc_id, dim
+"""
+
+
+def tfidf_search_topk_sql(k: int | None = None) -> str:
+    """Integer tf-idf search replica: exact-token df / tf, integer idf
+    (SCALE // df), deterministic (score DESC, doc_id ASC) top-k."""
+    from .queries import TFIDF_SCALE, TFIDF_TERMS, TFIDF_TOPK
+
+    kk = TFIDF_TOPK if k is None else k
+    in_list = ", ".join(f"'{t}'" for t in TFIDF_TERMS)
+    return f"""
+WITH {_doc_tokens_cte()},
+tk AS (SELECT doc_id, unnest(ts) AS t FROM toks),
+df AS (
+    SELECT t, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+    FROM tk WHERE t IN ({in_list}) GROUP BY 1
+),
+tf AS (
+    SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM tk WHERE t IN ({in_list}) GROUP BY 1, 2
+),
+sc AS (
+    SELECT tf.doc_id,
+           CAST(SUM(tf.tf * ({TFIDF_SCALE} // df.df)) AS BIGINT) AS score
+    FROM tf JOIN df USING (t) GROUP BY 1
+)
+SELECT doc_id, score FROM sc
+WHERE score > 0
+ORDER BY score DESC, doc_id ASC
+LIMIT {kk}
+"""

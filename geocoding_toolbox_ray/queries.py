@@ -2143,3 +2143,199 @@ def pagerank_suppliers(sf_dir: str):
         .map_groups(_uniq, batch_format="pandas")
     )
     return pagerank(edges)
+
+
+# ----------------------------------------------- repetition / features
+
+REP_DUP_MAX_PERMILLE = 600
+REP_BIGRAM_MAX_PERMILLE = 80
+
+
+def repetition_signals_documents(sf_dir: str):
+    """Gopher-style repetition quality signals (per-doc, shuffle-free):
+    duplicate-token permille (1 - distinct/total) and top-bigram permille
+    (most frequent adjacent pair / bigram positions), both pure-integer
+    floor arithmetic, plus the combined keep gate.  All work happens
+    inside each batch over the flattened token stream (the
+    bpe_pair_counts layout) — per-doc stats never leave the block."""
+    from .functions.text import ws_tokens
+
+    def _f(df: pd.DataFrame) -> pd.DataFrame:
+        toks: list[str] = []
+        lens: list[int] = []
+        for s in df["text"]:
+            ts = ws_tokens(s.lower())
+            toks.extend(ts)
+            lens.append(len(ts))
+        n_docs = len(df)
+        n = np.asarray(lens, np.int64)
+        doc_id = df["doc_id"].to_numpy(np.int64)
+        arr = np.asarray(toks, object)
+        ends = np.cumsum(n)
+        owner = np.repeat(np.arange(n_docs), n)
+        # distinct tokens per doc (vectorized pandas nunique)
+        d = np.zeros(n_docs, np.int64)
+        if len(arr):
+            nu = pd.DataFrame({"o": owner, "t": arr}).groupby("o")["t"].nunique()
+            d[nu.index.to_numpy()] = nu.to_numpy(np.int64)
+        # top adjacent-bigram count per doc (doc-boundary masked)
+        top = np.zeros(n_docs, np.int64)
+        if len(arr) >= 2:
+            valid = np.ones(len(arr) - 1, bool)
+            last_pos = ends[:-1] - 1
+            valid[last_pos[(last_pos >= 0) & (last_pos < len(valid))]] = False
+            po = owner[:-1][valid]
+            pairs = arr[:-1][valid] + " " + arr[1:][valid]
+            if len(pairs):
+                mx = (
+                    pd.DataFrame({"o": po, "p": pairs})
+                    .groupby(["o", "p"], sort=False)
+                    .size()
+                    .groupby("o")
+                    .max()
+                )
+                top[mx.index.to_numpy()] = mx.to_numpy(np.int64)
+        dup_pm = np.where(n > 0, (1000 * (n - d)) // np.maximum(n, 1), 0)
+        bg_pm = np.where(n >= 2, (1000 * top) // np.maximum(n - 1, 1), 0)
+        keep = (
+            (dup_pm <= REP_DUP_MAX_PERMILLE) & (bg_pm <= REP_BIGRAM_MAX_PERMILLE)
+        ).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": doc_id,
+                "n_tokens": n,
+                "dup_token_permille": dup_pm.astype(np.int64),
+                "top_bigram_permille": bg_pm.astype(np.int64),
+                "keep": keep,
+            }
+        )
+
+    return _docs(sf_dir).map_batches(_f, batch_format="pandas")
+
+
+FEAT_HASH_DIMS = 64
+
+
+def feature_hash_documents(sf_dir: str):
+    """Hashing-trick sparse bag-of-words features (signed feature
+    hashing, Weinberger et al. 2009): dim = poly_hash(token) % K, sign
+    from the next hash bit, weight = signed occurrence sum per (doc,
+    dim), zeros dropped.  Token hashing is the SQL-replicable rolling
+    polynomial (functions/text.py) batched over the whole flattened
+    token stream in one vectorized pass; the (doc, dim) reduce is
+    per-batch pandas — no shuffle, features never leave the block."""
+    from .functions.text import rolling_fingerprint_batch, ws_tokens
+
+    K = FEAT_HASH_DIMS
+
+    def _f(df: pd.DataFrame) -> pd.DataFrame:
+        toks: list[str] = []
+        lens: list[int] = []
+        for s in df["text"]:
+            ts = ws_tokens(s.lower())
+            toks.extend(ts)
+            lens.append(len(ts))
+        if not toks:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.array([], "int64"),
+                    "dim": pd.array([], "int64"),
+                    "weight": pd.array([], "int64"),
+                }
+            )
+        doc_id = df["doc_id"].to_numpy(np.int64)
+        owner = np.repeat(np.arange(len(df)), np.asarray(lens, np.int64))
+        h = rolling_fingerprint_batch(toks)
+        dim = h % K
+        sign = np.where((h // K) % 2 == 0, 1, -1).astype(np.int64)
+        g = (
+            pd.DataFrame({"doc": doc_id[owner], "dim": dim, "s": sign})
+            .groupby(["doc", "dim"], sort=True)["s"]
+            .sum()
+        )
+        g = g[g != 0]
+        idx = g.index.to_frame(index=False)
+        return pd.DataFrame(
+            {
+                "doc_id": idx["doc"].to_numpy(np.int64),
+                "dim": idx["dim"].to_numpy(np.int64),
+                "weight": g.to_numpy(np.int64),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(_f, batch_format="pandas")
+
+
+TFIDF_TERMS = ("spark", "join", "window")
+TFIDF_SCALE = 10**9
+TFIDF_TOPK = 20
+
+
+def tfidf_search_topk(sf_dir: str, k: int = TFIDF_TOPK):
+    """Lexical search: integer tf-idf top-k for a fixed query-term set.
+    Two streaming passes: (1) per-batch partial document frequencies ->
+    one tiny Sum aggregate (3 scalars on the driver — the broadcast-fits
+    side of an inverted index); (2) per-doc scores
+    sum(tf * (SCALE // df)) vectorized in-batch, then a distributed
+    sort + limit with a deterministic (score DESC, doc_id ASC)
+    tie-break.  idf is exact integer (SCALE // df) — no ln, no float."""
+    from ray.data.aggregate import Sum
+
+    from .functions.text import ws_tokens
+
+    terms = list(TFIDF_TERMS)
+
+    def _tf_matrix(df: pd.DataFrame) -> np.ndarray:
+        """(n_docs x n_terms) exact token-match counts."""
+        toks: list[str] = []
+        lens: list[int] = []
+        for s in df["text"]:
+            ts = ws_tokens(s.lower())
+            toks.extend(ts)
+            lens.append(len(ts))
+        out = np.zeros((len(df), len(terms)), np.int64)
+        if toks:
+            arr = np.asarray(toks, object)
+            owner = np.repeat(np.arange(len(df)), np.asarray(lens, np.int64))
+            for j, t in enumerate(terms):
+                m = arr == t
+                if m.any():
+                    out[:, j] = np.bincount(owner[m], minlength=len(df))
+        return out
+
+    def _df_partial(df: pd.DataFrame) -> pd.DataFrame:
+        tf = _tf_matrix(df)
+        return pd.DataFrame(
+            {f"df_{j}": [int((tf[:, j] > 0).sum())] for j in range(len(terms))}
+        )
+
+    dfs = (
+        _docs(sf_dir)
+        .map_batches(_df_partial, batch_format="pandas")
+        .aggregate(*[Sum(f"df_{j}") for j in range(len(terms))])
+    )
+    w = np.array(
+        [
+            TFIDF_SCALE // max(int(dfs[f"sum(df_{j})"]), 1)
+            for j in range(len(terms))
+        ],
+        np.int64,
+    )
+
+    def _score(df: pd.DataFrame) -> pd.DataFrame:
+        tf = _tf_matrix(df)
+        score = tf @ w
+        sel = score > 0
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(np.int64)[sel],
+                "score": score[sel],
+            }
+        )
+
+    return (
+        _docs(sf_dir)
+        .map_batches(_score, batch_format="pandas")
+        .sort(["score", "doc_id"], descending=[True, False])
+        .limit(k)
+    )

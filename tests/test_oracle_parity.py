@@ -248,6 +248,9 @@ def test_knn_topk_join_parity(ray_session, con):
         "bpe_pair_counts",
         "pages_host_reputation",
         "pagerank_suppliers",
+        "repetition_signals_documents",
+        "feature_hash_documents",
+        "tfidf_search_topk",
     ],
 )
 def test_round3_additions_parity(name, ray_session, con):
