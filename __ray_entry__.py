@@ -163,6 +163,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_signals_documents": q.repetition_signals_documents,
         "feature_hash_documents": q.feature_hash_documents,
         "tfidf_search_topk": q.tfidf_search_topk,
+        # generic hash join, both strategies (shared oracle: the
+        # broadcast/shuffle choice must be output-invisible)
+        "order_lineitem_revenue": q.order_lineitem_revenue,
+        "order_lineitem_revenue_bcast": q.order_lineitem_revenue_bcast,
         # --- near-dup ops (exact SQL replicas incl. hash families).
         #     NOTE: every oracle-backed name MUST precede every rows-only
         #     entry — the driver checks registry order (round-2 verdict:
@@ -275,6 +279,8 @@ def oracle_sql() -> dict[str, str]:
         "repetition_signals_documents": oracle.repetition_signals_documents_sql(),
         "feature_hash_documents": oracle.feature_hash_documents_sql(),
         "tfidf_search_topk": oracle.tfidf_search_topk_sql(),
+        "order_lineitem_revenue": oracle.order_lineitem_revenue_sql(),
+        "order_lineitem_revenue_bcast": oracle.order_lineitem_revenue_sql(),
         "weighted_sample_orders": oracle.weighted_sample_orders_sql(),
         "orders_range_join": oracle.orders_range_join_sql(),
         "orders_price_percentiles": oracle.orders_price_percentiles_sql(),

@@ -140,6 +140,10 @@ def run_bench() -> dict:
             "distinct_orders_per_returnflag_salted",
             lambda: q.distinct_orders_per_returnflag_salted(SF_DIR),
         )
+        # round-3 addition: iterative graph analytics (exact-integer
+        # PageRank; measures the distributed distinct-edge derivation +
+        # the size-selected iteration path)
+        timed("pagerank_suppliers", lambda: q.pagerank_suppliers(SF_DIR))
 
     total = round(sum(timings.values()), 3)
     geocode_rows_per_s = (

@@ -1550,3 +1550,17 @@ WHERE score > 0
 ORDER BY score DESC, doc_id ASC
 LIMIT {kk}
 """
+
+
+def order_lineitem_revenue_sql() -> str:
+    """Shared oracle for BOTH hash-join strategies (broadcast and
+    bucketed co-group must be output-invisible): per-row cents
+    quantization, BIGINT-cast sums."""
+    return """
+SELECT o.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS revenue_cents
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1 ORDER BY 1
+"""

@@ -2339,3 +2339,53 @@ def tfidf_search_topk(sf_dir: str, k: int = TFIDF_TOPK):
         .sort(["score", "doc_id"], descending=[True, False])
         .limit(k)
     )
+
+
+# ----------------------------------------------------- general hash join
+
+def _order_lineitem_revenue(sf_dir: str, strategy: str):
+    """lineitem JOIN orders via the generic hash-join operator, then a
+    bounded (5-group) revenue rollup per order priority.  The shuffle
+    variant forces the big-big bucketed co-group path; the broadcast
+    variant ships orders once through the object store — identical
+    output, shared oracle (the strategy must be output-invisible)."""
+    from ray.data.aggregate import Count, Sum
+
+    from .stages.join import hash_join
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice"]).map_batches(
+        lambda t: t.rename_columns(["o_orderkey", "l_extendedprice"]),
+        batch_format="pyarrow",
+    )
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    joined = hash_join(
+        li,
+        orders,
+        "o_orderkey",
+        ["o_orderpriority"],
+        strategy=strategy,
+        left_rows=_nrows(sf_dir, "lineitem"),
+    )
+
+    def _cents(t: pa.Table) -> pa.Table:
+        price = np.asarray(t["l_extendedprice"].to_numpy(zero_copy_only=False), np.float64)
+        return pa.table(
+            {
+                "o_orderpriority": t["o_orderpriority"],
+                "cents": pa.array(np.floor(price * 100.0 + 0.5).astype(np.int64)),
+            }
+        )
+
+    return (
+        joined.map_batches(_cents, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Count(alias_name="n"), Sum("cents", alias_name="revenue_cents"))
+    )
+
+
+def order_lineitem_revenue(sf_dir: str):
+    return _order_lineitem_revenue(sf_dir, "shuffle")
+
+
+def order_lineitem_revenue_bcast(sf_dir: str):
+    return _order_lineitem_revenue(sf_dir, "broadcast")

@@ -251,6 +251,8 @@ def test_knn_topk_join_parity(ray_session, con):
         "repetition_signals_documents",
         "feature_hash_documents",
         "tfidf_search_topk",
+        "order_lineitem_revenue",
+        "order_lineitem_revenue_bcast",
     ],
 )
 def test_round3_additions_parity(name, ray_session, con):
