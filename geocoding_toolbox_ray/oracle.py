@@ -1564,3 +1564,41 @@ SELECT o.o_orderpriority,
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 GROUP BY 1 ORDER BY 1
 """
+
+
+def events_resample_ffill_sql() -> str:
+    """Hourly resample + forward fill replica: dense per-user hour grid
+    via generate_series, deterministic last-event pick arg_max(cents,
+    (ts, event_id)), window IGNORE NULLS forward fill."""
+    return """
+WITH b AS (
+    SELECT user_id, ts, event_id, date_trunc('hour', ts) AS hour,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+    FROM events
+),
+hb AS (
+    SELECT user_id, hour, CAST(n AS BIGINT) AS n, cents AS last_cents
+    FROM (
+        SELECT user_id, hour, cents,
+               COUNT(*) OVER (PARTITION BY user_id, hour) AS n,
+               ROW_NUMBER() OVER (PARTITION BY user_id, hour
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM b
+    ) WHERE rn = 1
+),
+spans AS (SELECT user_id, MIN(hour) AS h0, MAX(hour) AS h1 FROM hb GROUP BY 1),
+grid AS (
+    SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+    FROM spans
+),
+j AS (
+    SELECT g.user_id, g.hour, COALESCE(hb.n, 0) AS n, hb.last_cents
+    FROM grid g LEFT JOIN hb USING (user_id, hour)
+)
+SELECT user_id, hour, CAST(n AS BIGINT) AS n,
+       CAST(last_value(last_cents IGNORE NULLS) OVER (
+            PARTITION BY user_id ORDER BY hour
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS last_cents
+FROM j ORDER BY user_id, hour
+"""

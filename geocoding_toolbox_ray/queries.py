@@ -2389,3 +2389,58 @@ def order_lineitem_revenue(sf_dir: str):
 
 def order_lineitem_revenue_bcast(sf_dir: str):
     return _order_lineitem_revenue(sf_dir, "broadcast")
+
+
+def events_resample_ffill(sf_dir: str):
+    """Per-user hourly resample with gap fill (time-series staple): one
+    row for EVERY hour from the user's first to last event — hours with
+    no events carry n=0 and the forward-filled last observed value
+    (integer cents; last = max (ts, event_id), deterministic).  Users are
+    hashed into SESSION_BUCKETS coarse co-groups; inside each bucket the
+    per-(user,hour) rollup, dense hour grid (repeat/arange, no per-user
+    loop) and groupby-ffill are all vectorized pandas."""
+    ev = _read(sf_dir, "events", columns=["user_id", "ts", "event_id", "value"])
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        uid = np.asarray(t["user_id"].to_numpy(zero_copy_only=False), np.int64)
+        return t.append_column(
+            "bucket", pa.array((uid * 2654435761 % 2**32) % SESSION_BUCKETS, pa.int64())
+        )
+
+    def _f(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        g["hour"] = g["ts"].dt.floor("h")
+        g["cents"] = np.floor(
+            g["value"].to_numpy(np.float64) * 100.0 + 0.5
+        ).astype(np.int64)
+        per = (
+            g.groupby(["user_id", "hour"], sort=True)
+            .agg(n=("cents", "size"), last_cents=("cents", "last"))
+            .reset_index()
+        )
+        spans = per.groupby("user_id")["hour"].agg(["min", "max"])
+        lens = (
+            (spans["max"] - spans["min"]) // pd.Timedelta(hours=1) + 1
+        ).to_numpy(np.int64)
+        total = int(lens.sum())
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        offs = np.arange(total) - np.repeat(starts, lens)
+        grid = pd.DataFrame(
+            {
+                "user_id": np.repeat(spans.index.to_numpy(np.int64), lens),
+                "hour": np.repeat(spans["min"].to_numpy(), lens)
+                + offs * np.timedelta64(1, "h"),
+            }
+        )
+        m = grid.merge(per, on=["user_id", "hour"], how="left")
+        m["n"] = m["n"].fillna(0).astype(np.int64)
+        m["last_cents"] = (
+            m.groupby("user_id")["last_cents"].ffill().astype(np.int64)
+        )
+        return m[["user_id", "hour", "n", "last_cents"]]
+
+    return (
+        ev.map_batches(_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_f, batch_format="pandas")
+    )

@@ -253,6 +253,7 @@ def test_knn_topk_join_parity(ray_session, con):
         "tfidf_search_topk",
         "order_lineitem_revenue",
         "order_lineitem_revenue_bcast",
+        "events_resample_ffill",
     ],
 )
 def test_round3_additions_parity(name, ray_session, con):

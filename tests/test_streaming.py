@@ -107,3 +107,26 @@ def test_watermark_drops_planted_late_rows(ray_session):
     assert out.loc[8, "n_kept"] == 2
     assert out.loc[8, "n_late"] == 0
     assert out.loc[8, "kept_cents"] == 500
+
+
+def test_events_resample_ffill_semantics(ray_session):
+    """Gap rows exist (n=0), carry the previous hour's value, and every
+    user's grid is hour-dense from first to last event."""
+    from geocoding_toolbox_ray import queries
+
+    df = (
+        queries.events_resample_ffill("/root/testdata/sf0.001")
+        .to_pandas()
+        .sort_values(["user_id", "hour"])
+        .reset_index(drop=True)
+    )
+    assert (df["n"] == 0).any()  # real gaps in the fixture
+    for uid, g in df.groupby("user_id"):
+        hours = g["hour"].to_numpy()
+        assert (np.diff(hours) == np.timedelta64(1, "h")).all(), uid
+        # forward fill: value on an n=0 row equals the previous row's value
+        vals = g["last_cents"].to_numpy()
+        zero = g["n"].to_numpy() == 0
+        idx = np.nonzero(zero)[0]
+        idx = idx[idx > 0]
+        assert (vals[idx] == vals[idx - 1]).all(), uid
