@@ -1602,3 +1602,27 @@ SELECT user_id, hour, CAST(n AS BIGINT) AS n,
            AS last_cents
 FROM j ORDER BY user_id, hour
 """
+
+
+def q3_shipping_priority_sql(k: int = 10) -> str:
+    """TPC-H-Q3-shaped oracle: same segment/date constants as the engine
+    (queries.Q3_SEGMENT / Q3_CUTOFF), per-row discounted cents, top-k
+    with (revenue DESC, o_orderkey ASC) tie-break."""
+    from .queries import Q3_CUTOFF, Q3_SEGMENT
+
+    return f"""
+SELECT l.l_orderkey AS o_orderkey,
+       o.o_orderdate,
+       o.o_orderpriority,
+       CAST(SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = '{Q3_SEGMENT}'
+  AND o.o_orderdate < TIMESTAMP '{Q3_CUTOFF}'
+  AND l.l_shipdate > TIMESTAMP '{Q3_CUTOFF}'
+GROUP BY 1, 2, 3
+ORDER BY revenue_cents DESC, o_orderkey ASC
+LIMIT {k}
+"""

@@ -2444,3 +2444,107 @@ def events_resample_ffill(sf_dir: str):
         .groupby("bucket")
         .map_groups(_f, batch_format="pandas")
     )
+
+
+Q3_SEGMENT = "BUILDING"
+Q3_CUTOFF = "1998-06-01"
+
+
+def q3_shipping_priority(sf_dir: str, k: int = 10):
+    """TPC-H-Q3-shaped multi-join pipeline composing the generic
+    hash-join operator twice: customer (segment filter, BROADCAST side)
+    -> orders (date predicate pushed into the parquet read) -> lineitem
+    (ship-date pushdown, big-big SHUFFLE join), then a per-order revenue
+    rollup through the coarse-bucket reduce (order-key cardinality) and
+    a distributed sort + limit with deterministic tie-break."""
+    import datetime as _dt
+
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from .stages.join import hash_join
+
+    cutoff = _dt.datetime.fromisoformat(Q3_CUTOFF)
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).map_batches(
+        lambda t: t.filter(pc.equal(t["c_mktsegment"], Q3_SEGMENT)).select(
+            ["c_custkey"]
+        ).rename_columns(["o_custkey"]),
+        batch_format="pyarrow",
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+        filter=pc.field("o_orderdate") < cutoff,
+    )
+    orders_b = hash_join(orders, cust, "o_custkey", [], strategy="broadcast")
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        filter=pc.field("l_shipdate") > cutoff,
+    )
+
+    def _li_cents(t: pa.Table) -> pa.Table:
+        price = np.asarray(t["l_extendedprice"].to_numpy(zero_copy_only=False), np.float64)
+        disc = np.asarray(t["l_discount"].to_numpy(zero_copy_only=False), np.float64)
+        return pa.table(
+            {
+                "o_orderkey": t["l_orderkey"],
+                "cents": pa.array(
+                    np.floor(price * (1.0 - disc) * 100.0 + 0.5).astype(np.int64)
+                ),
+            }
+        )
+
+    joined = hash_join(
+        li.map_batches(_li_cents, batch_format="pyarrow"),
+        orders_b.map_batches(
+            lambda t: t.select(["o_orderkey", "o_orderdate", "o_orderpriority"]),
+            batch_format="pyarrow",
+        ),
+        "o_orderkey",
+        ["o_orderdate", "o_orderpriority"],
+        strategy="shuffle",
+        left_rows=_nrows(sf_dir, "lineitem"),
+    )
+
+    def _partial(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["o_orderkey", "o_orderdate", "o_orderpriority"], sort=False)[
+            "cents"
+        ].sum()
+        idx = agg.index.to_frame(index=False)
+        out = pd.DataFrame(
+            {
+                "o_orderkey": idx["o_orderkey"].to_numpy(np.int64),
+                "o_orderdate": idx["o_orderdate"],
+                "o_orderpriority": idx["o_orderpriority"].astype(object),
+                "revenue_cents": agg.to_numpy(np.int64),
+            }
+        )
+        out["bucket"] = (
+            out["o_orderkey"].to_numpy(np.int64) * 2654435761 % 2**32
+        ) % SESSION_BUCKETS
+        return out
+
+    def _reduce(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["o_orderkey", "o_orderdate", "o_orderpriority"], sort=False)[
+            "revenue_cents"
+        ].sum()
+        idx = agg.index.to_frame(index=False)
+        return pd.DataFrame(
+            {
+                "o_orderkey": idx["o_orderkey"].to_numpy(np.int64),
+                "o_orderdate": idx["o_orderdate"],
+                "o_orderpriority": idx["o_orderpriority"].astype(object),
+                "revenue_cents": agg.to_numpy(np.int64),
+            }
+        )
+
+    return (
+        joined.map_batches(_partial, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(_reduce, batch_format="pandas")
+        .sort(["revenue_cents", "o_orderkey"], descending=[True, False])
+        .limit(k)
+    )

@@ -254,6 +254,7 @@ def test_knn_topk_join_parity(ray_session, con):
         "order_lineitem_revenue",
         "order_lineitem_revenue_bcast",
         "events_resample_ffill",
+        "q3_shipping_priority",
     ],
 )
 def test_round3_additions_parity(name, ray_session, con):
