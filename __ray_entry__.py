@@ -171,6 +171,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_resample_ffill": q.events_resample_ffill,
         # TPC-H-Q3-shaped multi-join (broadcast + shuffle hash-join chain)
         "q3_shipping_priority": q.q3_shipping_priority,
+        # global equi-depth binning via the distributed ordered prefix scan
+        "orders_price_ntile": q.orders_price_ntile,
         # --- near-dup ops (exact SQL replicas incl. hash families).
         #     NOTE: every oracle-backed name MUST precede every rows-only
         #     entry — the driver checks registry order (round-2 verdict:
@@ -287,6 +289,7 @@ def oracle_sql() -> dict[str, str]:
         "order_lineitem_revenue_bcast": oracle.order_lineitem_revenue_sql(),
         "events_resample_ffill": oracle.events_resample_ffill_sql(),
         "q3_shipping_priority": oracle.q3_shipping_priority_sql(),
+        "orders_price_ntile": oracle.orders_price_ntile_sql(),
         "weighted_sample_orders": oracle.weighted_sample_orders_sql(),
         "orders_range_join": oracle.orders_range_join_sql(),
         "orders_price_percentiles": oracle.orders_price_percentiles_sql(),

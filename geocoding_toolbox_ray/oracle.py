@@ -1626,3 +1626,24 @@ GROUP BY 1, 2, 3
 ORDER BY revenue_cents DESC, o_orderkey ASC
 LIMIT {k}
 """
+
+
+def orders_price_ntile_sql(tiles: int | None = None) -> str:
+    """Equi-depth binning replica: explicit rank formula (NOT NTILE —
+    its remainder placement differs) over the identical (cents,
+    orderkey) order."""
+    from .queries import NTILE_TILES
+
+    t = NTILE_TILES if tiles is None else tiles
+    return f"""
+WITH r AS (
+    SELECT o_orderkey,
+           ROW_NUMBER() OVER (
+               ORDER BY CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT),
+                        o_orderkey) AS rnk,
+           COUNT(*) OVER () AS n
+    FROM orders
+)
+SELECT o_orderkey, CAST(((rnk - 1) * {t}) // n + 1 AS BIGINT) AS quartile
+FROM r ORDER BY o_orderkey
+"""

@@ -2548,3 +2548,80 @@ def q3_shipping_priority(sf_dir: str, k: int = 10):
         .sort(["revenue_cents", "o_orderkey"], descending=[True, False])
         .limit(k)
     )
+
+
+NTILE_TILES = 4
+
+
+def _pq_col_max(sf_dir: str, table: str, col: str) -> float | None:
+    """Column max from parquet row-group statistics only (no data scan) —
+    the planner-stats step for range-partitioned operators."""
+    import pyarrow.parquet as pq
+
+    md = pq.read_metadata(f"{sf_dir}/{table}.parquet")
+    names = md.schema.to_arrow_schema().names
+    j = names.index(col)
+    mx = None
+    for i in range(md.num_row_groups):
+        st = md.row_group(i).column(j).statistics
+        if st is None or st.max is None:
+            return None
+        mx = st.max if mx is None else max(mx, st.max)
+    return mx
+
+
+def orders_price_ntile(sf_dir: str, tiles: int = NTILE_TILES):
+    """Global equi-depth binning (NTILE-shaped analytic over a GLOBAL
+    order): quartile of each order by (price cents, orderkey) rank,
+    computed with the distributed ordered prefix scan — rank-1 =
+    exclusive count of smaller keys; tile = rank0 * tiles // n.  The
+    composite int64 key packs cents * 2^31 + orderkey (unique, exact);
+    the key-domain bound comes from parquet row-group stats, so no extra
+    scan.  Never a global sort-to-driver; the scan's range buckets ARE
+    the partitioner."""
+    from .stages.scan import ordered_prefix_sum
+
+    n = _nrows(sf_dir, "orders")
+    pmax = _pq_col_max(sf_dir, "orders", "o_totalprice")
+    if pmax is None:  # stats absent: bound via one column-pruned read
+        import pyarrow.parquet as pq
+
+        pmax = (
+            pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_totalprice"])
+            .column(0)
+            .to_numpy()
+            .max()
+        )
+    max_key = (int(np.floor(pmax * 100.0 + 0.5)) + 1) << 31
+
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def _key(t: pa.Table) -> pa.Table:
+        ok = np.asarray(t["o_orderkey"].to_numpy(zero_copy_only=False), np.int64)
+        cents = np.floor(
+            np.asarray(t["o_totalprice"].to_numpy(zero_copy_only=False), np.float64)
+            * 100.0
+            + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "o_orderkey": pa.array(ok),
+                "__k": pa.array((cents << 31) | ok),
+                "one": pa.array(np.ones(len(ok), np.int64)),
+            }
+        )
+
+    scanned = ordered_prefix_sum(
+        ds.map_batches(_key, batch_format="pyarrow"), "__k", "one", max_key
+    )
+
+    def _tile(t: pa.Table) -> pa.Table:
+        rank0 = np.asarray(t["cum_prev"].to_numpy(zero_copy_only=False), np.int64)
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "quartile": pa.array((rank0 * tiles) // n + 1),
+            }
+        )
+
+    return scanned.map_batches(_tile, batch_format="pyarrow")

@@ -44,6 +44,19 @@ PR_SMALL_GRAPH_EDGES = 2_000_000
 PR_CUST_OFFSET = 1_000_000
 
 
+def _sorted_unique(x: np.ndarray) -> np.ndarray:
+    """np.unique without the pathological argsort/return_inverse path
+    (np.sort of int64 is ~25x faster than argsort on this platform;
+    measured 12-20 s vs <1 s at 2.3M elements in the small-task gather)."""
+    if not len(x):
+        return x.astype(np.int64)
+    s = np.sort(x)
+    keep = np.empty(len(s), bool)
+    keep[0] = True
+    np.not_equal(s[1:], s[:-1], out=keep[1:])
+    return s[keep]
+
+
 def _pagerank_numpy(
     si: np.ndarray,
     di: np.ndarray,
@@ -81,12 +94,13 @@ def _pagerank_small_task(refs, iters, scale, damp_num, damp_den):
         dsts.append(_block_column(blk, "dst"))
     src = np.concatenate(srcs) if srcs else np.zeros(0, np.int64)
     dst = np.concatenate(dsts) if dsts else np.zeros(0, np.int64)
-    nodes, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
+    nodes = _sorted_unique(np.concatenate([src, dst]))
     if not len(nodes):
         return pa.table(
             {"node_id": pa.array([], pa.int64()), "pr_score": pa.array([], pa.int64())}
         )
-    si, di = inv[: len(src)], inv[len(src) :]
+    si = np.searchsorted(nodes, src)
+    di = np.searchsorted(nodes, dst)
     rank = _pagerank_numpy(si, di, len(nodes), iters, scale, damp_num, damp_den)
     return pa.table(
         {"node_id": pa.array(nodes, pa.int64()), "pr_score": pa.array(rank, pa.int64())}
@@ -108,7 +122,7 @@ def _degree_task(refs):
         dsts.append(_block_column(blk, "dst"))
     src = np.concatenate(srcs) if srcs else np.zeros(0, np.int64)
     dst = np.concatenate(dsts) if dsts else np.zeros(0, np.int64)
-    nodes = np.unique(np.concatenate([src, dst]))
+    nodes = _sorted_unique(np.concatenate([src, dst]))
     deg = np.bincount(
         np.searchsorted(nodes, src), minlength=len(nodes)
     ).astype(np.int64)

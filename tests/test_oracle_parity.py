@@ -255,6 +255,7 @@ def test_knn_topk_join_parity(ray_session, con):
         "order_lineitem_revenue_bcast",
         "events_resample_ffill",
         "q3_shipping_priority",
+        "orders_price_ntile",
     ],
 )
 def test_round3_additions_parity(name, ray_session, con):
