@@ -173,6 +173,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q3_shipping_priority": q.q3_shipping_priority,
         # global equi-depth binning via the distributed ordered prefix scan
         "orders_price_ntile": q.orders_price_ntile,
+        # per-key window analytics (coarse-bucket + vectorized in-bucket)
+        "customer_running_total": q.customer_running_total,
+        "orders_interorder_gap": q.orders_interorder_gap,
+        "lineitem_moments": q.lineitem_moments,
+        "user_mode_event_type": q.user_mode_event_type,
         # --- near-dup ops (exact SQL replicas incl. hash families).
         #     NOTE: every oracle-backed name MUST precede every rows-only
         #     entry — the driver checks registry order (round-2 verdict:
@@ -290,6 +295,10 @@ def oracle_sql() -> dict[str, str]:
         "events_resample_ffill": oracle.events_resample_ffill_sql(),
         "q3_shipping_priority": oracle.q3_shipping_priority_sql(),
         "orders_price_ntile": oracle.orders_price_ntile_sql(),
+        "customer_running_total": oracle.customer_running_total_sql(),
+        "orders_interorder_gap": oracle.orders_interorder_gap_sql(),
+        "lineitem_moments": oracle.lineitem_moments_sql(),
+        "user_mode_event_type": oracle.user_mode_event_type_sql(),
         "weighted_sample_orders": oracle.weighted_sample_orders_sql(),
         "orders_range_join": oracle.orders_range_join_sql(),
         "orders_price_percentiles": oracle.orders_price_percentiles_sql(),

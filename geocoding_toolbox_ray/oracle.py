@@ -1647,3 +1647,56 @@ WITH r AS (
 SELECT o_orderkey, CAST(((rnk - 1) * {t}) // n + 1 AS BIGINT) AS quartile
 FROM r ORDER BY o_orderkey
 """
+
+
+def customer_running_total_sql() -> str:
+    return """
+SELECT o_orderkey,
+       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS running_cents
+FROM orders ORDER BY o_orderkey
+"""
+
+
+def orders_interorder_gap_sql() -> str:
+    """Engine's day_num diff == date_diff('day') for epoch-positive
+    timestamps (both count midnight boundaries)."""
+    return """
+SELECT o_orderkey,
+       CAST(COALESCE(date_diff('day',
+           LAG(o_orderdate) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+           o_orderdate), -1) AS BIGINT) AS gap_days
+FROM orders ORDER BY o_orderkey
+"""
+
+
+def lineitem_moments_sql() -> str:
+    return """
+SELECT l_returnflag, l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS sum_qty_cents,
+       CAST(SUM(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)
+                * CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS sumsq_qty_cents
+FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def user_mode_event_type_sql() -> str:
+    return """
+WITH c AS (
+    SELECT user_id, event_type, COUNT(*) AS cnt
+    FROM events GROUP BY 1, 2
+), r AS (
+    SELECT user_id, event_type, cnt,
+           ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY cnt DESC, event_type ASC) AS rn
+    FROM c
+)
+SELECT user_id, event_type AS mode_event_type, CAST(cnt AS BIGINT) AS n_events
+FROM r WHERE rn = 1 ORDER BY user_id
+"""

@@ -2625,3 +2625,191 @@ def orders_price_ntile(sf_dir: str, tiles: int = NTILE_TILES):
         )
 
     return scanned.map_batches(_tile, batch_format="pyarrow")
+
+
+# ------------------------------------------- per-key window analytics
+
+
+def _orders_customer_bucketed(sf_dir: str):
+    """orders -> (bucket, o_custkey, o_orderkey, day_num, cents) with the
+    coarse customer-hash bucket key (one map_groups dispatch per BUCKET,
+    never per customer — CLAUDE.md group-count rule)."""
+    orders = _read(
+        sf_dir,
+        "orders",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def _prep(t: pa.Table) -> pa.Table:
+        ck = np.asarray(t["o_custkey"].to_numpy(zero_copy_only=False), np.int64)
+        cents = np.floor(
+            np.asarray(t["o_totalprice"].to_numpy(zero_copy_only=False), np.float64)
+            * 100.0
+            + 0.5
+        ).astype(np.int64)
+        day = (
+            t["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            // 86_400_000_000
+        )
+        return pa.table(
+            {
+                "bucket": pa.array((ck * 2654435761 % 2**32) % SESSION_BUCKETS, pa.int64()),
+                "o_custkey": t["o_custkey"],
+                "o_orderkey": t["o_orderkey"],
+                "day_num": pa.array(day.astype(np.int64)),
+                "cents": pa.array(cents, pa.int64()),
+            }
+        )
+
+    return orders.map_batches(_prep, batch_format="pyarrow")
+
+
+def customer_running_total(sf_dir: str):
+    """Per-customer cumulative order value (SUM OVER PARTITION BY custkey
+    ORDER BY date, orderkey): the streaming-ledger window.  Fine-grained
+    partitions recovered vectorized inside each coarse bucket — sort +
+    grouped cumsum, exact integer cents."""
+
+    def _cumsum(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["o_custkey", "day_num", "o_orderkey"], kind="mergesort"
+        )
+        run = g.groupby("o_custkey", sort=False)["cents"].cumsum().to_numpy(np.int64)
+        return pd.DataFrame(
+            {"o_orderkey": g["o_orderkey"].to_numpy(np.int64), "running_cents": run}
+        )
+
+    return (
+        _orders_customer_bucketed(sf_dir)
+        .groupby("bucket")
+        .map_groups(_cumsum, batch_format="pandas")
+    )
+
+
+def orders_interorder_gap(sf_dir: str):
+    """LAG analytic: whole days since the same customer's previous order
+    (calendar-day boundary count, matching date_diff('day')); first order
+    -> -1 (COALESCE keeps the column non-null int64)."""
+
+    def _gap(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["o_custkey", "day_num", "o_orderkey"], kind="mergesort"
+        )
+        day = g["day_num"].to_numpy(np.int64)
+        ck = g["o_custkey"].to_numpy(np.int64)
+        gap = np.empty(len(day), np.int64)
+        gap[0] = -1
+        if len(day) > 1:
+            same = ck[1:] == ck[:-1]
+            gap[1:] = np.where(same, day[1:] - day[:-1], -1)
+        return pd.DataFrame(
+            {"o_orderkey": g["o_orderkey"].to_numpy(np.int64), "gap_days": gap}
+        )
+
+    return (
+        _orders_customer_bucketed(sf_dir)
+        .groupby("bucket")
+        .map_groups(_gap, batch_format="pandas")
+    )
+
+
+def lineitem_moments(sf_dir: str):
+    """Exact integer group moments (count / sum / sum-of-squares of
+    quantity cents) per (returnflag, linestatus): the mergeable-partial
+    shape for distributed variance.  sumsq stays exact while
+    n * (max_cents)^2 < 2^63 — at qty <= 100 (cents 10^4, sq 10^8) that is
+    9e10 rows PER GROUP; beyond that, shard the group key.  Per-batch
+    np.add.at partials -> bounded-cardinality Ray Sum."""
+    from ray.data.aggregate import Sum
+
+    li = _read(
+        sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus", "l_quantity"]
+    )
+
+    def _partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        flag = t["l_returnflag"]
+        stat = t["l_linestatus"]
+        key = pc.binary_join_element_wise(flag.cast(pa.string()), stat.cast(pa.string()), "|")
+        cents = np.floor(
+            np.asarray(t["l_quantity"].to_numpy(zero_copy_only=False), np.float64)
+            * 100.0
+            + 0.5
+        ).astype(np.int64)
+        ku = pc.unique(key)
+        inv = pc.index_in(key, ku).to_numpy(zero_copy_only=False).astype(np.int64)
+        n = np.bincount(inv, minlength=len(ku)).astype(np.int64)
+        s = np.zeros(len(ku), np.int64)
+        s2 = np.zeros(len(ku), np.int64)
+        np.add.at(s, inv, cents)
+        np.add.at(s2, inv, cents * cents)
+        return pa.table(
+            {"key": ku, "n": pa.array(n), "s": pa.array(s), "s2": pa.array(s2)}
+        )
+
+    agg = (
+        li.map_batches(_partial, batch_format="pyarrow")
+        .groupby("key")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("s", alias_name="sum_qty_cents"),
+            Sum("s2", alias_name="sumsq_qty_cents"),
+        )
+        .to_pandas()
+    )
+    parts = agg["key"].str.split("|", expand=True)
+    return pd.DataFrame(
+        {
+            "l_returnflag": parts[0],
+            "l_linestatus": parts[1],
+            "n": agg["n"].to_numpy(np.int64),
+            "sum_qty_cents": agg["sum_qty_cents"].to_numpy(np.int64),
+            "sumsq_qty_cents": agg["sumsq_qty_cents"].to_numpy(np.int64),
+        }
+    ).sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+def user_mode_event_type(sf_dir: str):
+    """Per-user modal event type (deterministic tie-break: higher count,
+    then lexicographically smallest type).  High-cardinality group key ->
+    per-batch (user, type) partial counts, coarse user-hash bucket
+    shuffle, vectorized within-bucket argmax."""
+    ev = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            df.groupby(["user_id", "event_type"], sort=False)
+            .size()
+            .reset_index(name="cnt")
+        )
+        uid = g["user_id"].to_numpy(np.int64)
+        g["bucket"] = ((uid * 2654435761) % 2**32) % SESSION_BUCKETS
+        g["cnt"] = g["cnt"].astype(np.int64)
+        return g
+
+    def _mode(g: pd.DataFrame) -> pd.DataFrame:
+        tot = (
+            g.groupby(["user_id", "event_type"], sort=False)["cnt"]
+            .sum()
+            .reset_index()
+        )
+        tot = tot.sort_values(
+            ["user_id", "cnt", "event_type"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        first = tot.drop_duplicates("user_id", keep="first")
+        return pd.DataFrame(
+            {
+                "user_id": first["user_id"].to_numpy(np.int64),
+                "mode_event_type": first["event_type"].to_numpy(object),
+                "n_events": first["cnt"].to_numpy(np.int64),
+            }
+        )
+
+    return (
+        ev.map_batches(_partial, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(_mode, batch_format="pandas")
+    )

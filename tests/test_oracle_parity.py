@@ -256,6 +256,10 @@ def test_knn_topk_join_parity(ray_session, con):
         "events_resample_ffill",
         "q3_shipping_priority",
         "orders_price_ntile",
+        "customer_running_total",
+        "orders_interorder_gap",
+        "lineitem_moments",
+        "user_mode_event_type",
     ],
 )
 def test_round3_additions_parity(name, ray_session, con):
