@@ -178,6 +178,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_interorder_gap": q.orders_interorder_gap,
         "lineitem_moments": q.lineitem_moments,
         "user_mode_event_type": q.user_mode_event_type,
+        # CCNet-style cross-page boilerplate-sentence removal
+        "pages_boilerplate_strip": q.pages_boilerplate_strip,
         # --- near-dup ops (exact SQL replicas incl. hash families).
         #     NOTE: every oracle-backed name MUST precede every rows-only
         #     entry — the driver checks registry order (round-2 verdict:
@@ -299,6 +301,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_interorder_gap": oracle.orders_interorder_gap_sql(),
         "lineitem_moments": oracle.lineitem_moments_sql(),
         "user_mode_event_type": oracle.user_mode_event_type_sql(),
+        "pages_boilerplate_strip": oracle.pages_boilerplate_strip_sql(),
         "weighted_sample_orders": oracle.weighted_sample_orders_sql(),
         "orders_range_join": oracle.orders_range_join_sql(),
         "orders_price_percentiles": oracle.orders_price_percentiles_sql(),

@@ -1700,3 +1700,37 @@ WITH c AS (
 SELECT user_id, event_type AS mode_event_type, CAST(cnt AS BIGINT) AS n_events
 FROM r WHERE rn = 1 ORDER BY user_id
 """
+
+
+def pages_boilerplate_strip_sql() -> str:
+    """Full SQL replica of the CCNet-style strip: identical '. ' split,
+    per-page-distinct df, and the SAME integer threshold constant."""
+    from .queries import BOILER_DF_DENOM
+
+    return f"""
+WITH {_pages_corpus_ctes()},
+pfrag AS (
+    SELECT i, url,
+           UNNEST(generate_series(1, len(string_split(text, '. ')))) AS j,
+           string_split(text, '. ') AS l
+    FROM pgtext
+),
+fr AS (SELECT i, url, j, l[j] AS frag FROM pfrag),
+fdf AS (SELECT frag, COUNT(DISTINCT i) AS df FROM fr GROUP BY 1),
+boiler AS (
+    SELECT frag FROM fdf
+    WHERE df * {BOILER_DF_DENOM} >= (SELECT COUNT(*) FROM pgtext)
+),
+kept AS (
+    SELECT f.i, f.url, f.j, f.frag FROM fr f
+    WHERE f.frag NOT IN (SELECT frag FROM boiler)
+),
+tot AS (SELECT i, COUNT(*) AS n_frag FROM fr GROUP BY 1)
+SELECT k.url,
+       string_agg(k.frag, '. ' ORDER BY k.j) AS clean_text,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(MAX(t.n_frag) - COUNT(*) AS BIGINT) AS n_removed
+FROM kept k JOIN tot t USING (i)
+GROUP BY k.url
+ORDER BY k.url
+"""

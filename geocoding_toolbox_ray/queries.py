@@ -2813,3 +2813,86 @@ def user_mode_event_type(sf_dir: str):
         .groupby("bucket")
         .map_groups(_mode, batch_format="pandas")
     )
+
+
+# --------------------------------------- CCNet-style boilerplate removal
+
+BOILER_DF_DENOM = 50  # fragment is boilerplate when df * DENOM >= n_en_pages
+
+
+def _en_pages_count(npages: int) -> int:
+    """Exact count of en-language pages in [0, npages) — closed form over
+    the deterministic language cycle (no corpus scan)."""
+    from .sources.pages import _LANG_CYCLE
+
+    en = [k for k, l in enumerate(_LANG_CYCLE) if l == "en"]
+    full, rem = divmod(npages, len(_LANG_CYCLE))
+    return full * len(en) + sum(1 for k in en if k < rem)
+
+
+def pages_boilerplate_strip(sf_dir: str):
+    """CCNet/trafilatura-style cross-page boilerplate removal: split each
+    page's extracted text into '. '-delimited sentence fragments, count
+    per-fragment document frequency across the corpus (distinct pages),
+    drop fragments present in >= 1/DENOM of pages, and re-join the
+    survivors in original order.  Two streaming passes: (1) per-batch
+    per-page-distinct fragment partials -> coarse fingerprint-bucket
+    reduce -> tiny boilerplate set (bounded by the number of distinct
+    site-template sentences, NOT corpus size); (2) re-stream pages,
+    vectorized isin + grouped re-join.  The tiny set ships in the task
+    closure — never a per-batch ray.get of a big container."""
+    from .functions.text import rolling_fingerprint_batch
+    from .sources.pages import generate_pages_dataset
+    from .stages.extract import filter_lang
+
+    npages = _nrows(sf_dir, "orders") * 2
+    n_en = _en_pages_count(npages)
+
+    def _df_partial(t: pa.Table) -> pd.DataFrame:
+        t = filter_lang(t)
+        texts = t["text"].to_pandas()
+        ex = texts.str.split(". ", regex=False).explode()
+        d = pd.DataFrame(
+            {"page": ex.index.to_numpy(np.int64), "frag": ex.to_numpy(object)}
+        ).drop_duplicates()
+        cnt = d.groupby("frag", sort=False).size().reset_index(name="cnt")
+        cnt["bucket"] = (
+            rolling_fingerprint_batch(cnt["frag"].tolist()) % SESSION_BUCKETS
+        )
+        cnt["cnt"] = cnt["cnt"].astype(np.int64)
+        return cnt[["bucket", "frag", "cnt"]]
+
+    def _df_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby("frag", sort=False)["cnt"].sum()
+        boiler = tot[tot * BOILER_DF_DENOM >= n_en]
+        return pd.DataFrame({"frag": boiler.index.to_numpy(object)})
+
+    boiler_df = (
+        generate_pages_dataset(npages)
+        .map_batches(_df_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_df_reduce, batch_format="pandas")
+        .to_pandas()
+    )
+    boiler = frozenset(boiler_df["frag"].tolist())
+
+    def _strip(t: pa.Table) -> pd.DataFrame:
+        t = filter_lang(t)
+        urls = t["url"].to_pandas().reset_index(drop=True)
+        texts = t["text"].to_pandas().reset_index(drop=True)
+        ex = texts.str.split(". ", regex=False).explode()
+        kept = ex[~ex.isin(boiler)]
+        joined = kept.groupby(level=0).agg(". ".join)
+        n_kept = kept.groupby(level=0).size()
+        n_tot = ex.groupby(level=0).size()
+        nk = n_kept.reindex(n_tot.index, fill_value=0).to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "url": urls.to_numpy(object),
+                "clean_text": joined.reindex(n_tot.index, fill_value="").to_numpy(object),
+                "n_kept": nk,
+                "n_removed": n_tot.to_numpy(np.int64) - nk,
+            }
+        )
+
+    return generate_pages_dataset(npages).map_batches(_strip, batch_format="pyarrow")

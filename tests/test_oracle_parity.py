@@ -260,6 +260,7 @@ def test_knn_topk_join_parity(ray_session, con):
         "orders_interorder_gap",
         "lineitem_moments",
         "user_mode_event_type",
+        "pages_boilerplate_strip",
     ],
 )
 def test_round3_additions_parity(name, ray_session, con):
