@@ -180,6 +180,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_mode_event_type": q.user_mode_event_type,
         # CCNet-style cross-page boilerplate-sentence removal
         "pages_boilerplate_strip": q.pages_boilerplate_strip,
+        # quantized embedding centroids / expectations gate / ROLLUP
+        "embedding_centroids": q.embedding_centroids,
+        "orders_validation_report": q.orders_validation_report,
+        "revenue_rollup": q.revenue_rollup,
         # --- near-dup ops (exact SQL replicas incl. hash families).
         #     NOTE: every oracle-backed name MUST precede every rows-only
         #     entry — the driver checks registry order (round-2 verdict:
@@ -302,6 +306,9 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_moments": oracle.lineitem_moments_sql(),
         "user_mode_event_type": oracle.user_mode_event_type_sql(),
         "pages_boilerplate_strip": oracle.pages_boilerplate_strip_sql(),
+        "embedding_centroids": oracle.embedding_centroids_sql(),
+        "orders_validation_report": oracle.orders_validation_report_sql(),
+        "revenue_rollup": oracle.revenue_rollup_sql(),
         "weighted_sample_orders": oracle.weighted_sample_orders_sql(),
         "orders_range_join": oracle.orders_range_join_sql(),
         "orders_price_percentiles": oracle.orders_price_percentiles_sql(),

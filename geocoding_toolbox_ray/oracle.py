@@ -1734,3 +1734,46 @@ FROM kept k JOIN tot t USING (i)
 GROUP BY k.url
 ORDER BY k.url
 """
+
+
+def embedding_centroids_sql() -> str:
+    from .queries import EMB_Q_SCALE
+
+    return f"""
+WITH e AS (
+    SELECT label,
+           UNNEST(generate_series(1, len(embedding))) AS j,
+           embedding AS l
+    FROM embeddings
+)
+SELECT CAST(label AS BIGINT) AS label, CAST(j AS BIGINT) AS dim,
+       CAST(SUM(CAST(floor(l[j] * {EMB_Q_SCALE} + 0.5) AS BIGINT)) AS BIGINT)
+           AS sum_q,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM e GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def orders_validation_report_sql() -> str:
+    return """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) FILTER (o_custkey IS NULL) AS BIGINT) AS null_custkey,
+       CAST(COUNT(*) FILTER (o_totalprice <= 0) AS BIGINT) AS nonpositive_price,
+       CAST(COUNT(*) FILTER (o_orderstatus NOT IN ('O', 'F', 'P')) AS BIGINT)
+           AS bad_status,
+       CAST(COUNT(*) FILTER (o_custkey <= 0) AS BIGINT) AS nonpositive_custkey
+FROM orders
+"""
+
+
+def revenue_rollup_sql() -> str:
+    return """
+SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+       COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+       CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS revenue_cents,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+ORDER BY 1, 2
+"""

@@ -2896,3 +2896,169 @@ def pages_boilerplate_strip(sf_dir: str):
         )
 
     return generate_pages_dataset(npages).map_batches(_strip, batch_format="pyarrow")
+
+
+# ------------------------------------ embedding / validation / rollup
+
+EMB_Q_SCALE = 1 << 20  # centroid quantization: exact in float64 and SQL
+
+
+def embedding_centroids(sf_dir: str):
+    """Per-label embedding centroid as EXACT quantized integer sums (one
+    row per (label, dim)): each float32 component converts to double
+    identically in numpy and DuckDB, so floor(x * 2^20 + 0.5) sums are
+    bit-exact on both sides.  Per-batch np.add.at partials over a packed
+    (label, dim) key -> bounded-cardinality Ray Sum (labels x dims)."""
+    from ray.data.aggregate import Sum
+
+    emb = _read(sf_dir, "embeddings", columns=["label", "embedding"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        lab = np.asarray(t["label"].to_numpy(zero_copy_only=False), np.int64)
+        mat = np.stack(t["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        q = np.floor(mat * EMB_Q_SCALE + 0.5).astype(np.int64)
+        dims = q.shape[1]
+        ul, inv = np.unique(lab, return_inverse=True)
+        s = np.zeros((len(ul), dims), np.int64)
+        np.add.at(s, inv, q)
+        n = np.bincount(inv, minlength=len(ul)).astype(np.int64)
+        key = (np.repeat(ul, dims) << 12) | np.tile(np.arange(1, dims + 1, dtype=np.int64), len(ul))
+        return pa.table(
+            {
+                "key": pa.array(key),
+                "sum_q": pa.array(s.ravel()),
+                "n": pa.array(np.repeat(n, dims)),
+            }
+        )
+
+    agg = (
+        emb.map_batches(_partial, batch_format="pyarrow")
+        .groupby("key")
+        .aggregate(Sum("sum_q", alias_name="sum_q"), Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    key = agg["key"].to_numpy(np.int64)
+    return (
+        pd.DataFrame(
+            {
+                "label": key >> 12,
+                "dim": key & 0xFFF,
+                "sum_q": agg["sum_q"].to_numpy(np.int64),
+                "n": agg["n"].to_numpy(np.int64),
+            }
+        )
+        .sort_values(["label", "dim"])
+        .reset_index(drop=True)
+    )
+
+
+def orders_validation_report(sf_dir: str) -> pd.DataFrame:
+    """Expectations-style data-quality gate: one row of BIGINT violation
+    counters (nulls, domain violations, referential orphans are covered
+    elsewhere by the bloom anti-join).  Per-batch vectorized CASE counts
+    -> tiny Sum reduce; the 100 TB shape is the same counters, merged."""
+    from ray.data.aggregate import Sum
+
+    orders = _read(
+        sf_dir,
+        "orders",
+        columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"],
+    )
+
+    def _partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        price = np.asarray(t["o_totalprice"].to_numpy(zero_copy_only=False), np.float64)
+        ck = np.asarray(t["o_custkey"].to_numpy(zero_copy_only=False), np.int64)
+        status_ok = pc.is_in(
+            t["o_orderstatus"], value_set=pa.array(["O", "F", "P"])
+        ).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "n_rows": pa.array([len(price)], pa.int64()),
+                "null_custkey": pa.array([int(t["o_custkey"].null_count)], pa.int64()),
+                "nonpositive_price": pa.array([int((price <= 0).sum())], pa.int64()),
+                "bad_status": pa.array([int((~status_ok).sum())], pa.int64()),
+                "nonpositive_custkey": pa.array([int((ck <= 0).sum())], pa.int64()),
+            }
+        )
+
+    agg = (
+        orders.map_batches(_partial, batch_format="pyarrow")
+        .aggregate(
+            Sum("n_rows", alias_name="n_rows"),
+            Sum("null_custkey", alias_name="null_custkey"),
+            Sum("nonpositive_price", alias_name="nonpositive_price"),
+            Sum("bad_status", alias_name="bad_status"),
+            Sum("nonpositive_custkey", alias_name="nonpositive_custkey"),
+        )
+    )
+    return pd.DataFrame({k: pd.array([int(v)], "int64") for k, v in agg.items()})
+
+
+def revenue_rollup(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY ROLLUP(l_returnflag, l_linestatus) revenue: finest-level
+    integer-cents aggregate (per-batch partials + bounded Sum), with the
+    subtotal and grand-total levels derived from the finest rows
+    driver-side (a few dozen rows — never a second scan).  NULL rollup
+    keys surface as 'ALL' in both engine and oracle."""
+    from ray.data.aggregate import Sum
+
+    li = _read(
+        sf_dir, "lineitem", columns=["l_returnflag", "l_linestatus", "l_extendedprice"]
+    )
+
+    def _partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        key = pc.binary_join_element_wise(
+            t["l_returnflag"].cast(pa.string()),
+            t["l_linestatus"].cast(pa.string()),
+            "|",
+        )
+        cents = np.floor(
+            np.asarray(t["l_extendedprice"].to_numpy(zero_copy_only=False), np.float64)
+            * 100.0
+            + 0.5
+        ).astype(np.int64)
+        ku = pc.unique(key)
+        inv = pc.index_in(key, ku).to_numpy(zero_copy_only=False).astype(np.int64)
+        s = np.zeros(len(ku), np.int64)
+        np.add.at(s, inv, cents)
+        n = np.bincount(inv, minlength=len(ku)).astype(np.int64)
+        return pa.table({"key": ku, "cents": pa.array(s), "n": pa.array(n)})
+
+    agg = (
+        li.map_batches(_partial, batch_format="pyarrow")
+        .groupby("key")
+        .aggregate(Sum("cents", alias_name="cents"), Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    parts = agg["key"].str.split("|", expand=True)
+    fine = pd.DataFrame(
+        {
+            "l_returnflag": parts[0].to_numpy(object),
+            "l_linestatus": parts[1].to_numpy(object),
+            "revenue_cents": agg["cents"].to_numpy(np.int64),
+            "n": agg["n"].to_numpy(np.int64),
+        }
+    )
+    sub = (
+        fine.groupby("l_returnflag", as_index=False)[["revenue_cents", "n"]]
+        .sum()
+        .assign(l_linestatus="ALL")
+    )
+    total = pd.DataFrame(
+        {
+            "l_returnflag": ["ALL"],
+            "l_linestatus": ["ALL"],
+            "revenue_cents": [int(fine["revenue_cents"].sum())],
+            "n": [int(fine["n"].sum())],
+        }
+    )
+    out = pd.concat([fine, sub, total], ignore_index=True)[
+        ["l_returnflag", "l_linestatus", "revenue_cents", "n"]
+    ]
+    out["revenue_cents"] = out["revenue_cents"].astype(np.int64)
+    out["n"] = out["n"].astype(np.int64)
+    return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)

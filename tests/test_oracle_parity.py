@@ -261,6 +261,9 @@ def test_knn_topk_join_parity(ray_session, con):
         "lineitem_moments",
         "user_mode_event_type",
         "pages_boilerplate_strip",
+        "embedding_centroids",
+        "orders_validation_report",
+        "revenue_rollup",
     ],
 )
 def test_round3_additions_parity(name, ray_session, con):
