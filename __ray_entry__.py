@@ -184,6 +184,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_centroids": q.embedding_centroids,
         "orders_validation_report": q.orders_validation_report,
         "revenue_rollup": q.revenue_rollup,
+        # left-outer join through the generic hash-join operator (both
+        # strategies share one oracle — join type is planner-invisible)
+        "order_fulfillment_left": q.order_fulfillment_left,
+        "order_fulfillment_left_shuffle": q.order_fulfillment_left_shuffle,
         # --- near-dup ops (exact SQL replicas incl. hash families).
         #     NOTE: every oracle-backed name MUST precede every rows-only
         #     entry — the driver checks registry order (round-2 verdict:
@@ -309,6 +313,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_centroids": oracle.embedding_centroids_sql(),
         "orders_validation_report": oracle.orders_validation_report_sql(),
         "revenue_rollup": oracle.revenue_rollup_sql(),
+        "order_fulfillment_left": oracle.order_fulfillment_left_sql(),
+        "order_fulfillment_left_shuffle": oracle.order_fulfillment_left_sql(),
         "weighted_sample_orders": oracle.weighted_sample_orders_sql(),
         "orders_range_join": oracle.orders_range_join_sql(),
         "orders_price_percentiles": oracle.orders_price_percentiles_sql(),

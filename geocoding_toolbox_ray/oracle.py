@@ -1777,3 +1777,21 @@ FROM lineitem
 GROUP BY ROLLUP(l_returnflag, l_linestatus)
 ORDER BY 1, 2
 """
+
+
+def order_fulfillment_left_sql() -> str:
+    """Shared by both join strategies (strategy must be output-invisible)."""
+    return """
+WITH agg AS (
+    SELECT l_orderkey AS o_orderkey,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS item_cents
+    FROM lineitem GROUP BY 1
+)
+SELECT o.o_orderkey, o.o_orderstatus,
+       CAST(COALESCE(a.n_items, 0) AS BIGINT) AS n_items,
+       CAST(COALESCE(a.item_cents, 0) AS BIGINT) AS item_cents
+FROM orders o LEFT JOIN agg a USING (o_orderkey)
+ORDER BY o.o_orderkey
+"""

@@ -3062,3 +3062,75 @@ def revenue_rollup(sf_dir: str) -> pd.DataFrame:
     out["revenue_cents"] = out["revenue_cents"].astype(np.int64)
     out["n"] = out["n"].astype(np.int64)
     return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+# ------------------------------------------------- left-outer join
+
+
+def _order_fulfillment(sf_dir: str, strategy: str):
+    """Orders LEFT OUTER JOIN per-order lineitem rollup: every order row
+    survives; orders with no lineitems take integer zero fills (the
+    complement of the bloom anti-join, as a join type).  The per-order
+    rollup never touches Ray groupby on the high-cardinality orderkey:
+    per-batch np partials -> coarse-bucket reduce; then the generic
+    hash_join runs in the requested strategy with how='left' (broadcast:
+    Acero 'left outer' + pc.coalesce; shuffle: in-bucket pandas
+    merge(how='left') + integer fill before the dtype restore)."""
+    from .stages.join import hash_join
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice"])
+
+    def _partial(t: pa.Table) -> pd.DataFrame:
+        ok = np.asarray(t["l_orderkey"].to_numpy(zero_copy_only=False), np.int64)
+        cents = np.floor(
+            np.asarray(t["l_extendedprice"].to_numpy(zero_copy_only=False), np.float64)
+            * 100.0
+            + 0.5
+        ).astype(np.int64)
+        uk, inv = np.unique(ok, return_inverse=True)
+        s = np.zeros(len(uk), np.int64)
+        np.add.at(s, inv, cents)
+        n = np.bincount(inv, minlength=len(uk)).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "bucket": ((uk * 2654435761) % 2**32) % SESSION_BUCKETS,
+                "o_orderkey": uk,
+                "n_items": n,
+                "item_cents": s,
+            }
+        )
+
+    def _reduce(g: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            g.groupby("o_orderkey", sort=False)[["n_items", "item_cents"]]
+            .sum()
+            .reset_index()
+        )
+        out["n_items"] = out["n_items"].astype(np.int64)
+        out["item_cents"] = out["item_cents"].astype(np.int64)
+        return out
+
+    agg = (
+        li.map_batches(_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_reduce, batch_format="pandas")
+    )
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderstatus"])
+    return hash_join(
+        orders,
+        agg,
+        "o_orderkey",
+        ["n_items", "item_cents"],
+        strategy=strategy,
+        left_rows=_nrows(sf_dir, "orders"),
+        how="left",
+        fill={"n_items": 0, "item_cents": 0},
+    )
+
+
+def order_fulfillment_left(sf_dir: str):
+    return _order_fulfillment(sf_dir, "broadcast")
+
+
+def order_fulfillment_left_shuffle(sf_dir: str):
+    return _order_fulfillment(sf_dir, "shuffle")

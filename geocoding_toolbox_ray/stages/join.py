@@ -9,8 +9,8 @@ join runs vectorized (pandas merge) inside each bounded bucket — never
 a Ray groupby keyed on the join key itself (group-count cost rule,
 CLAUDE.md).
 
-Contract: single int64 equi-key, inner join, right side deduplicated by
-the caller if multiplicity matters.  Skewed keys: salt the bucket of
+Contract: single int64 equi-key, inner or left-outer join, right side
+deduplicated by the caller if multiplicity matters.  Skewed keys: salt the bucket of
 hot keys upstream (stages/salt.py) — the bucket key here is a plain
 hash so salting composes.
 """
@@ -44,23 +44,54 @@ def _gather_table_task(refs, columns):
     return pa.concat_tables(parts).combine_chunks()
 
 
-def broadcast_join(left, right, key: str, right_cols: list[str]):
-    """Inner join with the (small) right side shipped once.  Each left
-    block joins via the Arrow (Acero) hash-join kernel — zero-copy
-    object-store read per task, no shuffle anywhere."""
-    import ray
 
+def _arrow_type(ds_schema, col: str) -> pa.DataType:
+    """Column's Arrow type from a Dataset schema — handles both Arrow
+    schemas and PandasBlockSchema (map_groups-produced datasets)."""
+    base = getattr(ds_schema, "base_schema", ds_schema)
+    if hasattr(base, "field"):
+        return base.field(col).type
+    return pa.from_numpy_dtype(base.types[base.names.index(col)])
+
+
+def broadcast_join(
+    left,
+    right,
+    key: str,
+    right_cols: list[str],
+    how: str = "inner",
+    fill: dict | None = None,
+):
+    """Inner or left-outer join with the (small) right side shipped once.
+    Each left block joins via the Arrow (Acero) hash-join kernel —
+    zero-copy object-store read per task, no shuffle anywhere.  For
+    ``how='left'``, ``fill`` maps right-side columns to the value
+    substituted on misses (kept integer-exact via pc.coalesce + cast to
+    the source type — no pandas NaN float round-trip)."""
+    import ray
+    import pyarrow.compute as pc
+
+    arrow_how = {"inner": "inner", "left": "left outer"}[how]
     right = right.materialize()
     refs = [br for bd in right.iter_internal_ref_bundles() for br in bd.block_refs]
     table_ref = _gather_table_task.remote(refs, [key] + right_cols)
+    rschema = right.schema()
+    rtypes = {c: _arrow_type(rschema, c) for c in [key] + right_cols}
 
     def _join(t: pa.Table) -> pa.Table:
         rt = ray.get(table_ref)
         if rt is None:
-            return t.slice(0, 0).join(
-                pa.table({key: pa.array([], pa.int64())}), keys=key, join_type="inner"
-            )
-        return t.join(rt, keys=key, join_type="inner")
+            rt = pa.table({c: pa.array([], rtypes[c]) for c in [key] + right_cols})
+        j = t.join(rt, keys=key, join_type=arrow_how)
+        if fill:
+            for c, v in fill.items():
+                typ = rtypes[c]
+                j = j.set_column(
+                    j.schema.get_field_index(c),
+                    c,
+                    pc.coalesce(j[c], pa.scalar(v, typ)),
+                )
+        return j
 
     return left.map_batches(_join, batch_format="pyarrow")
 
@@ -72,11 +103,15 @@ def shuffle_join(
     right_cols: list[str],
     nbuckets: int | None = None,
     approx_rows: int | None = None,
+    how: str = "inner",
+    fill: dict | None = None,
 ):
-    """Big-big inner join: both sides tagged and hash-bucketed on the key
-    (one shuffle each), vectorized pandas merge inside each bounded
-    bucket.  The union schema carries each side's columns nulled on the
-    other side — only the bucket/key columns are dense."""
+    """Big-big inner or left-outer join: both sides tagged and
+    hash-bucketed on the key (one shuffle each), vectorized pandas merge
+    inside each bounded bucket.  The union schema carries each side's
+    columns nulled on the other side — only the bucket/key columns are
+    dense.  For ``how='left'``, misses take ``fill`` values before the
+    dtype restore so integer columns never float."""
     if nbuckets is None:
         n = approx_rows if approx_rows is not None else 0
         nbuckets = max(16, n // TARGET_BUCKET_ROWS + 1)
@@ -95,11 +130,11 @@ def shuffle_join(
             }
             for c in left_cols:
                 data[c] = t[c] if (side == 0 and c in t.schema.names) else pa.nulls(
-                    len(k), left.schema().base_schema.field(c).type
+                    len(k), _arrow_type(left.schema(), c)
                 )
             for c in right_cols:
                 data[c] = t[c] if (side == 1 and c in t.schema.names) else pa.nulls(
-                    len(k), right.schema().base_schema.field(c).type
+                    len(k), _arrow_type(right.schema(), c)
                 )
             return pa.table(data)
 
@@ -112,17 +147,19 @@ def shuffle_join(
     out_cols = [key] + left_cols + right_cols
     # the union's null padding floats integer columns in pandas blocks;
     # restore each column's source dtype after the (null-free) inner merge
-    lt, rt = left.schema().base_schema, right.schema().base_schema
+    lt, rt = left.schema(), right.schema()
     dtypes = {key: np.int64}
     for c in left_cols:
-        dtypes[c] = lt.field(c).type.to_pandas_dtype()
+        dtypes[c] = _arrow_type(lt, c).to_pandas_dtype()
     for c in right_cols:
-        dtypes[c] = rt.field(c).type.to_pandas_dtype()
+        dtypes[c] = _arrow_type(rt, c).to_pandas_dtype()
 
     def _merge(g: pd.DataFrame) -> pd.DataFrame:
         l = g.loc[g["__side"] == 0, [key] + left_cols]
         r = g.loc[g["__side"] == 1, [key] + right_cols]
-        m = l.merge(r, on=key, how="inner")
+        m = l.merge(r, on=key, how=how)
+        if fill:
+            m = m.fillna(fill)
         return m[out_cols].astype(dtypes)
 
     return tagged.groupby("bucket").map_groups(_merge, batch_format="pandas")
@@ -136,16 +173,23 @@ def hash_join(
     strategy: str = "auto",
     right_rows: int | None = None,
     left_rows: int | None = None,
+    how: str = "inner",
+    fill: dict | None = None,
 ):
-    """Strategy-selecting inner equi-join.  ``auto`` broadcasts when the
-    known right-side row count is under BROADCAST_MAX_ROWS, else falls
-    back to the bucketed co-group.  Pass ``right_rows`` from parquet
-    metadata so selection never triggers a count() execution."""
+    """Strategy-selecting inner / left-outer equi-join.  ``auto``
+    broadcasts when the known right-side row count is under
+    BROADCAST_MAX_ROWS, else falls back to the bucketed co-group.  Pass
+    ``right_rows`` from parquet metadata so selection never triggers a
+    count() execution."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"unknown join type: {how}")
     if strategy == "auto":
         n = right_rows if right_rows is not None else right.count()
         strategy = "broadcast" if n <= BROADCAST_MAX_ROWS else "shuffle"
     if strategy == "broadcast":
-        return broadcast_join(left, right, key, right_cols)
+        return broadcast_join(left, right, key, right_cols, how=how, fill=fill)
     if strategy == "shuffle":
-        return shuffle_join(left, right, key, right_cols, approx_rows=left_rows)
+        return shuffle_join(
+            left, right, key, right_cols, approx_rows=left_rows, how=how, fill=fill
+        )
     raise ValueError(f"unknown join strategy: {strategy}")

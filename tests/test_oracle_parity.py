@@ -264,6 +264,8 @@ def test_knn_topk_join_parity(ray_session, con):
         "embedding_centroids",
         "orders_validation_report",
         "revenue_rollup",
+        "order_fulfillment_left",
+        "order_fulfillment_left_shuffle",
     ],
 )
 def test_round3_additions_parity(name, ray_session, con):
