@@ -188,6 +188,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # strategies share one oracle — join type is planner-invisible)
         "order_fulfillment_left": q.order_fulfillment_left,
         "order_fulfillment_left_shuffle": q.order_fulfillment_left_shuffle,
+        # crosstab pivot + ordered conversion funnel
+        "user_event_pivot": q.user_event_pivot,
+        "view_purchase_funnel": q.view_purchase_funnel,
         # --- near-dup ops (exact SQL replicas incl. hash families).
         #     NOTE: every oracle-backed name MUST precede every rows-only
         #     entry — the driver checks registry order (round-2 verdict:
@@ -315,6 +318,8 @@ def oracle_sql() -> dict[str, str]:
         "revenue_rollup": oracle.revenue_rollup_sql(),
         "order_fulfillment_left": oracle.order_fulfillment_left_sql(),
         "order_fulfillment_left_shuffle": oracle.order_fulfillment_left_sql(),
+        "user_event_pivot": oracle.user_event_pivot_sql(),
+        "view_purchase_funnel": oracle.view_purchase_funnel_sql(),
         "weighted_sample_orders": oracle.weighted_sample_orders_sql(),
         "orders_range_join": oracle.orders_range_join_sql(),
         "orders_price_percentiles": oracle.orders_price_percentiles_sql(),

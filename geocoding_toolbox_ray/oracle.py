@@ -1795,3 +1795,47 @@ SELECT o.o_orderkey, o.o_orderstatus,
 FROM orders o LEFT JOIN agg a USING (o_orderkey)
 ORDER BY o.o_orderkey
 """
+
+
+def user_event_pivot_sql() -> str:
+    from .queries import PIVOT_EVENT_TYPES
+
+    cols = ",\n       ".join(
+        f"CAST(COUNT(*) FILTER (event_type = '{t}') AS BIGINT) AS n_{t}"
+        for t in PIVOT_EVENT_TYPES
+    )
+    return f"""
+SELECT user_id,
+       {cols}
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+def view_purchase_funnel_sql() -> str:
+    return """
+WITH u AS (SELECT DISTINCT user_id FROM events),
+v AS (
+    SELECT user_id, MIN(ts) AS t1 FROM events
+    WHERE event_type = 'view' GROUP BY 1
+),
+c AS (
+    SELECT e.user_id, MIN(e.ts) AS t2
+    FROM events e JOIN v ON v.user_id = e.user_id AND e.ts >= v.t1
+    WHERE e.event_type = 'click' GROUP BY 1
+),
+p AS (
+    SELECT e.user_id, MIN(e.ts) AS t3
+    FROM events e JOIN c ON c.user_id = e.user_id AND e.ts >= c.t2
+    WHERE e.event_type = 'purchase' GROUP BY 1
+)
+SELECT u.user_id,
+       CAST(CASE WHEN v.user_id IS NULL THEN 0
+                 WHEN c.user_id IS NULL THEN 1
+                 WHEN p.user_id IS NULL THEN 2
+                 ELSE 3 END AS BIGINT) AS funnel_stage
+FROM u
+LEFT JOIN v USING (user_id)
+LEFT JOIN c USING (user_id)
+LEFT JOIN p USING (user_id)
+ORDER BY 1
+"""

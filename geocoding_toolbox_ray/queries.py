@@ -3134,3 +3134,102 @@ def order_fulfillment_left(sf_dir: str):
 
 def order_fulfillment_left_shuffle(sf_dir: str):
     return _order_fulfillment(sf_dir, "shuffle")
+
+
+# ------------------------------------------------ pivot and funnel
+
+PIVOT_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def user_event_pivot(sf_dir: str):
+    """Crosstab / PIVOT: per-user event counts widened to one int64
+    column per (declared) event type.  Partials pivot WIDE inside each
+    batch (np.add.at on a users x types matrix) so the shuffle carries
+    one row per user per batch, not one per event; coarse user-hash
+    buckets, vectorized within-bucket sum."""
+    ev = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    cols = [f"n_{t}" for t in PIVOT_EVENT_TYPES]
+
+    def _partial(t: pa.Table) -> pd.DataFrame:
+        uid = np.asarray(t["user_id"].to_numpy(zero_copy_only=False), np.int64)
+        cat = pd.Categorical(
+            t["event_type"].to_pandas(), categories=list(PIVOT_EVENT_TYPES)
+        )
+        ti = cat.codes.astype(np.int64)
+        uu, inv = np.unique(uid, return_inverse=True)
+        m = np.zeros((len(uu), len(PIVOT_EVENT_TYPES)), np.int64)
+        keep = ti >= 0
+        np.add.at(m, (inv[keep], ti[keep]), 1)
+        out = pd.DataFrame(m, columns=cols)
+        out.insert(0, "user_id", uu)
+        out.insert(0, "bucket", ((uu * 2654435761) % 2**32) % SESSION_BUCKETS)
+        return out
+
+    def _reduce(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("user_id", sort=False)[cols].sum().reset_index()
+        return out.astype({c: np.int64 for c in ["user_id"] + cols})
+
+    return (
+        ev.map_batches(_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_reduce, batch_format="pandas")
+    )
+
+
+def view_purchase_funnel(sf_dir: str):
+    """Ordered conversion funnel (view -> click -> purchase): stage
+    reached per user, each step's timestamp required at-or-after the
+    previous step's first occurrence.  Users co-group into coarse hash
+    buckets; inside a bucket the three step resolutions are vectorized
+    groupby-min + merge chains (no per-user loop)."""
+    ev = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        uid = np.asarray(t["user_id"].to_numpy(zero_copy_only=False), np.int64)
+        return t.append_column(
+            "bucket", pa.array((uid * 2654435761 % 2**32) % SESSION_BUCKETS, pa.int64())
+        )
+
+    def _funnel(g: pd.DataFrame) -> pd.DataFrame:
+        users = pd.DataFrame({"user_id": np.unique(g["user_id"].to_numpy(np.int64))})
+        t1 = (
+            g.loc[g["event_type"] == "view"]
+            .groupby("user_id")["ts"]
+            .min()
+            .rename("t1")
+        )
+        clicks = g.loc[g["event_type"] == "click", ["user_id", "ts"]].merge(
+            t1, on="user_id"
+        )
+        t2 = (
+            clicks.loc[clicks["ts"] >= clicks["t1"]]
+            .groupby("user_id")["ts"]
+            .min()
+            .rename("t2")
+        )
+        buys = g.loc[g["event_type"] == "purchase", ["user_id", "ts"]].merge(
+            t2, on="user_id"
+        )
+        t3 = (
+            buys.loc[buys["ts"] >= buys["t2"]]
+            .groupby("user_id")["ts"]
+            .min()
+            .rename("t3")
+        )
+        m = users.merge(t1, on="user_id", how="left").merge(
+            t2, on="user_id", how="left"
+        ).merge(t3, on="user_id", how="left")
+        stage = (
+            m["t1"].notna().to_numpy(np.int64)
+            + m["t2"].notna().to_numpy(np.int64)
+            + m["t3"].notna().to_numpy(np.int64)
+        )
+        return pd.DataFrame(
+            {"user_id": m["user_id"].to_numpy(np.int64), "funnel_stage": stage}
+        )
+
+    return (
+        ev.map_batches(_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_funnel, batch_format="pandas")
+    )

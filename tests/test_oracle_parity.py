@@ -266,6 +266,8 @@ def test_knn_topk_join_parity(ray_session, con):
         "revenue_rollup",
         "order_fulfillment_left",
         "order_fulfillment_left_shuffle",
+        "user_event_pivot",
+        "view_purchase_funnel",
     ],
 )
 def test_round3_additions_parity(name, ray_session, con):
