@@ -191,6 +191,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # crosstab pivot + ordered conversion funnel
         "user_event_pivot": q.user_event_pivot,
         "view_purchase_funnel": q.view_purchase_funnel,
+        # histogram / correlated-avg filter / star dimension chain
+        "orders_price_histogram": q.orders_price_histogram,
+        "orders_above_customer_avg": q.orders_above_customer_avg,
+        "customers_per_region": q.customers_per_region,
         # --- near-dup ops (exact SQL replicas incl. hash families).
         #     NOTE: every oracle-backed name MUST precede every rows-only
         #     entry — the driver checks registry order (round-2 verdict:
@@ -320,6 +324,9 @@ def oracle_sql() -> dict[str, str]:
         "order_fulfillment_left_shuffle": oracle.order_fulfillment_left_sql(),
         "user_event_pivot": oracle.user_event_pivot_sql(),
         "view_purchase_funnel": oracle.view_purchase_funnel_sql(),
+        "orders_price_histogram": oracle.orders_price_histogram_sql(),
+        "orders_above_customer_avg": oracle.orders_above_customer_avg_sql(),
+        "customers_per_region": oracle.customers_per_region_sql(),
         "weighted_sample_orders": oracle.weighted_sample_orders_sql(),
         "orders_range_join": oracle.orders_range_join_sql(),
         "orders_price_percentiles": oracle.orders_price_percentiles_sql(),

@@ -1839,3 +1839,50 @@ LEFT JOIN c USING (user_id)
 LEFT JOIN p USING (user_id)
 ORDER BY 1
 """
+
+
+def orders_price_histogram_sql() -> str:
+    from .queries import HIST_BIN_CENTS
+
+    return f"""
+WITH t AS (
+    SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) // {HIST_BIN_CENTS}
+        AS bin
+    FROM orders
+)
+SELECT bin, CAST(bin * {HIST_BIN_CENTS} AS BIGINT) AS lo_cents,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM t GROUP BY 1 ORDER BY 1
+"""
+
+
+def orders_above_customer_avg_sql() -> str:
+    return """
+WITH t AS (
+    SELECT o_orderkey, o_custkey,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+    FROM orders
+),
+a AS (
+    SELECT o_custkey, CAST(SUM(cents) AS BIGINT) AS s,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM t GROUP BY 1
+)
+SELECT t.o_orderkey
+FROM t JOIN a USING (o_custkey)
+WHERE t.cents * a.n > a.s
+ORDER BY 1
+"""
+
+
+def customers_per_region_sql() -> str:
+    return """
+SELECT r.r_name,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS acctbal_cents
+FROM customer c
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+GROUP BY 1 ORDER BY 1
+"""

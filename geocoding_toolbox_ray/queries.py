@@ -3233,3 +3233,145 @@ def view_purchase_funnel(sf_dir: str):
         .groupby("bucket")
         .map_groups(_funnel, batch_format="pandas")
     )
+
+
+# ------------------------------- histogram / correlated avg / star chain
+
+HIST_BIN_CENTS = 50_000  # $500 fixed-width dashboard bins
+
+
+def orders_price_histogram(sf_dir: str):
+    """Fixed-width value histogram (the dashboard primitive): per-batch
+    np.bincount partials over cents // binwidth -> bounded-cardinality
+    Ray Sum (bins = value-domain / width, independent of row count)."""
+    from ray.data.aggregate import Sum
+
+    orders = _read(sf_dir, "orders", columns=["o_totalprice"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        cents = np.floor(
+            np.asarray(t["o_totalprice"].to_numpy(zero_copy_only=False), np.float64)
+            * 100.0
+            + 0.5
+        ).astype(np.int64)
+        b = cents // HIST_BIN_CENTS
+        ub, inv = np.unique(b, return_inverse=True)
+        n = np.bincount(inv, minlength=len(ub)).astype(np.int64)
+        return pa.table({"bin": pa.array(ub), "n": pa.array(n)})
+
+    agg = (
+        orders.map_batches(_partial, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    b = agg["bin"].to_numpy(np.int64)
+    return pd.DataFrame(
+        {
+            "bin": b,
+            "lo_cents": b * HIST_BIN_CENTS,
+            "n": agg["n"].to_numpy(np.int64),
+        }
+    ).sort_values("bin").reset_index(drop=True)
+
+
+def orders_above_customer_avg(sf_dir: str):
+    """Correlated-aggregate filter ('orders above their own customer's
+    average') with EXACT integer arithmetic: per-customer (sum, n)
+    partials through a coarse-bucket reduce, broadcast back via the
+    generic hash join, and the mean comparison done as the cross-multiply
+    cents * n > sum — no division, no float anywhere."""
+    from .stages.join import hash_join
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def _partial(t: pa.Table) -> pd.DataFrame:
+        ck = np.asarray(t["o_custkey"].to_numpy(zero_copy_only=False), np.int64)
+        cents = np.floor(
+            np.asarray(t["o_totalprice"].to_numpy(zero_copy_only=False), np.float64)
+            * 100.0
+            + 0.5
+        ).astype(np.int64)
+        uk, inv = np.unique(ck, return_inverse=True)
+        s = np.zeros(len(uk), np.int64)
+        np.add.at(s, inv, cents)
+        n = np.bincount(inv, minlength=len(uk)).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "bucket": ((uk * 2654435761) % 2**32) % SESSION_BUCKETS,
+                "o_custkey": uk,
+                "cust_sum": s,
+                "cust_n": n,
+            }
+        )
+
+    def _reduce(g: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            g.groupby("o_custkey", sort=False)[["cust_sum", "cust_n"]]
+            .sum()
+            .reset_index()
+        )
+        return out.astype(np.int64)
+
+    cust = (
+        orders.map_batches(_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_reduce, batch_format="pandas")
+    )
+    joined = hash_join(
+        orders,
+        cust,
+        "o_custkey",
+        ["cust_sum", "cust_n"],
+        strategy="broadcast",
+    )
+
+    def _filter(t: pa.Table) -> pa.Table:
+        cents = np.floor(
+            np.asarray(t["o_totalprice"].to_numpy(zero_copy_only=False), np.float64)
+            * 100.0
+            + 0.5
+        ).astype(np.int64)
+        s = np.asarray(t["cust_sum"].to_numpy(zero_copy_only=False), np.int64)
+        n = np.asarray(t["cust_n"].to_numpy(zero_copy_only=False), np.int64)
+        keep = cents * n > s
+        return pa.table(
+            {"o_orderkey": pa.array(
+                np.asarray(t["o_orderkey"].to_numpy(zero_copy_only=False), np.int64)[keep]
+            )}
+        )
+
+    return joined.map_batches(_filter, batch_format="pyarrow")
+
+
+def customers_per_region(sf_dir: str):
+    """Star-schema denormalization chain: customer -> nation -> region by
+    two broadcast dimension joins (each dimension ships once), then a
+    bounded per-region rollup of count + acctbal cents."""
+    from ray.data.aggregate import Count, Sum
+    from .stages.join import hash_join
+
+    cust = _read(sf_dir, "customer", columns=["c_nationkey", "c_acctbal"]).map_batches(
+        lambda t: t.rename_columns(["n_nationkey", "c_acctbal"]),
+        batch_format="pyarrow",
+    )
+    nation = _read(sf_dir, "nation", columns=["n_nationkey", "n_regionkey"])
+    region = _read(sf_dir, "region", columns=["r_regionkey", "r_name"]).map_batches(
+        lambda t: t.rename_columns(["n_regionkey", "r_name"]), batch_format="pyarrow"
+    )
+    j1 = hash_join(cust, nation, "n_nationkey", ["n_regionkey"], strategy="broadcast")
+    j2 = hash_join(j1, region, "n_regionkey", ["r_name"], strategy="broadcast")
+
+    def _cents(t: pa.Table) -> pa.Table:
+        bal = np.floor(
+            np.asarray(t["c_acctbal"].to_numpy(zero_copy_only=False), np.float64)
+            * 100.0
+            + 0.5
+        ).astype(np.int64)
+        return pa.table({"r_name": t["r_name"], "cents": pa.array(bal)})
+
+    return (
+        j2.map_batches(_cents, batch_format="pyarrow")
+        .groupby("r_name")
+        .aggregate(Count(alias_name="n_customers"), Sum("cents", alias_name="acctbal_cents"))
+    )

@@ -268,6 +268,9 @@ def test_knn_topk_join_parity(ray_session, con):
         "order_fulfillment_left_shuffle",
         "user_event_pivot",
         "view_purchase_funnel",
+        "orders_price_histogram",
+        "orders_above_customer_avg",
+        "customers_per_region",
     ],
 )
 def test_round3_additions_parity(name, ray_session, con):
