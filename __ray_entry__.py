@@ -195,6 +195,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_price_histogram": q.orders_price_histogram,
         "orders_above_customer_avg": q.orders_above_customer_avg,
         "customers_per_region": q.customers_per_region,
+        # exact kNN similarity graph / training-data mixture / ordered
+        # per-key string aggregation (all oracle-checked)
+        "knn_graph": q.knn_graph,
+        "training_mixture": q.training_mixture,
+        "user_journeys": q.user_journeys,
         # --- near-dup ops (exact SQL replicas incl. hash families).
         #     NOTE: every oracle-backed name MUST precede every rows-only
         #     entry — the driver checks registry order (round-2 verdict:
@@ -330,4 +335,7 @@ def oracle_sql() -> dict[str, str]:
         "weighted_sample_orders": oracle.weighted_sample_orders_sql(),
         "orders_range_join": oracle.orders_range_join_sql(),
         "orders_price_percentiles": oracle.orders_price_percentiles_sql(),
+        "knn_graph": oracle.knn_graph_sql(),
+        "training_mixture": oracle.training_mixture_sql(),
+        "user_journeys": oracle.user_journeys_sql(),
     }

@@ -1886,3 +1886,65 @@ JOIN nation n ON n.n_nationkey = c.c_nationkey
 JOIN region r ON r.r_regionkey = n.n_regionkey
 GROUP BY 1 ORDER BY 1
 """
+
+
+def knn_graph_sql(k: int | None = None, dim: int = 64) -> str:
+    """kNN-graph reference: full self join on the identical quantized
+    integer dot product used by stages/ann.knn_graph_quantized (exact in
+    BIGINT — every element < 2^31, every product < 2^62)."""
+    from .queries import KNN_GRAPH_K
+    from .stages.ann import QUANT
+
+    k = KNN_GRAPH_K if k is None else k
+
+    def q(col: str, i: int) -> str:
+        return f"CAST(floor({col}.embedding[{i}] * {QUANT!r} + 0.5) AS BIGINT)"
+
+    dot = " + ".join(f"{q('a', i)} * {q('b', i)}" for i in range(1, dim + 1))
+    return f"""
+WITH pairs AS (
+    SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id, {dot} AS dot_q
+    FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+),
+ranked AS (
+    SELECT vec_id, nbr_id, dot_q,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dot_q DESC, nbr_id ASC) AS rank
+    FROM pairs
+)
+SELECT vec_id, CAST(rank AS BIGINT) AS rank, nbr_id, dot_q
+FROM ranked WHERE rank <= {k}
+"""
+
+
+def training_mixture_sql() -> str:
+    """Mixture reference: the engine's per-tier CASE tables verbatim +
+    the shared multiplicative-hash keep filter + a correlated
+    generate_series for the epoch expansion."""
+    from .queries import MIX_EPOCHS, MIX_RATES
+
+    rate_case = (
+        f"CASE tier WHEN 0 THEN {MIX_RATES[0]} WHEN 1 THEN {MIX_RATES[1]} "
+        f"ELSE {MIX_RATES[2]} END"
+    )
+    ep_case = (
+        f"CASE tier WHEN 0 THEN {MIX_EPOCHS[0]} WHEN 1 THEN {MIX_EPOCHS[1]} "
+        f"ELSE {MIX_EPOCHS[2]} END"
+    )
+    return f"""
+WITH t AS (
+    SELECT doc_id, source, CAST(SUBSTR(source, 4) AS BIGINT) % 3 AS tier
+    FROM documents
+)
+SELECT doc_id, source, tier,
+       UNNEST(generate_series(1, {ep_case})) AS epoch
+FROM t
+WHERE ((doc_id * 2654435761) % 4294967296) % 100 < {rate_case}
+"""
+
+
+def user_journeys_sql() -> str:
+    return """
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       string_agg(event_type, '>' ORDER BY ts, event_id) AS journey
+FROM events GROUP BY user_id
+"""

@@ -3375,3 +3375,96 @@ def customers_per_region(sf_dir: str):
         .groupby("r_name")
         .aggregate(Count(alias_name="n_customers"), Sum("cents", alias_name="acctbal_cents"))
     )
+
+
+# ------------------------------------------------- kNN graph / mixture /
+# ordered string aggregation (round-3 batch)
+
+KNN_GRAPH_K = 5
+#: per-source-tier keep-rate (percent) and epoch repeat factor for the
+#: deterministic training-data mixture (tier = int(source[3:]) % 3);
+#: the oracle SQL replicates both CASE tables verbatim.
+MIX_RATES = (80, 50, 20)
+MIX_EPOCHS = (1, 2, 3)
+
+
+def knn_graph(sf_dir: str, k: int = KNN_GRAPH_K):
+    """All-pairs kNN graph (exact quantized-integer dot product): the
+    similarity-graph construction primitive under embedding clustering /
+    near-dup mining.  See stages/ann.knn_graph_quantized for the
+    broadcast-matmul scale shape."""
+    from .stages.ann import knn_graph_quantized
+
+    return knn_graph_quantized(sf_dir, k)
+
+
+def training_mixture(sf_dir: str):
+    """Deterministic training-data mixture: per-source-tier keep rate +
+    epoch repeat factor (the data-mixing step of an LLM pre-training
+    pipeline).  Pure streaming — the kernel is one vectorized pass per
+    batch (hash filter + np.repeat row expansion), zero shuffle."""
+    import pyarrow.compute as pc
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "source"])
+    rates = np.asarray(MIX_RATES, np.int64)
+    epochs_by_tier = np.asarray(MIX_EPOCHS, np.int64)
+
+    def _mix(t: pa.Table) -> pa.Table:
+        did = np.asarray(t["doc_id"].to_numpy(zero_copy_only=False), np.int64)
+        src = t["source"].combine_chunks()
+        tier = (
+            np.asarray(
+                pc.cast(pc.utf8_slice_codeunits(src, 3, 32), pa.int64()).to_numpy(
+                    zero_copy_only=False
+                ),
+                np.int64,
+            )
+            % 3
+        )
+        keep = ((did * 2654435761) % 4294967296) % 100 < rates[tier]
+        did, tier = did[keep], tier[keep]
+        src = src.filter(pa.array(keep))
+        reps = epochs_by_tier[tier]
+        idx = np.repeat(np.arange(len(did)), reps)
+        epoch = (
+            np.arange(len(idx), dtype=np.int64)
+            - np.repeat(np.cumsum(reps) - reps, reps)
+            + 1
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(did[idx], pa.int64()),
+                "source": src.take(pa.array(idx, pa.int64())),
+                "tier": pa.array(tier[idx], pa.int64()),
+                "epoch": pa.array(epoch, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(_mix, batch_format="pyarrow")
+
+
+def user_journeys(sf_dir: str):
+    """Ordered per-key string aggregation (the 'user journey' primitive):
+    event types concatenated in (ts, event_id) order per user.  Group
+    count is user-cardinality, so Ray's per-group aggregate is bypassed:
+    coarse-bucket shuffle on hashed user_id, one vectorized pandas
+    sort + groupby-join per bucket (the CLAUDE high-group-count rule)."""
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"])
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        u = np.asarray(t["user_id"].to_numpy(zero_copy_only=False), np.int64)
+        b = ((u * 2654435761) % 4294967296) % SESSION_BUCKETS
+        return t.append_column("bucket", pa.array(b, pa.int64()))
+
+    def _agg(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        gr = g.groupby("user_id", sort=False)
+        out = gr["event_type"].agg(">".join).reset_index(name="journey")
+        out["n_events"] = gr.size().to_numpy(np.int64)
+        return out[["user_id", "n_events", "journey"]]
+
+    return (
+        ev.map_batches(_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_agg, batch_format="pandas")
+    )

@@ -582,3 +582,93 @@ def topk_ivf(
         _Stage, batch_format="pyarrow", batch_size=8192, concurrency=(1, 4)
     ).to_pandas()
     return _finalize_sim_topk(partials, k)
+
+
+# ------------------------------------------------------------- kNN graph
+
+from .dedup import _lazy_remote
+
+
+@_lazy_remote
+def _quantized_matrix_task(refs):
+    """Embedding blocks -> (sorted vec_ids, quantized int64 matrix), built
+    in a REMOTE task from the dataset's own block refs so the driver never
+    holds the vectors (the repo's sorted-array-broadcast rule)."""
+    import ray
+
+    ids_parts, mat_parts = [], []
+    for r in refs:
+        blk = ray.get(r)
+        t = blk if isinstance(blk, pa.Table) else pa.Table.from_pandas(blk)
+        if t.num_rows == 0:
+            continue
+        ids, mat = _emb_matrix(t)
+        ids_parts.append(ids)
+        mat_parts.append(quantize(mat))
+    ids = np.concatenate(ids_parts)
+    mat = np.vstack(mat_parts)
+    order = np.argsort(ids, kind="mergesort")
+    return ids[order], np.ascontiguousarray(mat[order])
+
+
+class _KnnGraphBatch:
+    """Per-batch EXACT top-k neighbor rows against the broadcast quantized
+    matrix: one (b x n) int64 matmul, self-pairs masked, stable row-wise
+    argsort so ties break (dot desc, nbr_id asc) like the SQL oracle."""
+
+    def __init__(self, mat_ref, k: int):
+        import ray
+
+        self.ids, self.matq = ray.get(mat_ref)  # zero-copy ndarray views
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, mat = _emb_matrix(batch)
+        dots = quantize(mat) @ self.matq.T  # (b, n) exact int64
+        pos = np.searchsorted(self.ids, ids)
+        hit = (pos < len(self.ids)) & (
+            self.ids[np.minimum(pos, len(self.ids) - 1)] == ids
+        )
+        # -(1<<62), NOT iinfo.min: the stable sort below negates dots and
+        # -INT64_MIN overflows back to itself, which would rank the
+        # masked self-pair FIRST instead of last
+        dots[np.flatnonzero(hit), pos[hit]] = -(np.int64(1) << 62)
+        k = min(self.k, self.matq.shape[0] - 1)
+        # columns are already nbr_id-ascending (matrix is id-sorted), so a
+        # STABLE descending argsort breaks dot ties by nbr_id asc.  n is
+        # broadcast-bounded here; at larger n swap for argpartition + an
+        # in-bucket stable sort of the k survivors.
+        order = np.argsort(-dots, axis=1, kind="stable")[:, :k]
+        b = len(ids)
+        return pa.table(
+            {
+                "vec_id": pa.array(np.repeat(ids, k), pa.int64()),
+                "rank": pa.array(np.tile(np.arange(1, k + 1, dtype=np.int64), b)),
+                "nbr_id": pa.array(self.ids[order].ravel(), pa.int64()),
+                "dot_q": pa.array(np.take_along_axis(dots, order, axis=1).ravel(), pa.int64()),
+            }
+        )
+
+
+def knn_graph_quantized(sf_dir: str, k: int = 5):
+    """All-pairs kNN GRAPH on the exact quantized-integer dot product
+    (oracle: self cross join + row_number in DuckDB).
+
+    Scale shape: the right side is one broadcast quantized matrix (built
+    remotely, fetched zero-copy once per worker); every left batch is a
+    single matmul + per-row top-k, final with no driver reduction.  At
+    10^12 vectors the broadcast side becomes the IVF-pruned candidate
+    lists (``topk_ivf_pruned``) — the per-batch shape is unchanged."""
+    import ray.data as rd
+
+    side = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    refs = [br for b in side.iter_internal_ref_bundles() for br in b.block_refs]
+    mat_ref = _quantized_matrix_task.remote(refs)
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return ds.map_batches(
+        _KnnGraphBatch,
+        fn_constructor_kwargs={"mat_ref": mat_ref, "k": k},
+        batch_format="pyarrow",
+        batch_size=8192,
+        concurrency=(1, 4),
+    )

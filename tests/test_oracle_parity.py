@@ -333,3 +333,21 @@ def test_bpe_pair_counts_ordering(ray_session):
     assert len(df) == 50
     n = df["n"].to_numpy()
     assert (n[:-1] >= n[1:]).all()
+
+
+def test_knn_graph_parity(ray_session, con):
+    from geocoding_toolbox_ray import oracle, queries
+
+    compare(queries.knn_graph(SF_DIR), oracle.knn_graph_sql(), con)
+
+
+def test_training_mixture_parity(ray_session, con):
+    from geocoding_toolbox_ray import oracle, queries
+
+    compare(queries.training_mixture(SF_DIR), oracle.training_mixture_sql(), con)
+
+
+def test_user_journeys_parity(ray_session, con):
+    from geocoding_toolbox_ray import oracle, queries
+
+    compare(queries.user_journeys(SF_DIR), oracle.user_journeys_sql(), con)
