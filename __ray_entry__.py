@@ -200,6 +200,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_graph": q.knn_graph,
         "training_mixture": q.training_mixture,
         "user_journeys": q.user_journeys,
+        # semi/anti join as operator strategies + CUBE + exact heavy
+        # hitters via Misra-Gries-then-recheck (all oracle-checked)
+        "customers_with_orders": q.customers_with_orders,
+        "orders_without_lineitems_anti": q.orders_without_lineitems_anti,
+        "revenue_cube": q.revenue_cube,
+        "token_heavy_hitters": q.token_heavy_hitters,
         # --- near-dup ops (exact SQL replicas incl. hash families).
         #     NOTE: every oracle-backed name MUST precede every rows-only
         #     entry — the driver checks registry order (round-2 verdict:
@@ -338,4 +344,8 @@ def oracle_sql() -> dict[str, str]:
         "knn_graph": oracle.knn_graph_sql(),
         "training_mixture": oracle.training_mixture_sql(),
         "user_journeys": oracle.user_journeys_sql(),
+        "customers_with_orders": oracle.customers_with_orders_sql(),
+        "orders_without_lineitems_anti": oracle.orders_without_lineitems_sql(),
+        "revenue_cube": oracle.revenue_cube_sql(),
+        "token_heavy_hitters": oracle.token_heavy_hitters_sql(),
     }

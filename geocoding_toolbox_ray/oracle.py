@@ -1948,3 +1948,43 @@ SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
        string_agg(event_type, '>' ORDER BY ts, event_id) AS journey
 FROM events GROUP BY user_id
 """
+
+
+def customers_with_orders_sql(negate: bool = False) -> str:
+    word = "NOT EXISTS" if negate else "EXISTS"
+    return f"""
+SELECT c_custkey, c_nationkey FROM customer
+WHERE {word} (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def revenue_cube_sql() -> str:
+    return """
+SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+       COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+       CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS revenue_cents,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem
+GROUP BY CUBE(l_returnflag, l_linestatus)
+ORDER BY 1, 2
+"""
+
+
+def token_heavy_hitters_sql(cap: int | None = None) -> str:
+    """Heavy-hitter reference: plain exact HAVING over the shared RE2
+    tokenization — valid for the engine because the Misra-Gries phase
+    only proposes candidates; the exact recount decides."""
+    from .queries import HH_CAP
+
+    cap = HH_CAP if cap is None else cap
+    return f"""
+WITH toks0 AS (
+    SELECT list_filter(regexp_split_to_array(lower(text), '{WS_SPLIT_PATTERN}'), x -> x <> '') AS ts
+    FROM documents
+),
+tok AS (SELECT unnest(ts) AS token FROM toks0),
+c AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY 1),
+tot AS (SELECT COUNT(*) AS t FROM tok)
+SELECT token, n FROM c, tot WHERE n * {cap} > t
+"""

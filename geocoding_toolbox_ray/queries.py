@@ -2996,12 +2996,10 @@ def orders_validation_report(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({k: pd.array([int(v)], "int64") for k, v in agg.items()})
 
 
-def revenue_rollup(sf_dir: str) -> pd.DataFrame:
-    """GROUP BY ROLLUP(l_returnflag, l_linestatus) revenue: finest-level
-    integer-cents aggregate (per-batch partials + bounded Sum), with the
-    subtotal and grand-total levels derived from the finest rows
-    driver-side (a few dozen rows — never a second scan).  NULL rollup
-    keys surface as 'ALL' in both engine and oracle."""
+def _lineitem_fine_revenue(sf_dir: str) -> pd.DataFrame:
+    """Finest-level (l_returnflag, l_linestatus) integer-cents aggregate:
+    per-batch partials + bounded Sum — the one distributed scan that both
+    the ROLLUP and CUBE queries derive all coarser levels from."""
     from ray.data.aggregate import Sum
 
     li = _read(
@@ -3035,7 +3033,7 @@ def revenue_rollup(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
     )
     parts = agg["key"].str.split("|", expand=True)
-    fine = pd.DataFrame(
+    return pd.DataFrame(
         {
             "l_returnflag": parts[0].to_numpy(object),
             "l_linestatus": parts[1].to_numpy(object),
@@ -3043,6 +3041,24 @@ def revenue_rollup(sf_dir: str) -> pd.DataFrame:
             "n": agg["n"].to_numpy(np.int64),
         }
     )
+
+
+def _levels_out(frames: list[pd.DataFrame]) -> pd.DataFrame:
+    out = pd.concat(frames, ignore_index=True)[
+        ["l_returnflag", "l_linestatus", "revenue_cents", "n"]
+    ]
+    out["revenue_cents"] = out["revenue_cents"].astype(np.int64)
+    out["n"] = out["n"].astype(np.int64)
+    return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+def revenue_rollup(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY ROLLUP(l_returnflag, l_linestatus) revenue: finest-level
+    integer-cents aggregate (per-batch partials + bounded Sum), with the
+    subtotal and grand-total levels derived from the finest rows
+    driver-side (a few dozen rows — never a second scan).  NULL rollup
+    keys surface as 'ALL' in both engine and oracle."""
+    fine = _lineitem_fine_revenue(sf_dir)
     sub = (
         fine.groupby("l_returnflag", as_index=False)[["revenue_cents", "n"]]
         .sum()
@@ -3056,12 +3072,34 @@ def revenue_rollup(sf_dir: str) -> pd.DataFrame:
             "n": [int(fine["n"].sum())],
         }
     )
-    out = pd.concat([fine, sub, total], ignore_index=True)[
-        ["l_returnflag", "l_linestatus", "revenue_cents", "n"]
-    ]
-    out["revenue_cents"] = out["revenue_cents"].astype(np.int64)
-    out["n"] = out["n"].astype(np.int64)
-    return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+    return _levels_out([fine, sub, total])
+
+
+def revenue_cube(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY CUBE(l_returnflag, l_linestatus): all four grouping sets,
+    derived from the same single finest-level distributed scan as
+    revenue_rollup (the extra (ALL, status) level is a second tiny
+    driver-side fold of the few finest rows)."""
+    fine = _lineitem_fine_revenue(sf_dir)
+    by_flag = (
+        fine.groupby("l_returnflag", as_index=False)[["revenue_cents", "n"]]
+        .sum()
+        .assign(l_linestatus="ALL")
+    )
+    by_status = (
+        fine.groupby("l_linestatus", as_index=False)[["revenue_cents", "n"]]
+        .sum()
+        .assign(l_returnflag="ALL")
+    )
+    total = pd.DataFrame(
+        {
+            "l_returnflag": ["ALL"],
+            "l_linestatus": ["ALL"],
+            "revenue_cents": [int(fine["revenue_cents"].sum())],
+            "n": [int(fine["n"].sum())],
+        }
+    )
+    return _levels_out([fine, by_flag, by_status, total])
 
 
 # ------------------------------------------------- left-outer join
@@ -3467,4 +3505,118 @@ def user_journeys(sf_dir: str):
         ev.map_batches(_bucket, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(_agg, batch_format="pandas")
+    )
+
+
+# -------------------------------------- semi/anti join + CUBE + heavy hitters
+
+HH_CAP = 64  #: heavy hitter = token with count * HH_CAP > total tokens
+
+
+def _orders_custkeys(sf_dir: str):
+    return _read(sf_dir, "orders", columns=["o_custkey"]).map_batches(
+        lambda t: t.rename_columns(["c_custkey"]), batch_format="pyarrow"
+    )
+
+
+def customers_with_orders(sf_dir: str):
+    """EXISTS as an operator: semi-join through the generic hash join —
+    the orders key column ships once (Acero 'left semi' against the
+    broadcast table), customers stream filtered with zero shuffle."""
+    from .stages.join import hash_join
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    return hash_join(
+        cust, _orders_custkeys(sf_dir), "c_custkey", [], strategy="broadcast", how="semi"
+    )
+
+
+def orders_without_lineitems_anti(sf_dir: str):
+    """NOT EXISTS via the bucketed co-group path (both sides one coarse
+    hash-bucket shuffle, vectorized isin mask per bucket) — the big-big
+    anti-join shape, sharing the bloom-prefiltered variant's oracle
+    (orders_without_lineitems) so the strategy choice is output-invisible.
+    Every customer/part/supplier key is referenced in the synthetic data;
+    orders-without-lineitems is the one non-empty anti-join."""
+    from .stages.join import hash_join
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def _cents(t: pa.Table) -> pa.Table:
+        cents = np.floor(
+            np.asarray(t["o_totalprice"].to_numpy(zero_copy_only=False), np.float64)
+            * 100.0
+            + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {"o_orderkey": t["o_orderkey"], "o_totalprice_cents": pa.array(cents)}
+        )
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey"]).map_batches(
+        lambda t: t.rename_columns(["o_orderkey"]), batch_format="pyarrow"
+    )
+    return hash_join(
+        orders.map_batches(_cents, batch_format="pyarrow"),
+        li,
+        "o_orderkey",
+        [],
+        strategy="shuffle",
+        left_rows=_nrows(sf_dir, "orders"),
+        how="anti",
+    )
+
+
+def token_heavy_hitters(sf_dir: str, cap: int = HH_CAP):
+    """Exact global heavy hitters (count * cap > corpus token total) in
+    two streaming passes: (1) a mergeable Misra-Gries AggregateFn whose
+    <= cap candidate tokens are a GUARANTEED superset of every heavy
+    hitter; (2) an exact recount of only those candidates (sorted-array
+    membership probe per batch, bounded groupby) plus the global total —
+    the sketch-then-exact-recheck discipline of the bloom anti-join, so
+    a plain SQL HAVING oracle hash-matches."""
+    from ray.data.aggregate import Sum
+
+    from .functions.text import ws_tokens
+    from .stages.sketch import build_mg_tokens
+
+    cand = np.sort(
+        np.asarray(list(build_mg_tokens(_docs(sf_dir), cap=cap)), object)
+    )
+
+    def _exact_partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks: list[str] = []
+        for s in df["text"]:
+            toks.extend(ws_tokens(s.lower()))
+        arr = np.asarray(toks, object)
+        total = len(arr)
+        if len(cand) and total:
+            pos = np.searchsorted(cand, arr)
+            pos[pos == len(cand)] = 0
+            hit = cand[pos] == arr
+            uniq, counts = np.unique(arr[hit], return_counts=True)
+        else:
+            uniq, counts = np.asarray([], object), np.asarray([], np.int64)
+        return pd.DataFrame(
+            {
+                "token": np.concatenate([uniq, np.asarray([""], object)]),
+                "part_n": np.concatenate(
+                    [counts.astype(np.int64), np.asarray([total], np.int64)]
+                ),
+            }
+        )
+
+    agg = (
+        _docs(sf_dir)
+        .map_batches(_exact_partial, batch_format="pandas")
+        .groupby("token")
+        .aggregate(Sum("part_n", alias_name="n"))
+        .to_pandas()
+    )
+    total = int(agg.loc[agg["token"] == "", "n"].sum())
+    out = agg[(agg["token"] != "") & (agg["n"] * cap > total)]
+    return (
+        out[["token", "n"]]
+        .astype({"n": np.int64})
+        .sort_values("token")
+        .reset_index(drop=True)
     )

@@ -9,7 +9,10 @@ join runs vectorized (pandas merge) inside each bounded bucket — never
 a Ray groupby keyed on the join key itself (group-count cost rule,
 CLAUDE.md).
 
-Contract: single int64 equi-key, inner or left-outer join, right side
+Contract: single int64 equi-key, inner / left-outer / semi / anti join
+(semi and anti carry no right-side columns — EXISTS / NOT EXISTS as an
+operator, Acero "left semi"/"left anti" on the broadcast path and a
+vectorized isin mask on the shuffle path), right side
 deduplicated by the caller if multiplicity matters.  Skewed keys: salt the bucket of
 hot keys upstream (stages/salt.py) — the bucket key here is a plain
 hash so salting composes.
@@ -71,7 +74,12 @@ def broadcast_join(
     import ray
     import pyarrow.compute as pc
 
-    arrow_how = {"inner": "inner", "left": "left outer"}[how]
+    arrow_how = {
+        "inner": "inner",
+        "left": "left outer",
+        "semi": "left semi",
+        "anti": "left anti",
+    }[how]
     right = right.materialize()
     refs = [br for bd in right.iter_internal_ref_bundles() for br in bd.block_refs]
     table_ref = _gather_table_task.remote(refs, [key] + right_cols)
@@ -154,9 +162,17 @@ def shuffle_join(
     for c in right_cols:
         dtypes[c] = _arrow_type(rt, c).to_pandas_dtype()
 
+    if how in ("semi", "anti"):
+        out_cols = [key] + left_cols
+        dtypes = {c: dtypes[c] for c in out_cols}
+
     def _merge(g: pd.DataFrame) -> pd.DataFrame:
         l = g.loc[g["__side"] == 0, [key] + left_cols]
         r = g.loc[g["__side"] == 1, [key] + right_cols]
+        if how in ("semi", "anti"):
+            mask = l[key].isin(r[key].to_numpy())
+            m = l[mask] if how == "semi" else l[~mask]
+            return m[out_cols].astype(dtypes)
         m = l.merge(r, on=key, how=how)
         if fill:
             m = m.fillna(fill)
@@ -181,8 +197,10 @@ def hash_join(
     BROADCAST_MAX_ROWS, else falls back to the bucketed co-group.  Pass
     ``right_rows`` from parquet metadata so selection never triggers a
     count() execution."""
-    if how not in ("inner", "left"):
+    if how not in ("inner", "left", "semi", "anti"):
         raise ValueError(f"unknown join type: {how}")
+    if how in ("semi", "anti") and right_cols:
+        raise ValueError(f"{how} join carries no right-side columns")
     if strategy == "auto":
         n = right_rows if right_rows is not None else right.count()
         strategy = "broadcast" if n <= BROADCAST_MAX_ROWS else "shuffle"

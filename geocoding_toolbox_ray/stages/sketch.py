@@ -110,3 +110,56 @@ def cms_estimate(acc: np.ndarray, poly_hashes: np.ndarray) -> np.ndarray:
         [acc[j][cms_bucket(poly_hashes, j)] for j in range(CMS_D)]
     )
     return ests.min(axis=0).astype(np.int64)
+
+
+# ------------------------------------------------ Misra-Gries heavy hitters
+
+MG_CAP = 64  #: sketch capacity: guaranteed superset of tokens with freq > n/cap
+
+
+def mg_trim(d: dict, cap: int = MG_CAP) -> dict:
+    """Misra-Gries capacity trim: subtract the (cap+1)-th largest count
+    from every counter and drop the non-positive — the mergeable-summary
+    form (Agarwal et al., 'Mergeable Summaries'), error <= n/(cap+1)."""
+    if len(d) <= cap:
+        return d
+    counts = np.sort(np.fromiter(d.values(), np.int64, len(d)))
+    sub = int(counts[-(cap + 1)])
+    return {t: c - sub for t, c in d.items() if c > sub}
+
+
+def mg_merge(a: dict, b: dict, cap: int = MG_CAP) -> dict:
+    out = dict(a)
+    for t, c in b.items():
+        out[t] = out.get(t, 0) + c
+    return mg_trim(out, cap)
+
+
+def build_mg_tokens(ds, text_col: str = "text", cap: int = MG_CAP) -> dict:
+    """Aggregate a Dataset's tokenized text column into one Misra-Gries
+    counter dict (<= cap entries): per-block vectorized unique counts,
+    dict merge + trim — a mergeable sketch like the bloom/HLL stages.
+    The result is only a CANDIDATE superset; callers exact-recheck (the
+    bloom anti-join discipline) so the final answer is oracle-exact."""
+    from ray.data.aggregate import AggregateFn
+
+    from ..functions.text import ws_tokens
+
+    def _acc_block(acc: dict, block) -> dict:
+        df = block if hasattr(block, "iterrows") else block.to_pandas()
+        toks: list[str] = []
+        for s in df[text_col]:
+            toks.extend(ws_tokens(s.lower()))
+        if not toks:
+            return acc
+        uniq, counts = np.unique(np.asarray(toks, object), return_counts=True)
+        return mg_merge(acc, dict(zip(uniq.tolist(), counts.tolist())), cap)
+
+    agg = AggregateFn(
+        init=lambda k: {},
+        merge=lambda a, b: mg_merge(a, b, cap),
+        accumulate_block=_acc_block,
+        name="mg",
+    )
+    res = ds.aggregate(agg)
+    return res["mg"] if res else {}

@@ -351,3 +351,31 @@ def test_user_journeys_parity(ray_session, con):
     from geocoding_toolbox_ray import oracle, queries
 
     compare(queries.user_journeys(SF_DIR), oracle.user_journeys_sql(), con)
+
+
+def test_customers_with_orders_parity(ray_session, con):
+    from geocoding_toolbox_ray import oracle, queries
+
+    compare(queries.customers_with_orders(SF_DIR), oracle.customers_with_orders_sql(), con)
+
+
+def test_orders_without_lineitems_anti_parity(ray_session, con):
+    from geocoding_toolbox_ray import oracle, queries
+
+    compare(
+        queries.orders_without_lineitems_anti(SF_DIR),
+        oracle.orders_without_lineitems_sql(),
+        con,
+    )
+
+
+def test_revenue_cube_parity(ray_session, con):
+    from geocoding_toolbox_ray import oracle, queries
+
+    compare(queries.revenue_cube(SF_DIR), oracle.revenue_cube_sql(), con)
+
+
+def test_token_heavy_hitters_parity(ray_session, con):
+    from geocoding_toolbox_ray import oracle, queries
+
+    compare(queries.token_heavy_hitters(SF_DIR), oracle.token_heavy_hitters_sql(), con)
