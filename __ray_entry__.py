@@ -206,6 +206,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_without_lineitems_anti": q.orders_without_lineitems_anti,
         "revenue_cube": q.revenue_cube,
         "token_heavy_hitters": q.token_heavy_hitters,
+        # snapshot-diff ingestion dedup + exact-percentile outlier filter
+        "delta_new_documents": q.delta_new_documents,
+        "orders_price_outliers": q.orders_price_outliers,
         # --- near-dup ops (exact SQL replicas incl. hash families).
         #     NOTE: every oracle-backed name MUST precede every rows-only
         #     entry — the driver checks registry order (round-2 verdict:
@@ -348,4 +351,6 @@ def oracle_sql() -> dict[str, str]:
         "orders_without_lineitems_anti": oracle.orders_without_lineitems_sql(),
         "revenue_cube": oracle.revenue_cube_sql(),
         "token_heavy_hitters": oracle.token_heavy_hitters_sql(),
+        "delta_new_documents": oracle.delta_new_documents_sql(),
+        "orders_price_outliers": oracle.orders_price_outliers_sql(),
     }

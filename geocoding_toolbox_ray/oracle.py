@@ -1988,3 +1988,41 @@ c AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY 1),
 tot AS (SELECT COUNT(*) AS t FROM tok)
 SELECT token, n FROM c, tot WHERE n * {cap} > t
 """
+
+
+def delta_new_documents_sql() -> str:
+    """Snapshot-diff reference: identical rolling-fp polynomial on both
+    engines (fp collisions, if any, are shared so hashes still match)."""
+    from .functions.text import rolling_fingerprint_sql
+
+    fp = rolling_fingerprint_sql("text")
+    return f"""
+WITH f AS (SELECT doc_id, {fp} AS fp FROM documents)
+SELECT doc_id, fp FROM f
+WHERE doc_id % 2 = 1
+  AND fp NOT IN (SELECT fp FROM f WHERE doc_id % 2 = 0)
+"""
+
+
+def orders_price_outliers_sql() -> str:
+    """Outlier reference: the engine's exact integer percentile rule
+    (smallest v with cum >= ceil(p*n/1000)), then a strict > filter."""
+    from .queries import OUTLIER_PM
+
+    return f"""
+WITH t AS (
+    SELECT o_orderkey,
+           CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS price_cents
+    FROM orders
+),
+tot AS (SELECT COUNT(*) AS n FROM t),
+c AS (SELECT price_cents, COUNT(*) AS cnt FROM t GROUP BY 1),
+cum AS (
+    SELECT price_cents, SUM(cnt) OVER (ORDER BY price_cents) AS cum FROM c
+),
+thr AS (
+    SELECT MIN(price_cents) AS v FROM cum, tot
+    WHERE cum >= ({OUTLIER_PM} * n + 999) // 1000
+)
+SELECT t.o_orderkey, t.price_cents FROM t, thr WHERE t.price_cents > thr.v
+"""

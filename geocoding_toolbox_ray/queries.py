@@ -3620,3 +3620,127 @@ def token_heavy_hitters(sf_dir: str, cap: int = HH_CAP):
         .sort_values("token")
         .reset_index(drop=True)
     )
+
+
+# ------------------------------------ snapshot diff + global outlier filter
+
+OUTLIER_PM = 990  #: outlier = row strictly above the exact p99 value
+
+
+def delta_new_documents(sf_dir: str):
+    """Incremental-crawl snapshot diff: content-new docs of the 'new'
+    snapshot (odd doc_id) whose rolling fingerprint is absent from the
+    'old' snapshot (even doc_id).  The old-side fp set is built remotely
+    from the dataset's own block refs and broadcast as ONE sorted numpy
+    array (zero-copy searchsorted probe per batch) — the continuous-
+    ingestion dedup shape; at 10^12 docs the sorted array becomes
+    per-key-range shards with the probe unchanged."""
+    import ray
+
+    from .functions.text import rolling_fingerprint_batch
+    from .stages.dedup import _remote_sorted_column
+
+    def _fp_snapshot(parity: int):
+        def _f(df: pd.DataFrame) -> pd.DataFrame:
+            ids = df["doc_id"].to_numpy(np.int64)
+            sub = df.loc[ids % 2 == parity]
+            return pd.DataFrame(
+                {
+                    "doc_id": sub["doc_id"].to_numpy(np.int64),
+                    "fp": rolling_fingerprint_batch(sub["text"]).astype(np.int64),
+                }
+            )
+
+        return _f
+
+    old = _docs(sf_dir).map_batches(_fp_snapshot(0), batch_format="pandas")
+    old_ref = _remote_sorted_column(old, "fp")
+    new = _docs(sf_dir).map_batches(_fp_snapshot(1), batch_format="pandas")
+
+    def _probe(t: pa.Table) -> pa.Table:
+        s = ray.get(old_ref)
+        fp = np.asarray(t["fp"].to_numpy(zero_copy_only=False), np.int64)
+        pos = np.searchsorted(s, fp)
+        ok = pos < len(s)
+        dup = np.zeros(len(fp), bool)
+        dup[ok] = s[pos[ok]] == fp[ok]
+        return t.filter(pa.array(~dup))
+
+    return new.map_batches(_probe, batch_format="pyarrow")
+
+
+def orders_price_outliers(sf_dir: str):
+    """Rows above the EXACT global p99 (same integer percentile rule as
+    orders_price_percentiles): pass 1 = bounded coarse histogram
+    (cents >> 16, domain/2^16 bins) via per-batch partials + Sum; pass 2
+    re-streams only the one target bin's values (<= 2^16 distinct, so the
+    partials reduce driver-side within a constant bound); pass 3 streams
+    the filter.  Driver state is bounded by the value domain shift, never
+    row count."""
+    from ray.data.aggregate import Sum
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def _cents_col(t: pa.Table) -> np.ndarray:
+        return np.floor(
+            np.asarray(t["o_totalprice"].to_numpy(zero_copy_only=False), np.float64)
+            * 100.0
+            + 0.5
+        ).astype(np.int64)
+
+    def _coarse(t: pa.Table) -> pa.Table:
+        b = _cents_col(t) >> COARSE_CENTS_SHIFT
+        ub, inv = np.unique(b, return_inverse=True)
+        return pa.table(
+            {"bin": pa.array(ub), "part_n": pa.array(np.bincount(inv).astype(np.int64))}
+        )
+
+    hist = (
+        orders.map_batches(_coarse, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(Sum("part_n", alias_name="n"))
+        .to_pandas()
+        .sort_values("bin")
+    )
+    n = int(hist["n"].sum())
+    need = (OUTLIER_PM * n + 999) // 1000
+    cum = hist["n"].cumsum().to_numpy(np.int64)
+    i = int(np.searchsorted(cum, need))
+    target_bin = int(hist["bin"].to_numpy(np.int64)[i])
+    resid = need - (int(cum[i - 1]) if i else 0)
+
+    def _fine(t: pa.Table) -> pa.Table:
+        c = _cents_col(t)
+        c = c[(c >> COARSE_CENTS_SHIFT) == target_bin]
+        ub, inv = np.unique(c, return_inverse=True)
+        return pa.table(
+            {"cents": pa.array(ub), "part_n": pa.array(np.bincount(inv).astype(np.int64))}
+        )
+
+    # <= 2^16 distinct values in the target bin: partials are tiny and
+    # reduce driver-side inside that constant bound (NOT a Ray groupby —
+    # cents cardinality would pay the per-group dispatch cost)
+    fine = (
+        orders.map_batches(_fine, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("cents", sort=True)["part_n"]
+        .sum()
+    )
+    fcum = fine.cumsum().to_numpy(np.int64)
+    thr = int(fine.index.to_numpy(np.int64)[int(np.searchsorted(fcum, resid))])
+
+    def _filter(t: pa.Table) -> pa.Table:
+        c = _cents_col(t)
+        keep = c > thr
+        return pa.table(
+            {
+                "o_orderkey": pa.array(
+                    np.asarray(t["o_orderkey"].to_numpy(zero_copy_only=False), np.int64)[
+                        keep
+                    ]
+                ),
+                "price_cents": pa.array(c[keep]),
+            }
+        )
+
+    return orders.map_batches(_filter, batch_format="pyarrow")

@@ -379,3 +379,17 @@ def test_token_heavy_hitters_parity(ray_session, con):
     from geocoding_toolbox_ray import oracle, queries
 
     compare(queries.token_heavy_hitters(SF_DIR), oracle.token_heavy_hitters_sql(), con)
+
+
+def test_delta_new_documents_parity(ray_session, con):
+    from geocoding_toolbox_ray import oracle, queries
+
+    compare(queries.delta_new_documents(SF_DIR), oracle.delta_new_documents_sql(), con)
+
+
+def test_orders_price_outliers_parity(ray_session, con):
+    from geocoding_toolbox_ray import oracle, queries
+
+    compare(
+        queries.orders_price_outliers(SF_DIR), oracle.orders_price_outliers_sql(), con
+    )
