@@ -209,6 +209,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # snapshot-diff ingestion dedup + exact-percentile outlier filter
         "delta_new_documents": q.delta_new_documents,
         "orders_price_outliers": q.orders_price_outliers,
+        # trajectory length (exact lattice integers) + buffer tile cover
+        "order_route_l1": q.order_route_l1,
+        "tile_cover_lineitem": q.tile_cover_lineitem,
         # --- near-dup ops (exact SQL replicas incl. hash families).
         #     NOTE: every oracle-backed name MUST precede every rows-only
         #     entry — the driver checks registry order (round-2 verdict:
@@ -353,4 +356,6 @@ def oracle_sql() -> dict[str, str]:
         "token_heavy_hitters": oracle.token_heavy_hitters_sql(),
         "delta_new_documents": oracle.delta_new_documents_sql(),
         "orders_price_outliers": oracle.orders_price_outliers_sql(),
+        "order_route_l1": oracle.order_route_l1_sql(),
+        "tile_cover_lineitem": oracle.tile_cover_lineitem_sql(),
     }

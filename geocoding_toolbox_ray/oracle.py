@@ -2026,3 +2026,48 @@ thr AS (
 )
 SELECT t.o_orderkey, t.price_cents FROM t, thr WHERE t.price_cents > thr.v
 """
+
+
+def order_route_l1_sql() -> str:
+    """Route-length reference: LAG window over the identical integer
+    lattice indices; ties in (l_linenumber, l_partkey) share coordinates
+    so the window order is well-defined despite duplicate keys."""
+    return """
+WITH p AS (
+    SELECT l_orderkey,
+           (l_orderkey * 131 + l_linenumber * 17) % 4096 AS ix,
+           (l_orderkey * 241 + l_partkey * 13) % 4096 AS iy,
+           l_linenumber, l_partkey
+    FROM lineitem
+),
+d AS (
+    SELECT l_orderkey,
+           abs(ix - lag(ix) OVER w) + abs(iy - lag(iy) OVER w) AS step
+    FROM p WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey)
+)
+SELECT l_orderkey,
+       CAST(COALESCE(SUM(step), 0) * 125 AS BIGINT) AS path_m,
+       CAST(COUNT(*) AS BIGINT) AS n_stops
+FROM d GROUP BY 1
+"""
+
+
+def tile_cover_lineitem_sql() -> str:
+    from .functions.tiles import tile_assign_sql
+    from .queries import TILE_COVER_BUFFER_M
+
+    b = repr(TILE_COVER_BUFFER_M)
+    tx0, ty0 = tile_assign_sql(f"(qx - {b})", f"(qy + {b})")
+    tx1, ty1 = tile_assign_sql(f"(qx + {b})", f"(qy - {b})")
+    return f"""
+WITH qpts AS ({_uniform_points_select()}),
+c AS (
+    SELECT query_id, {tx0} AS tx0, {ty0} AS ty0, {tx1} AS tx1, {ty1} AS ty1
+    FROM qpts
+),
+ex AS (
+    SELECT query_id, UNNEST(generate_series(tx0, tx1)) AS tile_x, ty0, ty1
+    FROM c
+)
+SELECT query_id, tile_x, UNNEST(generate_series(ty0, ty1)) AS tile_y FROM ex
+"""

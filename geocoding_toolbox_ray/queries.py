@@ -3744,3 +3744,95 @@ def orders_price_outliers(sf_dir: str):
         )
 
     return orders.map_batches(_filter, batch_format="pyarrow")
+
+
+# --------------------------------------- route length + buffer tile cover
+
+TILE_COVER_BUFFER_M = 4000.0  #: half-width of the square buffer per point
+
+
+def order_route_l1(sf_dir: str):
+    """Per-order L1 route length over its lineitem stops in
+    (l_linenumber, l_partkey) order — the trajectory-length primitive,
+    EXACT in integers because the derived points live on the 125 m
+    lattice (lattice-index deltas x 125).  Coarse-bucket shuffle on
+    hashed orderkey, one global-sorted vectorized diff per bucket (ties
+    carry identical coordinates, so order among them is irrelevant —
+    (o_orderkey, l_linenumber) is NOT unique in this data)."""
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_partkey"])
+
+    def _prep(t: pa.Table) -> pa.Table:
+        ok = np.asarray(t["l_orderkey"].to_numpy(zero_copy_only=False), np.int64)
+        ln = np.asarray(t["l_linenumber"].to_numpy(zero_copy_only=False), np.int64)
+        pk = np.asarray(t["l_partkey"].to_numpy(zero_copy_only=False), np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(((ok * 2654435761) % 4294967296) % SESSION_BUCKETS),
+                "l_orderkey": pa.array(ok),
+                "ln": pa.array(ln),
+                "pk": pa.array(pk),
+                "ix": pa.array((ok * 131 + ln * 17) % 4096),
+                "iy": pa.array((ok * 241 + pk * 13) % 4096),
+            }
+        )
+
+    def _route(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["l_orderkey", "ln", "pk"], kind="mergesort")
+        ok = g["l_orderkey"].to_numpy(np.int64)
+        ix = g["ix"].to_numpy(np.int64)
+        iy = g["iy"].to_numpy(np.int64)
+        same = np.zeros(len(ok), bool)
+        same[1:] = ok[1:] == ok[:-1]
+        step = np.zeros(len(ok), np.int64)
+        step[1:] = np.abs(np.diff(ix)) + np.abs(np.diff(iy))
+        step[~same] = 0
+        uk, inv = np.unique(ok, return_inverse=True)
+        path = np.zeros(len(uk), np.int64)
+        np.add.at(path, inv, step)
+        n = np.bincount(inv, minlength=len(uk)).astype(np.int64)
+        return pd.DataFrame(
+            {"l_orderkey": uk, "path_m": path * 125, "n_stops": n}
+        )
+
+    return (
+        li.map_batches(_prep, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_route, batch_format="pandas")
+    )
+
+
+def tile_cover_lineitem(sf_dir: str):
+    """Vector buffer -> raster tile cover (the flat-map row-expansion
+    shape): each derived point's +-buffer square expands to every
+    overlapped ZXY tile, fully vectorized (np.repeat + within-point
+    offset arithmetic, no Python loop).  Streaming, zero shuffle."""
+    from .functions.tiles import tile_assign
+    from .pipelines.spatial import derive_uniform_points
+
+    B = TILE_COVER_BUFFER_M
+    pts = _read(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_partkey"]
+    ).map_batches(derive_uniform_points, batch_format="pyarrow")
+
+    def _cover(t: pa.Table) -> pa.Table:
+        qid = np.asarray(t["query_id"].to_numpy(zero_copy_only=False), np.int64)
+        qx = np.asarray(t["qx"].to_numpy(zero_copy_only=False), np.float64)
+        qy = np.asarray(t["qy"].to_numpy(zero_copy_only=False), np.float64)
+        # ty grows as latitude falls: ty_min comes from y+B, ty_max from y-B
+        tx0, ty0 = tile_assign(qx - B, qy + B)
+        tx1, ty1 = tile_assign(qx + B, qy - B)
+        cx = tx1 - tx0 + 1
+        cy = ty1 - ty0 + 1
+        reps = cx * cy
+        idx = np.repeat(np.arange(len(qid)), reps)
+        start = np.cumsum(reps) - reps
+        o = np.arange(int(reps.sum()), dtype=np.int64) - np.repeat(start, reps)
+        return pa.table(
+            {
+                "query_id": pa.array(qid[idx]),
+                "tile_x": pa.array(tx0[idx] + o // cy[idx]),
+                "tile_y": pa.array(ty0[idx] + o % cy[idx]),
+            }
+        )
+
+    return pts.map_batches(_cover, batch_format="pyarrow")

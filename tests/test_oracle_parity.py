@@ -393,3 +393,15 @@ def test_orders_price_outliers_parity(ray_session, con):
     compare(
         queries.orders_price_outliers(SF_DIR), oracle.orders_price_outliers_sql(), con
     )
+
+
+def test_order_route_l1_parity(ray_session, con):
+    from geocoding_toolbox_ray import oracle, queries
+
+    compare(queries.order_route_l1(SF_DIR), oracle.order_route_l1_sql(), con)
+
+
+def test_tile_cover_lineitem_parity(ray_session, con):
+    from geocoding_toolbox_ray import oracle, queries
+
+    compare(queries.tile_cover_lineitem(SF_DIR), oracle.tile_cover_lineitem_sql(), con)
