@@ -212,6 +212,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # trajectory length (exact lattice integers) + buffer tile cover
         "order_route_l1": q.order_route_l1,
         "tile_cover_lineitem": q.tile_cover_lineitem,
+        # JSON-path extraction aggregate + dataset profile ('describe')
+        "events_props_extract": q.events_props_extract,
+        "orders_profile": q.orders_profile,
         # --- near-dup ops (exact SQL replicas incl. hash families).
         #     NOTE: every oracle-backed name MUST precede every rows-only
         #     entry — the driver checks registry order (round-2 verdict:
@@ -358,4 +361,6 @@ def oracle_sql() -> dict[str, str]:
         "orders_price_outliers": oracle.orders_price_outliers_sql(),
         "order_route_l1": oracle.order_route_l1_sql(),
         "tile_cover_lineitem": oracle.tile_cover_lineitem_sql(),
+        "events_props_extract": oracle.events_props_extract_sql(),
+        "orders_profile": oracle.orders_profile_sql(),
     }

@@ -2071,3 +2071,33 @@ ex AS (
 )
 SELECT query_id, tile_x, UNNEST(generate_series(ty0, ty1)) AS tile_y FROM ex
 """
+
+
+def events_props_extract_sql() -> str:
+    return """
+WITH k AS (
+    SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(k) AS BIGINT) AS k_sum, MAX(k) AS k_max
+FROM k GROUP BY 1
+"""
+
+
+def orders_profile_sql() -> str:
+    from .queries import PROFILE_COLS
+
+    parts = []
+    for c in PROFILE_COLS:
+        expr = (
+            f"CAST(floor({c} * 100.0 + 0.5) AS BIGINT)"
+            if c == "o_totalprice"
+            else f"CAST({c} AS BIGINT)"
+        )
+        parts.append(
+            f"SELECT '{c}' AS col_name, CAST(COUNT(*) AS BIGINT) AS n, "
+            f"CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_null, "
+            f"MIN({expr}) AS min_v, MAX({expr}) AS max_v FROM orders"
+        )
+    return " UNION ALL ".join(parts)

@@ -3836,3 +3836,85 @@ def tile_cover_lineitem(sf_dir: str):
         )
 
     return pts.map_batches(_cover, batch_format="pyarrow")
+
+
+# ----------------------------------- JSON extraction + dataset profiling
+
+def events_props_extract(sf_dir: str):
+    """Semi-structured extraction: parse the integer ``k`` out of the
+    JSON ``props`` column (vectorized RE2 extract_regex — equivalent to
+    JSON-path $.k on this shape) and aggregate per event type.  The
+    oracle uses DuckDB's real json_extract_string, so the engine's
+    extraction is checked against true JSON semantics, not just the
+    regex."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Max, Sum
+
+    ev = _read(sf_dir, "events", columns=["event_type", "props"])
+
+    def _k(t: pa.Table) -> pa.Table:
+        m = pc.extract_regex(t["props"].combine_chunks(), r'"k":\s*(?P<k>\d+)')
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        return pa.table({"event_type": t["event_type"], "k": k})
+
+    return (
+        ev.map_batches(_k, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Count(alias_name="n"),
+            Sum("k", alias_name="k_sum"),
+            Max("k", alias_name="k_max"),
+        )
+    )
+
+
+PROFILE_COLS = ("o_orderkey", "o_custkey", "o_totalprice")
+
+
+def orders_profile(sf_dir: str) -> pd.DataFrame:
+    """Dataset-profile ('describe') operator: one streaming pass emits a
+    per-(batch, column) stats row — count, nulls, integer min/max (price
+    as cents) — merged by a bounded groupby (groups = column count)."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    orders = _read(sf_dir, "orders", columns=list(PROFILE_COLS))
+
+    def _partial(t: pa.Table) -> pa.Table:
+        names, ns, nulls, mins, maxs = [], [], [], [], []
+        for c in PROFILE_COLS:
+            arr = t[c]
+            v = np.asarray(arr.to_numpy(zero_copy_only=False))
+            if c == "o_totalprice":
+                v = np.floor(v.astype(np.float64) * 100.0 + 0.5).astype(np.int64)
+            else:
+                v = v.astype(np.int64)
+            null_n = int(arr.null_count)
+            names.append(c)
+            ns.append(len(v))
+            nulls.append(null_n)
+            mins.append(int(v.min()) if len(v) else np.iinfo(np.int64).max)
+            maxs.append(int(v.max()) if len(v) else np.iinfo(np.int64).min)
+        return pa.table(
+            {
+                "col_name": pa.array(names, pa.string()),
+                "part_n": pa.array(ns, pa.int64()),
+                "part_null": pa.array(nulls, pa.int64()),
+                "part_min": pa.array(mins, pa.int64()),
+                "part_max": pa.array(maxs, pa.int64()),
+            }
+        )
+
+    out = (
+        orders.map_batches(_partial, batch_format="pyarrow")
+        .groupby("col_name")
+        .aggregate(
+            Sum("part_n", alias_name="n"),
+            Sum("part_null", alias_name="n_null"),
+            Min("part_min", alias_name="min_v"),
+            Max("part_max", alias_name="max_v"),
+        )
+        .to_pandas()
+    )
+    for c in ("n", "n_null", "min_v", "max_v"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("col_name").reset_index(drop=True)

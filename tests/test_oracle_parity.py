@@ -405,3 +405,15 @@ def test_tile_cover_lineitem_parity(ray_session, con):
     from geocoding_toolbox_ray import oracle, queries
 
     compare(queries.tile_cover_lineitem(SF_DIR), oracle.tile_cover_lineitem_sql(), con)
+
+
+def test_events_props_extract_parity(ray_session, con):
+    from geocoding_toolbox_ray import oracle, queries
+
+    compare(queries.events_props_extract(SF_DIR), oracle.events_props_extract_sql(), con)
+
+
+def test_orders_profile_parity(ray_session, con):
+    from geocoding_toolbox_ray import oracle, queries
+
+    compare(queries.orders_profile(SF_DIR), oracle.orders_profile_sql(), con)
