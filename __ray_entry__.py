@@ -215,6 +215,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # JSON-path extraction aggregate + dataset profile ('describe')
         "events_props_extract": q.events_props_extract,
         "orders_profile": q.orders_profile,
+        # time-partition-pruned read + CDC upsert/merge
+        "events_recent_pruned": q.events_recent_pruned,
+        "orders_upsert": q.orders_upsert,
         # --- near-dup ops (exact SQL replicas incl. hash families).
         #     NOTE: every oracle-backed name MUST precede every rows-only
         #     entry — the driver checks registry order (round-2 verdict:
@@ -363,4 +366,6 @@ def oracle_sql() -> dict[str, str]:
         "tile_cover_lineitem": oracle.tile_cover_lineitem_sql(),
         "events_props_extract": oracle.events_props_extract_sql(),
         "orders_profile": oracle.orders_profile_sql(),
+        "events_recent_pruned": oracle.events_recent_pruned_sql(),
+        "orders_upsert": oracle.orders_upsert_sql(),
     }

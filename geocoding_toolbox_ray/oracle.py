@@ -2101,3 +2101,42 @@ def orders_profile_sql() -> str:
             f"MIN({expr}) AS min_v, MAX({expr}) AS max_v FROM orders"
         )
     return " UNION ALL ".join(parts)
+
+
+def events_recent_pruned_sql(days: int | None = None) -> str:
+    """Pruned-read reference: calendar cutoff from MAX(ts).  Valid
+    against the engine's trailing-directory pick because the synthetic
+    events table is day-dense (30 contiguous days)."""
+    from .queries import PRUNED_DAYS
+
+    days = PRUNED_DAYS if days is None else days
+    return f"""
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+           AS value_cents
+FROM events
+WHERE date_trunc('day', ts) >=
+      (SELECT date_trunc('day', MAX(ts)) FROM events) - INTERVAL {days - 1} DAY
+GROUP BY 1, 2
+"""
+
+
+def orders_upsert_sql() -> str:
+    from .queries import UPSERT_BUMP_CENTS, UPSERT_PCT
+
+    return f"""
+WITH b AS (
+    SELECT o_orderkey, CAST(1 AS BIGINT) AS version,
+           CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS price_cents
+    FROM orders
+),
+u AS (
+    SELECT o_orderkey, CAST(2 AS BIGINT) AS version,
+           price_cents + {UPSERT_BUMP_CENTS} AS price_cents
+    FROM b WHERE ((o_orderkey * 2654435761) % 4294967296) % 100 < {UPSERT_PCT}
+),
+a AS (SELECT * FROM b UNION ALL SELECT * FROM u)
+SELECT o_orderkey, version, price_cents FROM a
+QUALIFY row_number() OVER (PARTITION BY o_orderkey ORDER BY version DESC) = 1
+"""

@@ -3918,3 +3918,127 @@ def orders_profile(sf_dir: str) -> pd.DataFrame:
     for c in ("n", "n_null", "min_v", "max_v"):
         out[c] = out[c].astype(np.int64)
     return out.sort_values("col_name").reset_index(drop=True)
+
+
+# ------------------------------ time-partition pruning + CDC upsert/merge
+
+PRUNED_DAYS = 2
+UPSERT_PCT = 20           #: percent of keys receiving a v2 update
+UPSERT_BUMP_CENTS = 1000
+
+
+def _events_day_store(sf_dir: str) -> str:
+    """One-time day-partitioned events store under /tmp (cached per row
+    count; deterministic content) — the time-partitioned ingest layout a
+    100 TB event pipeline writes once so every later read prunes at path
+    selection."""
+    import os
+    import shutil
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    n = pq.read_metadata(f"{sf_dir}/events.parquet").num_rows
+    out = f"/tmp/graft_events_days/n{n}"
+    marker = os.path.join(out, "_SUCCESS")
+    if os.path.exists(marker):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+
+    def _day(t: pa.Table) -> pa.Table:
+        d = pc.strftime(pc.floor_temporal(t["ts"], unit="day"), format="%Y-%m-%d")
+        return t.append_column("day", d)
+
+    (
+        rd.read_parquet(f"{sf_dir}/events.parquet")
+        .map_batches(_day, batch_format="pyarrow")
+        .write_parquet(out, partition_cols=["day"])
+    )
+    with open(marker, "w", encoding="utf-8") as fh:
+        fh.write(str(n))
+    return out
+
+
+def events_recent_pruned(sf_dir: str, days: int = PRUNED_DAYS):
+    """Time-partition-pruned read: glob ONLY the trailing ``days``
+    ``day=`` partition directories (path-level pruning — other days'
+    bytes never leave storage), then a bounded per-(day, type)
+    aggregate.  The partition field is recovered via ``Partitioning``
+    — a ``filter=`` on a partition-path field fails (fragment schema
+    lacks it; CLAUDE rule)."""
+    import glob
+    import os
+
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+    from ray.data.datasource.partitioning import Partitioning
+
+    store = _events_day_store(sf_dir)
+    all_days = sorted(
+        os.path.basename(p).split("=", 1)[1] for p in glob.glob(f"{store}/day=*")
+    )
+    keep = all_days[-days:]
+    paths = [f for d in keep for f in sorted(glob.glob(f"{store}/day={d}/*.parquet"))]
+    ds = rd.read_parquet(
+        paths,
+        partitioning=Partitioning("hive", base_dir=store, field_types={"day": str}),
+    )
+
+    def _cents(t: pa.Table) -> pa.Table:
+        v = np.floor(
+            np.asarray(t["value"].to_numpy(zero_copy_only=False), np.float64) * 100.0
+            + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {"day": t["day"], "event_type": t["event_type"], "cents": pa.array(v)}
+        )
+
+    return (
+        ds.map_batches(_cents, batch_format="pyarrow")
+        .groupby(["day", "event_type"])
+        .aggregate(Count(alias_name="n"), Sum("cents", alias_name="value_cents"))
+    )
+
+
+def orders_upsert(sf_dir: str):
+    """MERGE / upsert as an operator: a deterministic CDC update set
+    (UPSERT_PCT% of keys by the shared multiplicative hash, price bumped
+    by UPSERT_BUMP_CENTS, version 2) applied over the base snapshot
+    (version 1) with last-writer-wins per key — union + ONE coarse
+    hash-bucket shuffle + vectorized per-bucket max-version keep."""
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def _rows(version: int):
+        def _f(t: pa.Table) -> pa.Table:
+            k = np.asarray(t["o_orderkey"].to_numpy(zero_copy_only=False), np.int64)
+            cents = np.floor(
+                np.asarray(t["o_totalprice"].to_numpy(zero_copy_only=False), np.float64)
+                * 100.0
+                + 0.5
+            ).astype(np.int64)
+            if version == 2:
+                keep = ((k * 2654435761) % 4294967296) % 100 < UPSERT_PCT
+                k, cents = k[keep], cents[keep] + UPSERT_BUMP_CENTS
+            return pa.table(
+                {
+                    "bucket": pa.array(((k * 2654435761) % 4294967296) % SESSION_BUCKETS),
+                    "o_orderkey": pa.array(k),
+                    "version": pa.array(np.full(len(k), version, np.int64)),
+                    "price_cents": pa.array(cents),
+                }
+            )
+
+        return _f
+
+    u = orders.map_batches(_rows(1), batch_format="pyarrow").union(
+        orders.map_batches(_rows(2), batch_format="pyarrow")
+    )
+
+    def _merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_orderkey", "version"], kind="mergesort")
+        g = g.drop_duplicates("o_orderkey", keep="last")
+        return g[["o_orderkey", "version", "price_cents"]].astype(np.int64)
+
+    return u.groupby("bucket").map_groups(_merge, batch_format="pandas")

@@ -417,3 +417,15 @@ def test_orders_profile_parity(ray_session, con):
     from geocoding_toolbox_ray import oracle, queries
 
     compare(queries.orders_profile(SF_DIR), oracle.orders_profile_sql(), con)
+
+
+def test_events_recent_pruned_parity(ray_session, con):
+    from geocoding_toolbox_ray import oracle, queries
+
+    compare(queries.events_recent_pruned(SF_DIR), oracle.events_recent_pruned_sql(), con)
+
+
+def test_orders_upsert_parity(ray_session, con):
+    from geocoding_toolbox_ray import oracle, queries
+
+    compare(queries.orders_upsert(SF_DIR), oracle.orders_upsert_sql(), con)
