@@ -218,6 +218,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # time-partition-pruned read + CDC upsert/merge
         "events_recent_pruned": q.events_recent_pruned,
         "orders_upsert": q.orders_upsert,
+        # hourly ingestion dedup + top-K token co-occurrence matrix
+        "events_dedup_hourly": q.events_dedup_hourly,
+        "token_cooccurrence": q.token_cooccurrence,
         # --- near-dup ops (exact SQL replicas incl. hash families).
         #     NOTE: every oracle-backed name MUST precede every rows-only
         #     entry — the driver checks registry order (round-2 verdict:
@@ -368,4 +371,6 @@ def oracle_sql() -> dict[str, str]:
         "orders_profile": oracle.orders_profile_sql(),
         "events_recent_pruned": oracle.events_recent_pruned_sql(),
         "orders_upsert": oracle.orders_upsert_sql(),
+        "events_dedup_hourly": oracle.events_dedup_hourly_sql(),
+        "token_cooccurrence": oracle.token_cooccurrence_sql(),
     }

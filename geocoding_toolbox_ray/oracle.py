@@ -2140,3 +2140,44 @@ a AS (SELECT * FROM b UNION ALL SELECT * FROM u)
 SELECT o_orderkey, version, price_cents FROM a
 QUALIFY row_number() OVER (PARTITION BY o_orderkey ORDER BY version DESC) = 1
 """
+
+
+def events_dedup_hourly_sql() -> str:
+    return """
+SELECT event_id, user_id, event_type,
+       strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour
+FROM events
+QUALIFY row_number() OVER (
+    PARTITION BY user_id, event_type, date_trunc('hour', ts)
+    ORDER BY ts, event_id
+) = 1
+"""
+
+
+def token_cooccurrence_sql(topk: int | None = None) -> str:
+    """Co-occurrence reference: top-K vocabulary from the shared
+    histogram rule (n DESC, token ASC), distinct doc-token incidence,
+    unordered self-join."""
+    from .queries import COOC_TOP
+
+    topk = COOC_TOP if topk is None else topk
+    return f"""
+WITH toks0 AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '{WS_SPLIT_PATTERN}'), x -> x <> '') AS ts
+    FROM documents
+),
+tok AS (SELECT doc_id, unnest(ts) AS token FROM toks0),
+hist AS (
+    SELECT token, COUNT(*) AS n FROM tok GROUP BY 1
+    ORDER BY n DESC, token ASC LIMIT {topk}
+),
+dt AS (
+    SELECT DISTINCT doc_id, token FROM tok
+    WHERE token IN (SELECT token FROM hist)
+)
+SELECT a.token AS token_a, b.token AS token_b,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.token < b.token
+GROUP BY 1, 2
+"""

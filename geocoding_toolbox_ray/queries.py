@@ -4042,3 +4042,98 @@ def orders_upsert(sf_dir: str):
         return g[["o_orderkey", "version", "price_cents"]].astype(np.int64)
 
     return u.groupby("bucket").map_groups(_merge, batch_format="pandas")
+
+
+# ----------------------------- windowed event dedup + token co-occurrence
+
+COOC_TOP = 20  #: co-occurrence vocabulary: top-K histogram tokens
+
+
+def events_dedup_hourly(sf_dir: str):
+    """Streaming duplicate suppression: keep the FIRST event per
+    (user_id, event_type, hour) by (ts, event_id) — the at-least-once
+    ingestion dedup shape.  One coarse-bucket shuffle on hashed user_id,
+    vectorized sort + drop_duplicates per bucket."""
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"])
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        u = np.asarray(t["user_id"].to_numpy(zero_copy_only=False), np.int64)
+        hour = pc.strftime(
+            pc.floor_temporal(t["ts"], unit="hour"), format="%Y-%m-%d %H"
+        )
+        return pa.table(
+            {
+                "bucket": pa.array(((u * 2654435761) % 4294967296) % SESSION_BUCKETS),
+                "user_id": pa.array(u),
+                "event_type": t["event_type"],
+                "hour": hour,
+                "ts": t["ts"],
+                "event_id": t["event_id"],
+            }
+        )
+
+    def _first(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "event_type", "hour", "ts", "event_id"], kind="mergesort")
+        g = g.drop_duplicates(["user_id", "event_type", "hour"], keep="first")
+        return g[["event_id", "user_id", "event_type", "hour"]].astype(
+            {"event_id": np.int64, "user_id": np.int64}
+        )
+
+    return (
+        ev.map_batches(_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_first, batch_format="pandas")
+    )
+
+
+def token_cooccurrence(sf_dir: str, topk: int = COOC_TOP):
+    """Document co-occurrence counts for the top-K vocabulary (the PMI /
+    embedding-prep primitive): phase 1 reuses the distributed token
+    histogram for the K tokens; phase 2 folds each batch into ONE K x K
+    int64 matrix partial (per-doc membership bitmap -> one matmul) merged
+    by a tiny AggregateFn — the shuffle carries K^2 integers, never
+    pairs."""
+    from ray.data.aggregate import AggregateFn
+
+    from .functions.text import ws_tokens
+
+    hist = token_histogram(sf_dir, k=topk).to_pandas()
+    vocab = np.sort(hist["token"].to_numpy(object))
+    K = len(vocab)
+
+    def _acc_block(acc: np.ndarray, block) -> np.ndarray:
+        df = block if hasattr(block, "iterrows") else block.to_pandas()
+        rows = []
+        for s in df["text"]:
+            toks = np.unique(np.asarray(ws_tokens(s.lower()), object))
+            pos = np.searchsorted(vocab, toks)
+            pos[pos == K] = 0
+            hit = vocab[pos] == toks
+            m = np.zeros(K, np.int64)
+            m[pos[hit]] = 1
+            rows.append(m)
+        if not rows:
+            return acc
+        M = np.asarray(rows, np.int64)
+        return acc + M.T @ M
+
+    agg = AggregateFn(
+        init=lambda k: np.zeros((K, K), np.int64),
+        merge=lambda a, b: a + b,
+        accumulate_block=_acc_block,
+        name="cooc",
+    )
+    res = _docs(sf_dir).aggregate(agg)
+    M = np.asarray(res["cooc"], np.int64)
+    ia, ib = np.triu_indices(K, k=1)
+    n = M[ia, ib]
+    keep = n > 0
+    return pd.DataFrame(
+        {
+            "token_a": vocab[ia[keep]],
+            "token_b": vocab[ib[keep]],
+            "n_docs": n[keep].astype(np.int64),
+        }
+    ).sort_values(["token_a", "token_b"]).reset_index(drop=True)

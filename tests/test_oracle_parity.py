@@ -429,3 +429,15 @@ def test_orders_upsert_parity(ray_session, con):
     from geocoding_toolbox_ray import oracle, queries
 
     compare(queries.orders_upsert(SF_DIR), oracle.orders_upsert_sql(), con)
+
+
+def test_events_dedup_hourly_parity(ray_session, con):
+    from geocoding_toolbox_ray import oracle, queries
+
+    compare(queries.events_dedup_hourly(SF_DIR), oracle.events_dedup_hourly_sql(), con)
+
+
+def test_token_cooccurrence_parity(ray_session, con):
+    from geocoding_toolbox_ray import oracle, queries
+
+    compare(queries.token_cooccurrence(SF_DIR), oracle.token_cooccurrence_sql(), con)
