@@ -221,6 +221,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # hourly ingestion dedup + top-K token co-occurrence matrix
         "events_dedup_hourly": q.events_dedup_hourly,
         "token_cooccurrence": q.token_cooccurrence,
+        # SymSpell deletion-neighborhood fuzzy-key linkage
+        "name_typo_pairs": q.name_typo_pairs,
         # --- near-dup ops (exact SQL replicas incl. hash families).
         #     NOTE: every oracle-backed name MUST precede every rows-only
         #     entry — the driver checks registry order (round-2 verdict:
@@ -373,4 +375,5 @@ def oracle_sql() -> dict[str, str]:
         "orders_upsert": oracle.orders_upsert_sql(),
         "events_dedup_hourly": oracle.events_dedup_hourly_sql(),
         "token_cooccurrence": oracle.token_cooccurrence_sql(),
+        "name_typo_pairs": oracle.name_typo_pairs_sql(),
     }

@@ -2181,3 +2181,23 @@ SELECT a.token AS token_a, b.token AS token_b,
 FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.token < b.token
 GROUP BY 1, 2
 """
+
+
+def name_typo_pairs_sql() -> str:
+    """SymSpell reference: the SAME deletion-neighborhood candidate
+    generation in SQL (variant = delete one char), then DuckDB's
+    levenshtein() as the exact verify."""
+    return """
+WITH vocab AS (SELECT DISTINCT lower(c_name) AS t FROM customer),
+var AS (
+    SELECT t, t AS v FROM vocab
+    UNION ALL
+    SELECT t, concat(substr(t, 1, i - 1), substr(t, i + 1)) AS v
+    FROM vocab, UNNEST(generate_series(1, length(t))) AS u(i)
+),
+cand AS (
+    SELECT DISTINCT a.t AS ta, b.t AS tb
+    FROM var a JOIN var b ON a.v = b.v AND a.t < b.t
+)
+SELECT ta, tb FROM cand WHERE levenshtein(ta, tb) <= 1
+"""

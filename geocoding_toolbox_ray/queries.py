@@ -4137,3 +4137,62 @@ def token_cooccurrence(sf_dir: str, topk: int = COOC_TOP):
             "n_docs": n[keep].astype(np.int64),
         }
     ).sort_values(["token_a", "token_b"]).reset_index(drop=True)
+
+
+# ----------------------------------------- fuzzy-key linkage (SymSpell)
+
+def name_typo_pairs(sf_dir: str):
+    """Fuzzy-key record linkage (SymSpell / deletion-neighborhood
+    blocking): distinct lowered customer names expand to their 1-deletion
+    variants (+ identity); candidate pairs come only from shared variants
+    — COMPLETE for edit distance <= 1 — then an exact vectorized
+    Levenshtein verify filters distance-2 accidentals.  The variant
+    kernel loops over POSITIONS (bounded by name length), never rows;
+    cross-bucket duplicate candidates die in a second bucketed shuffle
+    keyed on the pair."""
+    from .functions.scoring import levenshtein_batch
+
+    cust = _read(sf_dir, "customer", columns=["c_name"])
+
+    def _variants(t: pa.Table) -> pd.DataFrame:
+        s = pd.Series(t["c_name"].to_pandas()).str.lower()
+        maxlen = int(s.str.len().max()) if len(s) else 0
+        frames = [pd.DataFrame({"t": s, "v": s})]
+        for i in range(maxlen):
+            sub = s[s.str.len() > i]
+            frames.append(
+                pd.DataFrame({"t": sub, "v": sub.str.slice(0, i) + sub.str.slice(i + 1)})
+            )
+        out = pd.concat(frames, ignore_index=True)
+        out["bucket"] = _crc_bucket(out["v"].to_numpy(object))
+        return out
+
+    _EMPTY = {"pbucket": "int64", "ta": "object", "tb": "object"}
+
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.merge(g, on="v")
+        m = m[m["t_x"] < m["t_y"]]
+        if m.empty:
+            return pd.DataFrame({k: pd.array([], v) for k, v in _EMPTY.items()})
+        m = m.drop_duplicates(["t_x", "t_y"])
+        key = (m["t_x"] + "\x00" + m["t_y"]).to_numpy(object)
+        return pd.DataFrame(
+            {
+                "pbucket": _crc_bucket(key),
+                "ta": m["t_x"].to_numpy(object),
+                "tb": m["t_y"].to_numpy(object),
+            }
+        )
+
+    def _verify(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["ta", "tb"])
+        d = levenshtein_batch(g["ta"].to_numpy(object), g["tb"].to_numpy(object))
+        return g.loc[d <= 1, ["ta", "tb"]]
+
+    return (
+        cust.map_batches(_variants, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_pairs, batch_format="pandas")
+        .groupby("pbucket")
+        .map_groups(_verify, batch_format="pandas")
+    )

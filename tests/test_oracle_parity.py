@@ -441,3 +441,9 @@ def test_token_cooccurrence_parity(ray_session, con):
     from geocoding_toolbox_ray import oracle, queries
 
     compare(queries.token_cooccurrence(SF_DIR), oracle.token_cooccurrence_sql(), con)
+
+
+def test_name_typo_pairs_parity(ray_session, con):
+    from geocoding_toolbox_ray import oracle, queries
+
+    compare(queries.name_typo_pairs(SF_DIR), oracle.name_typo_pairs_sql(), con)
