@@ -144,6 +144,11 @@ def run_bench() -> dict:
         # PageRank; measures the distributed distinct-edge derivation +
         # the size-selected iteration path)
         timed("pagerank_suppliers", lambda: q.pagerank_suppliers(SF_DIR))
+        # late round-3 additions: broadcast-matmul kNN graph, CDC upsert
+        # (union + one bucketed shuffle), vectorized flat-map tile cover
+        timed("knn_graph", lambda: q.knn_graph(SF_DIR))
+        timed("orders_upsert", lambda: q.orders_upsert(SF_DIR))
+        timed("tile_cover_lineitem", lambda: q.tile_cover_lineitem(SF_DIR))
 
     total = round(sum(timings.values()), 3)
     geocode_rows_per_s = (

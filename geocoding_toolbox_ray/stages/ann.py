@@ -613,18 +613,27 @@ def _quantized_matrix_task(refs):
 
 class _KnnGraphBatch:
     """Per-batch EXACT top-k neighbor rows against the broadcast quantized
-    matrix: one (b x n) int64 matmul, self-pairs masked, stable row-wise
-    argsort so ties break (dot desc, nbr_id asc) like the SQL oracle."""
+    matrix: one (b x n) matmul, self-pairs masked, stable row-wise
+    argsort so ties break (dot desc, nbr_id asc) like the SQL oracle.
+
+    The matmul runs in float64 BLAS, which is EXACT here and ~20x faster
+    than numpy's loop-based int64 matmul: every product <= maxq^2 and
+    every accumulated dot <= dims * maxq^2 stay below 2^53, so float64
+    integer arithmetic is lossless in any summation order (guarded by
+    the maxq assert)."""
 
     def __init__(self, mat_ref, k: int):
         import ray
 
         self.ids, self.matq = ray.get(mat_ref)  # zero-copy ndarray views
+        dims = self.matq.shape[1] if self.matq.ndim == 2 else 1
+        assert dims * float(np.abs(self.matq).max() if self.matq.size else 0) ** 2 < 2**53
+        self.matq_f = self.matq.astype(np.float64).T.copy()
         self.k = k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, mat = _emb_matrix(batch)
-        dots = quantize(mat) @ self.matq.T  # (b, n) exact int64
+        dots = (quantize(mat).astype(np.float64) @ self.matq_f).astype(np.int64)
         pos = np.searchsorted(self.ids, ids)
         hit = (pos < len(self.ids)) & (
             self.ids[np.minimum(pos, len(self.ids) - 1)] == ids
@@ -669,6 +678,6 @@ def knn_graph_quantized(sf_dir: str, k: int = 5):
         _KnnGraphBatch,
         fn_constructor_kwargs={"mat_ref": mat_ref, "k": k},
         batch_format="pyarrow",
-        batch_size=8192,
-        concurrency=(1, 4),
+        batch_size=1024,
+        concurrency=(1, 8),
     )
