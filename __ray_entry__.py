@@ -223,6 +223,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_cooccurrence": q.token_cooccurrence,
         # SymSpell deletion-neighborhood fuzzy-key linkage
         "name_typo_pairs": q.name_typo_pairs,
+        # global per-row RANK via sorted value-histogram broadcast
+        "orders_price_rank": q.orders_price_rank,
         # --- near-dup ops (exact SQL replicas incl. hash families).
         #     NOTE: every oracle-backed name MUST precede every rows-only
         #     entry — the driver checks registry order (round-2 verdict:
@@ -376,4 +378,5 @@ def oracle_sql() -> dict[str, str]:
         "events_dedup_hourly": oracle.events_dedup_hourly_sql(),
         "token_cooccurrence": oracle.token_cooccurrence_sql(),
         "name_typo_pairs": oracle.name_typo_pairs_sql(),
+        "orders_price_rank": oracle.orders_price_rank_sql(),
     }

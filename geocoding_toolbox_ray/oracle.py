@@ -2201,3 +2201,13 @@ cand AS (
 )
 SELECT ta, tb FROM cand WHERE levenshtein(ta, tb) <= 1
 """
+
+
+def orders_price_rank_sql() -> str:
+    return """
+SELECT o_orderkey,
+       CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS price_cents,
+       CAST(RANK() OVER (ORDER BY floor(o_totalprice * 100.0 + 0.5)) AS BIGINT)
+           AS rank
+FROM orders
+"""

@@ -4196,3 +4196,65 @@ def name_typo_pairs(sf_dir: str):
         .groupby("pbucket")
         .map_groups(_verify, batch_format="pandas")
     )
+
+
+# ------------------------------------------------ global per-row ranking
+
+def orders_price_rank(sf_dir: str):
+    """Global per-row RANK (ties = min) by price cents — the distributed
+    rank-assignment shape: ONE bucketed value-histogram reduce (bounded
+    by DISTINCT values, never rows), the (values, counts) table unioned
+    remotely into a sorted broadcast, then a streaming searchsorted rank
+    per batch.  No global sort of the data itself."""
+    import ray
+
+    from .stages.dedup import _sorted_kv_task
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def _cents_col(t: pa.Table) -> np.ndarray:
+        return np.floor(
+            np.asarray(t["o_totalprice"].to_numpy(zero_copy_only=False), np.float64)
+            * 100.0
+            + 0.5
+        ).astype(np.int64)
+
+    def _partial(t: pa.Table) -> pa.Table:
+        c = _cents_col(t)
+        ub, inv = np.unique(c, return_inverse=True)
+        return pa.table(
+            {
+                "bucket": pa.array(((ub * 2654435761) % 4294967296) % SESSION_BUCKETS),
+                "cents": pa.array(ub),
+                "part_n": pa.array(np.bincount(inv).astype(np.int64)),
+            }
+        )
+
+    def _reduce(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("cents", sort=False)["part_n"].sum()
+        return pd.DataFrame(
+            {"cents": s.index.to_numpy(np.int64), "n": s.to_numpy(np.int64)}
+        )
+
+    hist = (
+        orders.map_batches(_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_reduce, batch_format="pandas")
+    )
+    refs = [br for b in hist.iter_internal_ref_bundles() for br in b.block_refs]
+    kv_ref = _sorted_kv_task.remote(refs, "cents", "n")
+
+    def _rank(t: pa.Table) -> pa.Table:
+        vals, counts = ray.get(kv_ref)  # zero-copy views
+        cum_excl = np.cumsum(counts) - counts
+        c = _cents_col(t)
+        r = cum_excl[np.searchsorted(vals, c)] + 1
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "price_cents": pa.array(c),
+                "rank": pa.array(r.astype(np.int64)),
+            }
+        )
+
+    return orders.map_batches(_rank, batch_format="pyarrow")

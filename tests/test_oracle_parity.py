@@ -447,3 +447,9 @@ def test_name_typo_pairs_parity(ray_session, con):
     from geocoding_toolbox_ray import oracle, queries
 
     compare(queries.name_typo_pairs(SF_DIR), oracle.name_typo_pairs_sql(), con)
+
+
+def test_orders_price_rank_parity(ray_session, con):
+    from geocoding_toolbox_ray import oracle, queries
+
+    compare(queries.orders_price_rank(SF_DIR), oracle.orders_price_rank_sql(), con)
