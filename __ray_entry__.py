@@ -225,6 +225,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "name_typo_pairs": q.name_typo_pairs,
         # global per-row RANK via sorted value-histogram broadcast
         "orders_price_rank": q.orders_price_rank,
+        # triangle count / anti-entropy checksum / grouped exact median
+        "supplier_triangles": q.supplier_triangles,
+        "orders_table_checksum": q.orders_table_checksum,
+        "events_hourly_median": q.events_hourly_median,
         # --- near-dup ops (exact SQL replicas incl. hash families).
         #     NOTE: every oracle-backed name MUST precede every rows-only
         #     entry — the driver checks registry order (round-2 verdict:
@@ -379,4 +383,7 @@ def oracle_sql() -> dict[str, str]:
         "token_cooccurrence": oracle.token_cooccurrence_sql(),
         "name_typo_pairs": oracle.name_typo_pairs_sql(),
         "orders_price_rank": oracle.orders_price_rank_sql(),
+        "supplier_triangles": oracle.supplier_triangles_sql(),
+        "orders_table_checksum": oracle.orders_table_checksum_sql(),
+        "events_hourly_median": oracle.events_hourly_median_sql(),
     }

@@ -2211,3 +2211,62 @@ SELECT o_orderkey,
            AS rank
 FROM orders
 """
+
+
+def supplier_triangles_sql() -> str:
+    """Triangle reference: identical incidence -> weights -> median
+    threshold (shared ceil-rank rule) -> strict-filter edges -> 3-way
+    self-join count."""
+    return """
+WITH p AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+w AS (
+    SELECT a.l_suppkey AS sa, b.l_suppkey AS sb, CAST(COUNT(*) AS BIGINT) AS wt
+    FROM p a JOIN p b ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+    GROUP BY 1, 2
+),
+tot AS (SELECT COUNT(*) AS n FROM w),
+c AS (SELECT wt, COUNT(*) AS cnt FROM w GROUP BY 1),
+cum AS (SELECT wt, SUM(cnt) OVER (ORDER BY wt) AS cum FROM c),
+thr AS (
+    SELECT MIN(wt) AS v FROM cum, tot WHERE cum >= (500 * n + 999) // 1000
+),
+e AS (SELECT sa, sb FROM w, thr WHERE w.wt > thr.v)
+SELECT (SELECT v FROM thr) AS threshold_w,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+       (SELECT CAST(COUNT(*) AS BIGINT)
+        FROM e e1 JOIN e e2 ON e1.sb = e2.sa
+        JOIN e e3 ON e1.sa = e3.sa AND e2.sb = e3.sb) AS n_triangles
+"""
+
+
+def orders_table_checksum_sql() -> str:
+    from .queries import CHECKSUM_K, CHECKSUM_M
+
+    return f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(((o_orderkey % {CHECKSUM_M}) * {CHECKSUM_K}
+                 + CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) % {CHECKSUM_M})
+                % {CHECKSUM_M}) AS BIGINT) AS checksum
+FROM orders
+"""
+
+
+def events_hourly_median_sql() -> str:
+    return """
+WITH t AS (
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
+           CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+    FROM events
+),
+tot AS (SELECT hour, COUNT(*) AS n FROM t GROUP BY 1),
+c AS (SELECT hour, cents, COUNT(*) AS cnt FROM t GROUP BY 1, 2),
+cum AS (
+    SELECT hour, cents, SUM(cnt) OVER (PARTITION BY hour ORDER BY cents) AS cum
+    FROM c
+)
+SELECT tot.hour,
+       (SELECT MIN(cum.cents) FROM cum
+        WHERE cum.hour = tot.hour AND cum.cum >= (500 * tot.n + 999) // 1000)
+           AS p50_cents
+FROM tot
+"""

@@ -4258,3 +4258,178 @@ def orders_price_rank(sf_dir: str):
         )
 
     return orders.map_batches(_rank, batch_format="pyarrow")
+
+
+# --------------------- graph triangles / table checksum / grouped median
+
+def supplier_triangles(sf_dir: str) -> pd.DataFrame:
+    """Triangle count over the supplier co-occurrence graph (the graph-
+    analytics staple): distinct (order, supplier) incidence -> per-order
+    supplier pairs (orders co-located per bucket, vectorized merge) ->
+    global pair weights via a second bucketed reduce -> edges = pairs
+    STRICTLY above the data-derived median weight (the shared integer
+    percentile rule, so the op self-calibrates across scales) -> exact
+    triangle count as trace(A^3)/6 over the supplier-bounded adjacency.
+    Shuffles are bounded by incidence and supplier-pair cardinality;
+    only the tiny weights table ever reaches the driver."""
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
+
+    def _inc(t: pa.Table) -> pd.DataFrame:
+        ok = np.asarray(t["l_orderkey"].to_numpy(zero_copy_only=False), np.int64)
+        sk = np.asarray(t["l_suppkey"].to_numpy(zero_copy_only=False), np.int64)
+        assert len(sk) == 0 or sk.max() < 1000, "packing assumes suppkey < 1000"
+        key = ok * 1000 + sk  # packed (order, supplier) distinct
+        u = np.unique(key)
+        ok_u, sk_u = u // 1000, u % 1000
+        return pd.DataFrame(
+            {
+                "bucket": ((ok_u * 2654435761) % 4294967296) % SESSION_BUCKETS,
+                "ok": ok_u,
+                "sk": sk_u,
+            }
+        )
+
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["ok", "sk"])
+        m = g.merge(g, on="ok")
+        m = m[m["sk_x"] < m["sk_y"]]
+        if m.empty:
+            return pd.DataFrame(
+                {"pbucket": pd.array([], "int64"), "sa": pd.array([], "int64"),
+                 "sb": pd.array([], "int64"), "part_w": pd.array([], "int64")}
+            )
+        s = m.groupby(["sk_x", "sk_y"], sort=False).size()
+        idx = s.index.to_frame(index=False)
+        pk = idx["sk_x"].to_numpy(np.int64) * 1000 + idx["sk_y"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "pbucket": ((pk * 2654435761) % 4294967296) % SESSION_BUCKETS,
+                "sa": idx["sk_x"].to_numpy(np.int64),
+                "sb": idx["sk_y"].to_numpy(np.int64),
+                "part_w": s.to_numpy(np.int64),
+            }
+        )
+
+    def _wreduce(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby(["sa", "sb"], sort=False)["part_w"].sum()
+        idx = s.index.to_frame(index=False)
+        return pd.DataFrame(
+            {
+                "sa": idx["sa"].to_numpy(np.int64),
+                "sb": idx["sb"].to_numpy(np.int64),
+                "wt": s.to_numpy(np.int64),
+            }
+        )
+
+    # weights table is bounded by supplier-pair cardinality (the small
+    # dimension squared) — safe to finish on the driver
+    w = (
+        li.map_batches(_inc, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_pairs, batch_format="pandas")
+        .groupby("pbucket")
+        .map_groups(_wreduce, batch_format="pandas")
+        .to_pandas()
+    )
+    ws = np.sort(w["wt"].to_numpy(np.int64))
+    need = (500 * len(ws) + 999) // 1000
+    thr = int(ws[need - 1]) if len(ws) else 0
+    e = w[w["wt"] > thr]
+    nodes = np.unique(np.concatenate([e["sa"].to_numpy(np.int64), e["sb"].to_numpy(np.int64)]))
+    A = np.zeros((max(len(nodes), 1), max(len(nodes), 1)), np.int64)
+    ia = np.searchsorted(nodes, e["sa"].to_numpy(np.int64))
+    ib = np.searchsorted(nodes, e["sb"].to_numpy(np.int64))
+    A[ia, ib] = 1
+    A[ib, ia] = 1
+    Af = A.astype(np.float64)
+    tri = int(np.trace(Af @ Af @ Af) / 6.0 + 0.5)
+    return pd.DataFrame(
+        {
+            "threshold_w": np.asarray([thr], np.int64),
+            "n_edges": np.asarray([len(e)], np.int64),
+            "n_triangles": np.asarray([tri], np.int64),
+        }
+    )
+
+
+CHECKSUM_K = 1000003
+CHECKSUM_M = 2147483629
+
+
+def orders_table_checksum(sf_dir: str) -> pd.DataFrame:
+    """Order-independent table checksum (replication / anti-entropy
+    verification): per-row polynomial hash of (key, price cents) mod the
+    SQL-replicable prime, summed by a plain commutative Sum — one
+    streaming pass, constant driver state."""
+    from ray.data.aggregate import Count, Sum
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def _h(t: pa.Table) -> pa.Table:
+        k = np.asarray(t["o_orderkey"].to_numpy(zero_copy_only=False), np.int64)
+        cents = np.floor(
+            np.asarray(t["o_totalprice"].to_numpy(zero_copy_only=False), np.float64)
+            * 100.0
+            + 0.5
+        ).astype(np.int64)
+        h = ((k % CHECKSUM_M) * CHECKSUM_K + cents % CHECKSUM_M) % CHECKSUM_M
+        return pa.table({"h": pa.array(h)})
+
+    agg = orders.map_batches(_h, batch_format="pyarrow").aggregate(
+        Count(alias_name="n_rows"), Sum("h", alias_name="checksum")
+    )
+    return pd.DataFrame(
+        {
+            "n_rows": np.asarray([int(agg["n_rows"])], np.int64),
+            "checksum": np.asarray([int(agg["checksum"])], np.int64),
+        }
+    )
+
+
+def events_hourly_median(sf_dir: str):
+    """Exact per-hour median (the grouped-percentile shape with the
+    shared ceil-rank rule): distinct (hour, cents) counts via a bucketed
+    reduce keyed on the HOUR hash — each bucket owns whole hours, so the
+    median resolves vectorized in-bucket; nothing reaches the driver."""
+    import pyarrow.compute as pc
+
+    ev = _read(sf_dir, "events", columns=["ts", "value"])
+
+    def _partial(t: pa.Table) -> pd.DataFrame:
+        hour = pc.strftime(pc.floor_temporal(t["ts"], unit="hour"), format="%Y-%m-%d %H")
+        cents = np.floor(
+            np.asarray(t["value"].to_numpy(zero_copy_only=False), np.float64) * 100.0
+            + 0.5
+        ).astype(np.int64)
+        df = pd.DataFrame({"hour": hour.to_pandas(), "cents": cents})
+        s = df.groupby(["hour", "cents"], sort=False).size()
+        idx = s.index.to_frame(index=False)
+        out = pd.DataFrame(
+            {
+                "hour": idx["hour"].to_numpy(object),
+                "cents": idx["cents"].to_numpy(np.int64),
+                "part_n": s.to_numpy(np.int64),
+            }
+        )
+        out["bucket"] = _crc_bucket(out["hour"].to_numpy(object))
+        return out
+
+    def _median(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby(["hour", "cents"], sort=True)["part_n"].sum().reset_index()
+        rows_h, rows_m = [], []
+        for h, sub in s.groupby("hour", sort=True):
+            n = int(sub["part_n"].sum())
+            need = (500 * n + 999) // 1000
+            cum = sub["part_n"].cumsum().to_numpy(np.int64)
+            v = int(sub["cents"].to_numpy(np.int64)[int(np.searchsorted(cum, need))])
+            rows_h.append(h)
+            rows_m.append(v)
+        return pd.DataFrame(
+            {"hour": np.asarray(rows_h, object), "p50_cents": np.asarray(rows_m, np.int64)}
+        )
+
+    return (
+        ev.map_batches(_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_median, batch_format="pandas")
+    )

@@ -453,3 +453,25 @@ def test_orders_price_rank_parity(ray_session, con):
     from geocoding_toolbox_ray import oracle, queries
 
     compare(queries.orders_price_rank(SF_DIR), oracle.orders_price_rank_sql(), con)
+
+
+def test_supplier_triangles_parity(ray_session, con):
+    from geocoding_toolbox_ray import oracle, queries
+
+    compare(queries.supplier_triangles(SF_DIR), oracle.supplier_triangles_sql(), con)
+
+
+def test_orders_table_checksum_parity(ray_session, con):
+    from geocoding_toolbox_ray import oracle, queries
+
+    compare(
+        queries.orders_table_checksum(SF_DIR), oracle.orders_table_checksum_sql(), con
+    )
+
+
+def test_events_hourly_median_parity(ray_session, con):
+    from geocoding_toolbox_ray import oracle, queries
+
+    compare(
+        queries.events_hourly_median(SF_DIR), oracle.events_hourly_median_sql(), con
+    )
