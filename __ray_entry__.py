@@ -229,6 +229,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_triangles": q.supplier_triangles,
         "orders_table_checksum": q.orders_table_checksum,
         "events_hourly_median": q.events_hourly_median,
+        # Markov transition counts over per-user ordered streams
+        "event_transitions": q.event_transitions,
         # --- near-dup ops (exact SQL replicas incl. hash families).
         #     NOTE: every oracle-backed name MUST precede every rows-only
         #     entry — the driver checks registry order (round-2 verdict:
@@ -386,4 +388,5 @@ def oracle_sql() -> dict[str, str]:
         "supplier_triangles": oracle.supplier_triangles_sql(),
         "orders_table_checksum": oracle.orders_table_checksum_sql(),
         "events_hourly_median": oracle.events_hourly_median_sql(),
+        "event_transitions": oracle.event_transitions_sql(),
     }

@@ -2270,3 +2270,17 @@ SELECT tot.hour,
            AS p50_cents
 FROM tot
 """
+
+
+def event_transitions_sql() -> str:
+    return """
+WITH s AS (
+    SELECT user_id, event_type,
+           lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+    FROM events
+)
+SELECT prev_type, event_type AS next_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM s WHERE prev_type IS NOT NULL
+GROUP BY 1, 2
+"""

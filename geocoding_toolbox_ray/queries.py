@@ -4433,3 +4433,48 @@ def events_hourly_median(sf_dir: str):
         .groupby("bucket")
         .map_groups(_median, batch_format="pandas")
     )
+
+
+# ------------------------------------------- event transition counting
+
+def event_transitions(sf_dir: str):
+    """Markov transition counts (prev_type -> next_type) over each
+    user's (ts, event_id)-ordered stream — the sequence-model prep op.
+    Coarse-bucket shuffle on hashed user, vectorized in-bucket sort +
+    shift, per-bucket partial counts, then a BOUNDED (type x type)
+    Ray Sum merge."""
+    from ray.data.aggregate import Sum
+
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"])
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        u = np.asarray(t["user_id"].to_numpy(zero_copy_only=False), np.int64)
+        return t.append_column(
+            "bucket", pa.array(((u * 2654435761) % 4294967296) % SESSION_BUCKETS)
+        )
+
+    def _trans(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy(np.int64)
+        et = g["event_type"].to_numpy(object)
+        same = np.zeros(len(u), bool)
+        same[1:] = u[1:] == u[:-1]
+        prev = np.roll(et, 1)
+        df = pd.DataFrame({"prev_type": prev[same], "next_type": et[same]})
+        s = df.groupby(["prev_type", "next_type"], sort=False).size()
+        idx = s.index.to_frame(index=False)
+        return pd.DataFrame(
+            {
+                "prev_type": idx["prev_type"].to_numpy(object),
+                "next_type": idx["next_type"].to_numpy(object),
+                "part_n": s.to_numpy(np.int64),
+            }
+        )
+
+    return (
+        ev.map_batches(_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_trans, batch_format="pandas")
+        .groupby(["prev_type", "next_type"])
+        .aggregate(Sum("part_n", alias_name="n"))
+    )

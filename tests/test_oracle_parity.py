@@ -475,3 +475,9 @@ def test_events_hourly_median_parity(ray_session, con):
     compare(
         queries.events_hourly_median(SF_DIR), oracle.events_hourly_median_sql(), con
     )
+
+
+def test_event_transitions_parity(ray_session, con):
+    from geocoding_toolbox_ray import oracle, queries
+
+    compare(queries.event_transitions(SF_DIR), oracle.event_transitions_sql(), con)
