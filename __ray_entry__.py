@@ -231,6 +231,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_median": q.events_hourly_median,
         # Markov transition counts over per-user ordered streams
         "event_transitions": q.event_transitions,
+        # north-star composition: geocoded pages -> ZXY tile counts
+        "geocode_pages_tile_counts": q.geocode_pages_tile_counts,
         # --- near-dup ops (exact SQL replicas incl. hash families).
         #     NOTE: every oracle-backed name MUST precede every rows-only
         #     entry — the driver checks registry order (round-2 verdict:
@@ -389,4 +391,5 @@ def oracle_sql() -> dict[str, str]:
         "orders_table_checksum": oracle.orders_table_checksum_sql(),
         "events_hourly_median": oracle.events_hourly_median_sql(),
         "event_transitions": oracle.event_transitions_sql(),
+        "geocode_pages_tile_counts": oracle.geocode_pages_tile_counts_sql(),
     }

@@ -2284,3 +2284,16 @@ SELECT prev_type, event_type AS next_type, CAST(COUNT(*) AS BIGINT) AS n
 FROM s WHERE prev_type IS NOT NULL
 GROUP BY 1, 2
 """
+
+
+def geocode_pages_tile_counts_sql() -> str:
+    """North-star composition reference: the full pages flagship oracle
+    as a CTE, matched rows tiled with the shared web-mercator formula."""
+    from .functions.tiles import tile_assign_sql
+
+    tx, ty = tile_assign_sql("x", "y")
+    return f"""
+WITH g AS ({geocode_pages_sql()})
+SELECT {tx} AS tile_x, {ty} AS tile_y, CAST(COUNT(*) AS BIGINT) AS n
+FROM g WHERE score > 0 GROUP BY 1, 2
+"""

@@ -4478,3 +4478,45 @@ def event_transitions(sf_dir: str):
         .groupby(["prev_type", "next_type"])
         .aggregate(Sum("part_n", alias_name="n"))
     )
+
+
+# ----------------------- flagship composition: geocoded pages -> tiles
+
+def geocode_pages_tile_counts(sf_dir: str):
+    """The north-star composition end to end: Common-Crawl-style pages ->
+    RE2 address extraction -> cleanse/standardize -> broadcast matcher ->
+    MATCHED points -> ZXY web-mercator tile assignment -> per-tile
+    counts.  One fused streaming chain into a bounded tile aggregate —
+    the 'join output rows AND tile assignments' contract as a single
+    oracle-checked query."""
+    from ray.data.aggregate import Sum
+
+    from .functions.tiles import tile_assign
+    from .pipelines.geocode import geocode_pages
+    from .sources.pages import generate_pages_dataset
+
+    pages = generate_pages_dataset(2 * _nrows(sf_dir, "orders"))
+    out = geocode_pages(pages, PipelineConfig())
+
+    def _tiles(t: pa.Table) -> pa.Table:
+        score = np.asarray(t["score"].to_numpy(zero_copy_only=False), np.int64)
+        m = score > 0
+        tx, ty = tile_assign(
+            np.asarray(t["x"].to_numpy(zero_copy_only=False), np.float64)[m],
+            np.asarray(t["y"].to_numpy(zero_copy_only=False), np.float64)[m],
+        )
+        key = tx * (1 << 22) + ty  # zoom-12 tiles: ty < 2^22, packing exact
+        ub, inv = np.unique(key, return_inverse=True)
+        return pa.table(
+            {
+                "tile_x": pa.array(ub >> 22),
+                "tile_y": pa.array(ub & ((1 << 22) - 1)),
+                "part_n": pa.array(np.bincount(inv).astype(np.int64)),
+            }
+        )
+
+    return (
+        out.map_batches(_tiles, batch_format="pyarrow")
+        .groupby(["tile_x", "tile_y"])
+        .aggregate(Sum("part_n", alias_name="n"))
+    )

@@ -481,3 +481,13 @@ def test_event_transitions_parity(ray_session, con):
     from geocoding_toolbox_ray import oracle, queries
 
     compare(queries.event_transitions(SF_DIR), oracle.event_transitions_sql(), con)
+
+
+def test_geocode_pages_tile_counts_parity(ray_session, con):
+    from geocoding_toolbox_ray import oracle, queries
+
+    compare(
+        queries.geocode_pages_tile_counts(SF_DIR),
+        oracle.geocode_pages_tile_counts_sql(),
+        con,
+    )
