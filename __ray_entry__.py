@@ -233,6 +233,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_transitions": q.event_transitions,
         # north-star composition: geocoded pages -> ZXY tile counts
         "geocode_pages_tile_counts": q.geocode_pages_tile_counts,
+        # JSONL (crawl-dump) source path, same oracle as the parquet op
+        "token_count_documents_jsonl": q.token_count_documents_jsonl,
         # --- near-dup ops (exact SQL replicas incl. hash families).
         #     NOTE: every oracle-backed name MUST precede every rows-only
         #     entry — the driver checks registry order (round-2 verdict:
@@ -392,4 +394,5 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly_median": oracle.events_hourly_median_sql(),
         "event_transitions": oracle.event_transitions_sql(),
         "geocode_pages_tile_counts": oracle.geocode_pages_tile_counts_sql(),
+        "token_count_documents_jsonl": oracle.token_count_documents_sql(),
     }

@@ -3940,7 +3940,8 @@ def _events_day_store(sf_dir: str) -> str:
     import ray.data as rd
 
     n = pq.read_metadata(f"{sf_dir}/events.parquet").num_rows
-    out = f"/tmp/graft_events_days/n{n}"
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = f"/tmp/graft_events_days/{tag}_n{n}"
     marker = os.path.join(out, "_SUCCESS")
     if os.path.exists(marker):
         return out
@@ -4520,3 +4521,58 @@ def geocode_pages_tile_counts(sf_dir: str):
         .groupby(["tile_x", "tile_y"])
         .aggregate(Sum("part_n", alias_name="n"))
     )
+
+
+# ------------------------------------------------------ JSONL source path
+
+def _documents_jsonl_store(sf_dir: str) -> str:
+    """One-time JSONL mirror of the documents table under /tmp (cached
+    per row count) — exercises the newline-delimited-JSON ingestion path
+    crawl dumps arrive in."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    # n is NOT unique across sf dirs (sf0.001 and sf0.01 both hold 500
+    # docs) — key the cache by the directory name too
+    out = f"/tmp/graft_documents_jsonl/{tag}_n{n}"
+    marker = os.path.join(out, "_SUCCESS")
+    if os.path.exists(marker):
+        return out
+    import shutil
+
+    import ray.data as rd
+
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    rd.read_parquet(f"{sf_dir}/documents.parquet").write_json(out)
+    with open(marker, "w", encoding="utf-8") as fh:
+        fh.write(str(n))
+    return out
+
+
+def token_count_documents_jsonl(sf_dir: str):
+    """S-source variant: the token-count op over a JSONL (newline-
+    delimited JSON) mirror of the corpus — same oracle as the parquet
+    path, proving the source format is output-invisible."""
+    import glob
+
+    import ray.data as rd
+
+    from .functions.text import token_count
+
+    store = _documents_jsonl_store(sf_dir)
+    paths = sorted(glob.glob(f"{store}/*.json"))
+    ds = rd.read_json(paths)
+
+    def _f(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(np.int64),
+                "n_tokens": token_count(df["text"]),
+            }
+        )
+
+    return ds.map_batches(_f, batch_format="pandas")

@@ -491,3 +491,13 @@ def test_geocode_pages_tile_counts_parity(ray_session, con):
         oracle.geocode_pages_tile_counts_sql(),
         con,
     )
+
+
+def test_token_count_documents_jsonl_parity(ray_session, con):
+    from geocoding_toolbox_ray import oracle, queries
+
+    compare(
+        queries.token_count_documents_jsonl(SF_DIR),
+        oracle.token_count_documents_sql(),
+        con,
+    )
