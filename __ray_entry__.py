@@ -237,6 +237,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count_documents_jsonl": q.token_count_documents_jsonl,
         # html-binary -> text extraction byte-identity (input_hint invariant)
         "pages_html_extract_verify": q.pages_html_extract_verify,
+        # cohort retention matrix (first-activity cohorts x active day)
+        "user_retention_cohorts": q.user_retention_cohorts,
         # --- near-dup ops (exact SQL replicas incl. hash families).
         #     NOTE: every oracle-backed name MUST precede every rows-only
         #     entry — the driver checks registry order (round-2 verdict:
@@ -398,4 +400,5 @@ def oracle_sql() -> dict[str, str]:
         "geocode_pages_tile_counts": oracle.geocode_pages_tile_counts_sql(),
         "token_count_documents_jsonl": oracle.token_count_documents_sql(),
         "pages_html_extract_verify": oracle.pages_html_extract_verify_sql(),
+        "user_retention_cohorts": oracle.user_retention_cohorts_sql(),
     }

@@ -2310,3 +2310,16 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_pages,
        CAST(SUM(length(text)) AS BIGINT) AS total_chars
 FROM pgtext
 """
+
+
+def user_retention_cohorts_sql() -> str:
+    return """
+WITH d AS (
+    SELECT DISTINCT user_id,
+           strftime(date_trunc('day', ts), '%Y-%m-%d') AS day
+    FROM events
+),
+c AS (SELECT user_id, MIN(day) AS cohort_day FROM d GROUP BY 1)
+SELECT c.cohort_day, d.day AS active_day, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM d JOIN c USING (user_id) GROUP BY 1, 2
+"""

@@ -4624,3 +4624,48 @@ def pages_html_extract_verify(sf_dir: str):
             "total_chars": np.asarray([int(agg["total_chars"])], np.int64),
         }
     )
+
+
+# ----------------------------------------------- retention cohort matrix
+
+def user_retention_cohorts(sf_dir: str):
+    """Cohort retention matrix (cohort day = user's first active day ->
+    distinct active users per (cohort, day)): ONE bucketed shuffle on
+    hashed user does everything user-local (distinct days AND the min
+    cohort day, vectorized), then a bounded (day x day) Sum merge."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    ev = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def _days(t: pa.Table) -> pd.DataFrame:
+        u = np.asarray(t["user_id"].to_numpy(zero_copy_only=False), np.int64)
+        day = pc.strftime(pc.floor_temporal(t["ts"], unit="day"), format="%Y-%m-%d")
+        df = pd.DataFrame({"user_id": u, "day": day.to_pandas()}).drop_duplicates()
+        df["bucket"] = ((df["user_id"].to_numpy(np.int64) * 2654435761) % 4294967296) % SESSION_BUCKETS
+        return df
+
+    def _cohort_counts(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["user_id", "day"])
+        cohort = g.groupby("user_id", sort=False)["day"].transform("min")
+        s = (
+            pd.DataFrame({"cohort_day": cohort, "active_day": g["day"]})
+            .groupby(["cohort_day", "active_day"], sort=False)
+            .size()
+        )
+        idx = s.index.to_frame(index=False)
+        return pd.DataFrame(
+            {
+                "cohort_day": idx["cohort_day"].to_numpy(object),
+                "active_day": idx["active_day"].to_numpy(object),
+                "part_n": s.to_numpy(np.int64),
+            }
+        )
+
+    return (
+        ev.map_batches(_days, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_cohort_counts, batch_format="pandas")
+        .groupby(["cohort_day", "active_day"])
+        .aggregate(Sum("part_n", alias_name="n_users"))
+    )

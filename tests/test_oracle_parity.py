@@ -511,3 +511,11 @@ def test_pages_html_extract_verify_parity(ray_session, con):
         oracle.pages_html_extract_verify_sql(),
         con,
     )
+
+
+def test_user_retention_cohorts_parity(ray_session, con):
+    from geocoding_toolbox_ray import oracle, queries
+
+    compare(
+        queries.user_retention_cohorts(SF_DIR), oracle.user_retention_cohorts_sql(), con
+    )
