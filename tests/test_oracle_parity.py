@@ -519,3 +519,13 @@ def test_user_retention_cohorts_parity(ray_session, con):
     compare(
         queries.user_retention_cohorts(SF_DIR), oracle.user_retention_cohorts_sql(), con
     )
+
+
+def test_orders_trend_by_priority_parity(ray_session, con):
+    from geocoding_toolbox_ray import oracle, queries
+
+    compare(
+        queries.orders_trend_by_priority(SF_DIR),
+        oracle.orders_trend_by_priority_sql(),
+        con,
+    )
