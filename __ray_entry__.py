@@ -96,6 +96,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pip_join": q.pip_join,
         "knn_join": q.knn_join,
         "knn_topk_join": q.knn_topk_join,
+        "points_within_radius": q.points_within_radius,
+        "parcel_zonal_stats": q.parcel_zonal_stats,
         "cell_encode_lineitem": q.cell_encode_lineitem,
         "tile_assign_lineitem": q.tile_assign_lineitem,
         "tile_counts": q.tile_counts,
@@ -285,6 +287,8 @@ def oracle_sql() -> dict[str, str]:
         "pip_join": oracle.pip_join_sql(),
         "knn_join": oracle.knn_join_sql(),
         "knn_topk_join": oracle.knn_topk_join_sql(),
+        "points_within_radius": oracle.points_within_radius_sql(),
+        "parcel_zonal_stats": oracle.parcel_zonal_stats_sql(),
         "cell_encode_lineitem": oracle.cell_encode_lineitem_sql(),
         "tile_assign_lineitem": oracle.tile_assign_lineitem_sql(),
         "tile_counts": oracle.tile_counts_sql(),

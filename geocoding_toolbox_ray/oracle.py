@@ -272,7 +272,9 @@ def cleanse_zone_orders_sql() -> str:
 
 # ------------------------------------------------------------- spatial
 
-def _anchored_points_cte() -> str:
+def _anchored_points_cte(extra: str = "") -> str:
+    """The anchored-points CTE; ``extra`` appends additional SELECT items
+    (e.g. a measure column) without touching the shared point arithmetic."""
     dx = (
         f"CASE l_orderkey % 3 WHEN 0 THEN {DX_BY_MOD3[0]!r} "
         f"WHEN 1 THEN {DX_BY_MOD3[1]!r} ELSE {DX_BY_MOD3[2]!r} END"
@@ -283,7 +285,7 @@ def _anchored_points_cte() -> str:
     )
     return (
         "qpts AS (SELECT l_orderkey * 10 + l_linenumber AS query_id, "
-        f"ap.x + ({dx}) AS qx, ap.y + ({dy}) AS qy "
+        f"ap.x + ({dx}) AS qx, ap.y + ({dy}) AS qy{extra} "
         "FROM lineitem JOIN ap ON ap.point_id = 1 + ((l_orderkey * 7 + l_linenumber) % 600))"
     )
 
@@ -334,6 +336,37 @@ best AS (
 SELECT q.query_id, b.point_id AS nn_point_id, b.x AS nn_x, b.y AS nn_y
 FROM qpts q
 JOIN (SELECT * FROM best WHERE rn = 1) b ON b.query_id = q.query_id
+"""
+
+
+def points_within_radius_sql() -> str:
+    """Distance join (DWithin): identical IEEE d2 expression to the engine's
+    ``RadiusStage`` (dx*dx + dy*dy), so the float column hash-matches."""
+    from .pipelines.spatial import RADIUS_JOIN_M
+
+    r = float(RADIUS_JOIN_M)
+    d2 = "(q.qx - ap.x) * (q.qx - ap.x) + (q.qy - ap.y) * (q.qy - ap.y)"
+    return f"""
+WITH {address_points_values_sql('ap')},
+{_anchored_points_cte()}
+SELECT q.query_id, ap.point_id, {d2} AS d2
+FROM qpts q JOIN ap ON {d2} <= {r!r} * {r!r}
+"""
+
+
+def parcel_zonal_stats_sql() -> str:
+    """Zonal statistics over the parcel layer: strict-bbox containment
+    (the pip oracle's predicate — parcels are axis-aligned rectangles)."""
+    return f"""
+WITH {address_points_values_sql('ap')},
+{parcels_bbox_values_sql('parcels')},
+{_anchored_points_cte(extra=", CAST(floor(l_quantity + 0.5) AS BIGINT) AS qty")}
+SELECT p.parcel_id,
+       CAST(COUNT(*) AS BIGINT) AS n_points,
+       CAST(SUM(q.qty) AS BIGINT) AS sum_qty
+FROM qpts q JOIN parcels p
+  ON q.qx > p.xmin AND q.qx < p.xmax AND q.qy > p.ymin AND q.qy < p.ymax
+GROUP BY p.parcel_id
 """
 
 

@@ -303,3 +303,76 @@ def knn_topk_join(sf_dir: str, k: int = 3):
         batch_size=16384,
         concurrency=(1, 8),
     )
+
+
+RADIUS_JOIN_M = 120.0  # distance-join radius (meters)
+
+
+def derive_anchored_points_qty(batch: pa.Table) -> pa.Table:
+    """``derive_anchored_points`` plus an integer measure column
+    ``qty = floor(l_quantity + 0.5)`` (TPC-H quantities are integral)."""
+    ok = np.asarray(batch["l_orderkey"].to_numpy(zero_copy_only=False), np.int64)
+    ln = np.asarray(batch["l_linenumber"].to_numpy(zero_copy_only=False), np.int64)
+    qt = np.asarray(batch["l_quantity"].to_numpy(zero_copy_only=False), np.float64)
+    ax, ay = _ap_arrays()
+    pid = 1 + (ok * 7 + ln) % 600
+    keep = pid <= len(ax)
+    ok, ln, pid, qt = ok[keep], ln[keep], pid[keep], qt[keep]
+    dx = np.array(DX_BY_MOD3, np.float64)[ok % 3]
+    dy = np.array(DY_BY_MOD2, np.float64)[ln % 2]
+    return pa.table(
+        {
+            "query_id": pa.array(ok * 10 + ln, pa.int64()),
+            "qx": pa.array(ax[pid - 1] + dx, pa.float64()),
+            "qy": pa.array(ay[pid - 1] + dy, pa.float64()),
+            "qty": pa.array(np.floor(qt + 0.5).astype(np.int64), pa.int64()),
+        }
+    )
+
+
+def radius_join(sf_dir: str, radius: float = RADIUS_JOIN_M):
+    """Distance join: every (anchored point, reference point) pair within
+    ``radius`` meters — the spatial range-join primitive (DWithin)."""
+    import ray
+
+    from ..state.index import GeocodeIndex
+    from ..stages.spatial import RadiusStage
+
+    pts = _lineitem(sf_dir, ["l_orderkey", "l_linenumber"]).map_batches(
+        derive_anchored_points, batch_format="pyarrow"
+    )
+    index_ref = ray.put(GeocodeIndex.build(address_points_table()))
+    return pts.map_batches(
+        RadiusStage,
+        fn_constructor_kwargs={"index_ref": index_ref, "radius": radius},
+        batch_format="pyarrow",
+        batch_size=16384,
+        concurrency=(1, 8),
+    )
+
+
+def parcel_zonal_stats(sf_dir: str):
+    """Zonal statistics: per-parcel count and quantity sum over all
+    anchored points strictly inside the parcel (vector zonal summary).
+    Per-batch ``np.bincount`` partials ride a groupby bounded by the
+    parcel layer (485 groups), never by input rows."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..stages.spatial import ParcelIndex, ZonalStage
+
+    pts = _lineitem(sf_dir, ["l_orderkey", "l_linenumber", "l_quantity"]).map_batches(
+        derive_anchored_points_qty, batch_format="pyarrow"
+    )
+    index_ref = ray.put(ParcelIndex.build(parcels_table()))
+    partials = pts.map_batches(
+        ZonalStage,
+        fn_constructor_kwargs={"parcel_index_ref": index_ref},
+        batch_format="pyarrow",
+        batch_size=16384,
+        concurrency=(1, 8),
+    )
+    return partials.groupby("parcel_id").aggregate(
+        Sum("partial_n", alias_name="n_points"),
+        Sum("partial_qty", alias_name="sum_qty"),
+    )

@@ -145,6 +145,23 @@ def knn_join(sf_dir: str):
     return _knn(sf_dir)
 
 
+def points_within_radius(sf_dir: str):
+    """Spatial distance join (DWithin): all (anchored point, reference
+    point) pairs within RADIUS_JOIN_M meters via cell-disk candidates +
+    exact d2 predicate."""
+    from .pipelines.spatial import radius_join as _f
+
+    return _f(sf_dir)
+
+
+def parcel_zonal_stats(sf_dir: str):
+    """Zonal statistics: per-parcel point count + quantity sum (vector
+    zonal summary; partial bincount per batch, parcel-bounded groupby)."""
+    from .pipelines.spatial import parcel_zonal_stats as _f
+
+    return _f(sf_dir)
+
+
 def cell_encode_lineitem(sf_dir: str):
     from .pipelines.spatial import cell_encode_lineitem as _f
 

@@ -270,3 +270,129 @@ class KnnKStage:
                 "nn_point_id": pa.array(p_arr, pa.int64()),
             }
         )
+
+
+class RadiusStage:
+    """(query_id, qx, qy) -> ALL reference points within ``radius`` meters.
+
+    The distance-join primitive (spatial range join): candidates come from
+    the fixed Chebyshev cell disk of ``floor(radius / cell_size) + 1``
+    rings — provably a superset of the L2 ball for interior points — then
+    the exact squared-distance predicate keeps true pairs.  ``d2`` is
+    computed as ``dx*dx + dy*dy`` (identical IEEE expression to the DuckDB
+    oracle), so the emitted float column hash-matches bit-for-bit.
+    """
+
+    def __init__(self, index_ref, radius: float):
+        import ray
+
+        self.index = ray.get(index_ref) if isinstance(index_ref, ray.ObjectRef) else index_ref
+        self.radius = float(radius)
+        self.px = self.index.points["x"].to_numpy(np.float64)
+        self.py = self.index.points["y"].to_numpy(np.float64)
+        self.pid = self.index.points["point_id"].to_numpy(np.int64)
+        self.rings = int(self.radius // cell_size(self.index.res)) + 1
+        self._cand_cache: dict[int, np.ndarray] = {}
+
+    def _candidates(self, cell: int) -> np.ndarray:
+        out = self._cand_cache.get(cell)
+        if out is None:
+            out = self.index.points_in_cells(disk_cells(cell, self.rings, self.index.res))
+            self._cand_cache[cell] = out
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qx = np.asarray(batch["qx"].to_numpy(zero_copy_only=False), np.float64)
+        qy = np.asarray(batch["qy"].to_numpy(zero_copy_only=False), np.float64)
+        qid = np.asarray(batch["query_id"].to_numpy(zero_copy_only=False), np.int64)
+        cells = cell_encode(qx, qy, self.index.res)
+        r2 = self.radius * self.radius
+
+        out_q, out_p, out_d = [], [], []
+        for cell in np.unique(cells):
+            sel = np.flatnonzero(cells == cell)
+            cand = self._candidates(int(cell))
+            if len(cand) == 0:
+                continue
+            dx = qx[sel, None] - self.px[cand][None, :]
+            dy = qy[sel, None] - self.py[cand][None, :]
+            d2 = dx * dx + dy * dy
+            qi, ci = np.nonzero(d2 <= r2)
+            if len(qi):
+                out_q.append(qid[sel[qi]])
+                out_p.append(self.pid[cand[ci]])
+                out_d.append(d2[qi, ci])
+        if out_q:
+            q_arr = np.concatenate(out_q)
+            p_arr = np.concatenate(out_p)
+            d_arr = np.concatenate(out_d)
+        else:
+            q_arr = p_arr = np.zeros(0, np.int64)
+            d_arr = np.zeros(0, np.float64)
+        return pa.table(
+            {
+                "query_id": pa.array(q_arr, pa.int64()),
+                "point_id": pa.array(p_arr, pa.int64()),
+                "d2": pa.array(d_arr, pa.float64()),
+            }
+        )
+
+
+class ZonalStage:
+    """(query_id, qx, qy, qty) -> per-batch PARTIAL zonal aggregates
+    ``(parcel_id, partial_n, partial_qty)``.
+
+    Zonal statistics (the raster/vector summary op): every point is
+    assigned to every parcel strictly containing it (> xmin AND < xmax —
+    the same strict-bbox predicate the pip oracle uses; parcels are
+    axis-aligned rectangles so bbox == geometry), and the per-parcel
+    count/sum partials are reduced inside the batch with ``np.bincount``
+    so the downstream shuffle carries at most one row per (batch, parcel)
+    — group count is bounded by the parcel layer, never by input rows.
+    """
+
+    def __init__(self, parcel_index_ref):
+        import ray
+
+        self.index = (
+            ray.get(parcel_index_ref)
+            if isinstance(parcel_index_ref, ray.ObjectRef)
+            else parcel_index_ref
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qx = np.asarray(batch["qx"].to_numpy(zero_copy_only=False), np.float64)
+        qy = np.asarray(batch["qy"].to_numpy(zero_copy_only=False), np.float64)
+        qty = np.asarray(batch["qty"].to_numpy(zero_copy_only=False), np.int64)
+        idx = self.index
+        cells = cell_encode(qx, qy, idx.res)
+        qpos, ppos = idx.parcels_in_cells(cells)
+        if len(ppos):
+            keep = (
+                (qx[qpos] > idx.polys.bbox_min_x[ppos])
+                & (qx[qpos] < idx.polys.bbox_max_x[ppos])
+                & (qy[qpos] > idx.polys.bbox_min_y[ppos])
+                & (qy[qpos] < idx.polys.bbox_max_y[ppos])
+            )
+            qpos, ppos = qpos[keep], ppos[keep]
+        if len(ppos) == 0:
+            return pa.table(
+                {
+                    "parcel_id": pa.array([], pa.string()),
+                    "partial_n": pa.array([], pa.int64()),
+                    "partial_qty": pa.array([], pa.int64()),
+                }
+            )
+        n_poly = idx.polys.n_poly
+        counts = np.bincount(ppos, minlength=n_poly)
+        sums = np.bincount(ppos, weights=qty[qpos].astype(np.float64), minlength=n_poly)
+        hit = np.flatnonzero(counts)
+        return pa.table(
+            {
+                "parcel_id": pa.array(idx.parcel_ids[hit], pa.string()),
+                "partial_n": pa.array(counts[hit].astype(np.int64), pa.int64()),
+                # qty is bounded (<= 50 per row), so the float64 bincount
+                # accumulator is exact far past any realistic batch size
+                "partial_qty": pa.array(sums[hit].astype(np.int64), pa.int64()),
+            }
+        )

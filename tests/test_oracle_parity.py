@@ -521,6 +521,20 @@ def test_user_retention_cohorts_parity(ray_session, con):
     )
 
 
+def test_points_within_radius_parity(ray_session, con):
+    from geocoding_toolbox_ray import oracle, queries
+
+    compare(
+        queries.points_within_radius(SF_DIR), oracle.points_within_radius_sql(), con
+    )
+
+
+def test_parcel_zonal_stats_parity(ray_session, con):
+    from geocoding_toolbox_ray import oracle, queries
+
+    compare(queries.parcel_zonal_stats(SF_DIR), oracle.parcel_zonal_stats_sql(), con)
+
+
 def test_orders_trend_by_priority_parity(ray_session, con):
     from geocoding_toolbox_ray import oracle, queries
 
