@@ -98,6 +98,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_topk_join": q.knn_topk_join,
         "points_within_radius": q.points_within_radius,
         "parcel_zonal_stats": q.parcel_zonal_stats,
+        "reverse_geocode_lineitem": q.reverse_geocode_lineitem,
+        "q6_forecast_revenue": q.q6_forecast_revenue,
+        "nation_trade_coverage": q.nation_trade_coverage,
         "cell_encode_lineitem": q.cell_encode_lineitem,
         "tile_assign_lineitem": q.tile_assign_lineitem,
         "tile_counts": q.tile_counts,
@@ -289,6 +292,9 @@ def oracle_sql() -> dict[str, str]:
         "knn_topk_join": oracle.knn_topk_join_sql(),
         "points_within_radius": oracle.points_within_radius_sql(),
         "parcel_zonal_stats": oracle.parcel_zonal_stats_sql(),
+        "reverse_geocode_lineitem": oracle.reverse_geocode_lineitem_sql(),
+        "q6_forecast_revenue": oracle.q6_forecast_revenue_sql(),
+        "nation_trade_coverage": oracle.nation_trade_coverage_sql(),
         "cell_encode_lineitem": oracle.cell_encode_lineitem_sql(),
         "tile_assign_lineitem": oracle.tile_assign_lineitem_sql(),
         "tile_counts": oracle.tile_counts_sql(),

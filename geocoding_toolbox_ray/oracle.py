@@ -370,6 +370,77 @@ GROUP BY p.parcel_id
 """
 
 
+def reverse_geocode_lineitem_sql() -> str:
+    """Reverse geocode with cutoff: argmin cross join gated by max_d2;
+    sentinel -1 / NULLs beyond the cutoff (matches ReverseGeocodeStage)."""
+    from .pipelines.spatial import REVERSE_MAX_D_M
+
+    maxd2 = float(REVERSE_MAX_D_M) * float(REVERSE_MAX_D_M)
+    return f"""
+WITH {address_points_values_sql('ap')},
+qpts AS ({_uniform_points_select()}),
+pairs AS (
+    SELECT q.query_id, q.qx, q.qy, ap.point_id, ap.match_address, ap.address_grid,
+           (q.qx - ap.x) * (q.qx - ap.x) + (q.qy - ap.y) * (q.qy - ap.y) AS d2
+    FROM qpts q CROSS JOIN ap
+),
+best AS (
+    -- PARTITION BY the full point identity, not just query_id: derived
+    -- query_ids collide across physical lineitem rows with different
+    -- l_partkey (and thus different qy) — per-input-row semantics
+    -- (CLAUDE.md lineitem-non-uniqueness rule)
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id, qx, qy ORDER BY d2 ASC, point_id ASC
+    ) AS rn
+    FROM pairs
+)
+SELECT q.query_id,
+       COALESCE(CASE WHEN b.d2 <= {maxd2!r} THEN b.point_id END, -1) AS nn_point_id,
+       CASE WHEN b.d2 <= {maxd2!r} THEN b.match_address END AS match_address,
+       CASE WHEN b.d2 <= {maxd2!r} THEN b.address_grid END AS address_grid,
+       CASE WHEN b.d2 <= {maxd2!r} THEN b.d2 END AS d2
+FROM qpts q
+JOIN (SELECT * FROM best WHERE rn = 1) b
+  ON b.query_id = q.query_id AND b.qx = q.qx AND b.qy = q.qy
+"""
+
+
+def q6_forecast_revenue_sql() -> str:
+    """TPC-H-Q6-shaped filter+sum in exact integers: cents x discount
+    permille (both < 2^31, product < 2^62 — exact in int64 and BIGINT)."""
+    from .queries import Q6_DPERM_LO, Q6_DPERM_HI, Q6_MAX_QTY, Q6_YEAR
+
+    return f"""
+SELECT CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+               * CAST(floor(l_discount * 1000 + 0.5) AS BIGINT)) AS BIGINT)
+           AS revenue_scaled,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{Q6_YEAR}-01-01'
+  AND l_shipdate < TIMESTAMP '{Q6_YEAR + 1}-01-01'
+  AND l_quantity < {Q6_MAX_QTY}
+  AND CAST(floor(l_discount * 1000 + 0.5) AS BIGINT)
+      BETWEEN {Q6_DPERM_LO} AND {Q6_DPERM_HI}
+"""
+
+
+def nation_trade_coverage_sql() -> str:
+    """Set-coverage flags per nation (the INTERSECT / EXCEPT shape as one
+    flagged table): which nations have suppliers, customers, both."""
+    return """
+SELECT n.n_nationkey, n.n_name,
+       CAST(COALESCE(s.ns, 0) AS BIGINT) AS n_suppliers,
+       CAST(COALESCE(c.nc, 0) AS BIGINT) AS n_customers,
+       CAST(CASE WHEN s.ns IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS has_supplier,
+       CAST(CASE WHEN c.nc IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS has_customer
+FROM nation n
+LEFT JOIN (SELECT s_nationkey, COUNT(*) AS ns FROM supplier GROUP BY 1) s
+       ON s.s_nationkey = n.n_nationkey
+LEFT JOIN (SELECT c_nationkey, COUNT(*) AS nc FROM customer GROUP BY 1) c
+       ON c.c_nationkey = n.n_nationkey
+"""
+
+
 def cell_encode_lineitem_sql() -> str:
     return (
         "WITH qpts AS (" + _uniform_points_select() + ") "

@@ -376,3 +376,28 @@ def parcel_zonal_stats(sf_dir: str):
         Sum("partial_n", alias_name="n_points"),
         Sum("partial_qty", alias_name="sum_qty"),
     )
+
+
+REVERSE_MAX_D_M = 2000.0  # reverse-geocode cutoff (meters)
+
+
+def reverse_geocode_lineitem(sf_dir: str, max_d: float = REVERSE_MAX_D_M):
+    """Reverse geocoding: uniform lattice points -> nearest address point
+    within ``max_d`` meters (sentinel -1 / NULL columns beyond the cutoff).
+    The fixed candidate disk keeps open-desert queries O(1)."""
+    import ray
+
+    from ..state.index import GeocodeIndex
+    from ..stages.spatial import ReverseGeocodeStage
+
+    pts = _lineitem(sf_dir, ["l_orderkey", "l_linenumber", "l_partkey"]).map_batches(
+        derive_uniform_points, batch_format="pyarrow"
+    )
+    index_ref = ray.put(GeocodeIndex.build(address_points_table()))
+    return pts.map_batches(
+        ReverseGeocodeStage,
+        fn_constructor_kwargs={"index_ref": index_ref, "max_d": max_d},
+        batch_format="pyarrow",
+        batch_size=16384,
+        concurrency=(1, 8),
+    )

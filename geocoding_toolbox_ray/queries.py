@@ -162,10 +162,122 @@ def parcel_zonal_stats(sf_dir: str):
     return _f(sf_dir)
 
 
+def reverse_geocode_lineitem(sf_dir: str):
+    """Reverse geocoding: nearest address point within the cutoff for each
+    uniform lattice point (sentinel/NULL beyond it)."""
+    from .pipelines.spatial import reverse_geocode_lineitem as _f
+
+    return _f(sf_dir)
+
+
 def cell_encode_lineitem(sf_dir: str):
     from .pipelines.spatial import cell_encode_lineitem as _f
 
     return _f(sf_dir)
+
+
+#: TPC-H-Q6-shaped parameters (exact-integer revenue: cents x permille)
+Q6_YEAR = 1996
+Q6_MAX_QTY = 24
+Q6_DPERM_LO, Q6_DPERM_HI = 50, 70
+
+
+def q6_forecast_revenue(sf_dir: str) -> pd.DataFrame:
+    """Filter+sum with READ-level pushdown: the shipdate-year and quantity
+    predicates run inside the parquet scan (row groups that miss the range
+    never leave storage); the discount band is exact-integer permille
+    applied per batch; revenue is summed as cents x permille int64."""
+    import datetime
+
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    flt = (
+        (pc.field("l_shipdate") >= datetime.datetime(Q6_YEAR, 1, 1))
+        & (pc.field("l_shipdate") < datetime.datetime(Q6_YEAR + 1, 1, 1))
+        & (pc.field("l_quantity") < float(Q6_MAX_QTY))
+    )
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_extendedprice", "l_discount"],
+        filter=flt,
+    )
+
+    def _partial(t: pa.Table) -> pa.Table:
+        price = np.asarray(t["l_extendedprice"].to_numpy(zero_copy_only=False), np.float64)
+        disc = np.asarray(t["l_discount"].to_numpy(zero_copy_only=False), np.float64)
+        cents = np.floor(price * 100 + 0.5).astype(np.int64)
+        dperm = np.floor(disc * 1000 + 0.5).astype(np.int64)
+        band = (dperm >= Q6_DPERM_LO) & (dperm <= Q6_DPERM_HI)
+        return pa.table(
+            {
+                "partial_rev": pa.array([int((cents[band] * dperm[band]).sum())], pa.int64()),
+                "partial_n": pa.array([int(band.sum())], pa.int64()),
+            }
+        )
+
+    agg = ds.map_batches(_partial, batch_format="pyarrow").aggregate(
+        Sum("partial_rev", alias_name="revenue_scaled"),
+        Sum("partial_n", alias_name="n_rows"),
+    )
+    return pd.DataFrame(
+        {
+            "revenue_scaled": pd.array([int(agg["revenue_scaled"])], "int64"),
+            "n_rows": pd.array([int(agg["n_rows"])], "int64"),
+        }
+    )
+
+
+def nation_trade_coverage(sf_dir: str) -> pd.DataFrame:
+    """Set coverage per nation (INTERSECT / EXCEPT as one flagged table):
+    supplier and customer counts roll up via per-batch partials into a
+    25-group aggregate; the tiny nation dimension joins driver-side."""
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    def _counts(table: str, key: str, alias: str):
+        def _partial(t: pa.Table) -> pa.Table:
+            k = np.asarray(t[key].to_numpy(zero_copy_only=False), np.int64)
+            uniq, counts = np.unique(k, return_counts=True)
+            return pa.table(
+                {
+                    "nationkey": pa.array(uniq, pa.int64()),
+                    "partial_n": pa.array(counts.astype(np.int64), pa.int64()),
+                }
+            )
+
+        ds = _read(sf_dir, table, columns=[key]).map_batches(
+            _partial, batch_format="pyarrow"
+        )
+        df = (
+            ds.groupby("nationkey")
+            .aggregate(Sum("partial_n", alias_name=alias))
+            .to_pandas()
+        )
+        return df
+
+    sup = _counts("supplier", "s_nationkey", "n_suppliers")
+    cus = _counts("customer", "c_nationkey", "n_customers")
+    nation = (
+        pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+        .to_pandas()
+    )
+    out = nation.merge(
+        sup, left_on="n_nationkey", right_on="nationkey", how="left"
+    ).merge(cus, left_on="n_nationkey", right_on="nationkey", how="left")
+    has_s = out["n_suppliers"].notna()
+    has_c = out["n_customers"].notna()
+    return pd.DataFrame(
+        {
+            "n_nationkey": out["n_nationkey"],
+            "n_name": out["n_name"],
+            "n_suppliers": out["n_suppliers"].fillna(0).astype(np.int64),
+            "n_customers": out["n_customers"].fillna(0).astype(np.int64),
+            "has_supplier": has_s.to_numpy().astype(np.int64),
+            "has_customer": has_c.to_numpy().astype(np.int64),
+        }
+    )
 
 
 def tile_assign_lineitem(sf_dir: str):

@@ -396,3 +396,80 @@ class ZonalStage:
                 "partial_qty": pa.array(sums[hit].astype(np.int64), pa.int64()),
             }
         )
+
+
+class ReverseGeocodeStage:
+    """(query_id, qx, qy) -> nearest reference point WITHIN ``max_d`` meters
+    (reverse geocoding with a cutoff), else sentinel/null columns.
+
+    Unlike ``KnnStage`` this never expands past the fixed disk of
+    ``floor(max_d / cell_size) + 1`` rings: a nearest neighbor beyond the
+    cutoff is reported as unmatched anyway, so the bounded disk is both
+    exact and fast even for queries far from any reference point (the
+    open-desert case that would force a huge ring expansion).  Tie-break:
+    smallest point_id among equal minima — the oracle's ORDER BY.
+    """
+
+    def __init__(self, index_ref, max_d: float):
+        import ray
+
+        self.index = ray.get(index_ref) if isinstance(index_ref, ray.ObjectRef) else index_ref
+        self.max_d2 = float(max_d) * float(max_d)
+        self.px = self.index.points["x"].to_numpy(np.float64)
+        self.py = self.index.points["y"].to_numpy(np.float64)
+        self.pid = self.index.points["point_id"].to_numpy(np.int64)
+        self.addr = np.asarray(self.index.points["match_address"], object)
+        self.grid = np.asarray(self.index.points["address_grid"], object)
+        self.rings = int(float(max_d) // cell_size(self.index.res)) + 1
+        self._cand_cache: dict[int, np.ndarray] = {}
+
+    def _candidates(self, cell: int) -> np.ndarray:
+        out = self._cand_cache.get(cell)
+        if out is None:
+            out = self.index.points_in_cells(disk_cells(cell, self.rings, self.index.res))
+            self._cand_cache[cell] = out
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qx = np.asarray(batch["qx"].to_numpy(zero_copy_only=False), np.float64)
+        qy = np.asarray(batch["qy"].to_numpy(zero_copy_only=False), np.float64)
+        n = len(qx)
+        cells = cell_encode(qx, qy, self.index.res)
+
+        win = np.full(n, -1, np.int64)  # winning candidate POSITION, -1 = none
+        d2_out = np.full(n, np.nan, np.float64)
+        for cell in np.unique(cells):
+            sel = np.flatnonzero(cells == cell)
+            cand = self._candidates(int(cell))
+            if len(cand) == 0:
+                continue
+            dx = qx[sel, None] - self.px[cand][None, :]
+            dy = qy[sel, None] - self.py[cand][None, :]
+            d2 = dx * dx + dy * dy
+            rowmin = d2.min(axis=1, keepdims=True)
+            ok = rowmin[:, 0] <= self.max_d2
+            if not ok.any():
+                continue
+            # point_id tie-break among equal minima (vectorized)
+            cand_pid = self.pid[cand]
+            pid_m = np.where(d2 == rowmin, cand_pid[None, :], np.iinfo(np.int64).max)
+            win_pid = pid_m.min(axis=1)
+            order = np.argsort(cand_pid, kind="stable")
+            win_pos = cand[order[np.searchsorted(cand_pid[order], win_pid)]]
+            hit = sel[ok]
+            win[hit] = win_pos[ok]
+            d2_out[hit] = rowmin[ok, 0]
+
+        found = win >= 0
+        safe = np.where(found, win, 0)
+        addr = np.where(found, self.addr[safe], None)
+        grid = np.where(found, self.grid[safe], None)
+        return pa.table(
+            {
+                "query_id": batch["query_id"],
+                "nn_point_id": pa.array(np.where(found, self.pid[safe], -1), pa.int64()),
+                "match_address": pa.array(addr, pa.string()),
+                "address_grid": pa.array(grid, pa.string()),
+                "d2": pa.array(d2_out, pa.float64()),
+            }
+        )

@@ -535,6 +535,30 @@ def test_parcel_zonal_stats_parity(ray_session, con):
     compare(queries.parcel_zonal_stats(SF_DIR), oracle.parcel_zonal_stats_sql(), con)
 
 
+def test_reverse_geocode_lineitem_parity(ray_session, con):
+    from geocoding_toolbox_ray import oracle, queries
+
+    compare(
+        queries.reverse_geocode_lineitem(SF_DIR),
+        oracle.reverse_geocode_lineitem_sql(),
+        con,
+    )
+
+
+def test_q6_forecast_revenue_parity(ray_session, con):
+    from geocoding_toolbox_ray import oracle, queries
+
+    compare(queries.q6_forecast_revenue(SF_DIR), oracle.q6_forecast_revenue_sql(), con)
+
+
+def test_nation_trade_coverage_parity(ray_session, con):
+    from geocoding_toolbox_ray import oracle, queries
+
+    compare(
+        queries.nation_trade_coverage(SF_DIR), oracle.nation_trade_coverage_sql(), con
+    )
+
+
 def test_orders_trend_by_priority_parity(ray_session, con):
     from geocoding_toolbox_ray import oracle, queries
 
