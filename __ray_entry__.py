@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "reverse_geocode_lineitem": q.reverse_geocode_lineitem,
         "q6_forecast_revenue": q.q6_forecast_revenue,
         "nation_trade_coverage": q.nation_trade_coverage,
+        "customer_status_full_join": q.customer_status_full_join,
         "cell_encode_lineitem": q.cell_encode_lineitem,
         "tile_assign_lineitem": q.tile_assign_lineitem,
         "tile_counts": q.tile_counts,
@@ -295,6 +296,7 @@ def oracle_sql() -> dict[str, str]:
         "reverse_geocode_lineitem": oracle.reverse_geocode_lineitem_sql(),
         "q6_forecast_revenue": oracle.q6_forecast_revenue_sql(),
         "nation_trade_coverage": oracle.nation_trade_coverage_sql(),
+        "customer_status_full_join": oracle.customer_status_full_join_sql(),
         "cell_encode_lineitem": oracle.cell_encode_lineitem_sql(),
         "tile_assign_lineitem": oracle.tile_assign_lineitem_sql(),
         "tile_counts": oracle.tile_counts_sql(),

@@ -441,6 +441,28 @@ LEFT JOIN (SELECT c_nationkey, COUNT(*) AS nc FROM customer GROUP BY 1) c
 """
 
 
+def customer_status_full_join_sql() -> str:
+    """Two-sided-orphan FULL OUTER join of per-customer status aggregates."""
+
+    def side(status: str, n: str, c: str) -> str:
+        return (
+            f"SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS {n}, "
+            f"CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS {c} "
+            f"FROM orders WHERE o_orderstatus = '{status}' GROUP BY 1"
+        )
+
+    return f"""
+WITH f AS ({side('F', 'n_f', 'cents_f')}),
+o AS ({side('O', 'n_o', 'cents_o')})
+SELECT COALESCE(f.o_custkey, o.o_custkey) AS o_custkey,
+       CAST(COALESCE(f.n_f, 0) AS BIGINT) AS n_f,
+       CAST(COALESCE(f.cents_f, 0) AS BIGINT) AS cents_f,
+       CAST(COALESCE(o.n_o, 0) AS BIGINT) AS n_o,
+       CAST(COALESCE(o.cents_o, 0) AS BIGINT) AS cents_o
+FROM f FULL OUTER JOIN o ON o.o_custkey = f.o_custkey
+"""
+
+
 def cell_encode_lineitem_sql() -> str:
     return (
         "WITH qpts AS (" + _uniform_points_select() + ") "

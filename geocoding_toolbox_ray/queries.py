@@ -176,6 +176,80 @@ def cell_encode_lineitem(sf_dir: str):
     return _f(sf_dir)
 
 
+def _orders_status_agg(sf_dir: str, status: str, n_alias: str, cents_alias: str):
+    """Per-customer (count, cents sum) over orders of one status — per-batch
+    np.unique partials, combined vectorized inside coarse customer-hash
+    buckets (group-count rule: one dispatch per bucket, not per customer)."""
+
+    orders = _read(
+        sf_dir, "orders", columns=["o_custkey", "o_orderstatus", "o_totalprice"]
+    )
+
+    def _partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.equal(t["o_orderstatus"], status)
+        ck = np.asarray(
+            pc.filter(t["o_custkey"], keep).to_numpy(zero_copy_only=False), np.int64
+        )
+        cents = np.floor(
+            np.asarray(
+                pc.filter(t["o_totalprice"], keep).to_numpy(zero_copy_only=False),
+                np.float64,
+            )
+            * 100.0
+            + 0.5
+        ).astype(np.int64)
+        uniq, inv, counts = np.unique(ck, return_inverse=True, return_counts=True)
+        sums = np.bincount(inv, weights=cents.astype(np.float64)).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array((uniq * 2654435761 % 2**32) % SESSION_BUCKETS, pa.int64()),
+                "o_custkey": pa.array(uniq, pa.int64()),
+                "pn": pa.array(counts.astype(np.int64), pa.int64()),
+                "pc": pa.array(sums, pa.int64()),
+            }
+        )
+
+    def _combine(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("o_custkey", sort=False)[["pn", "pc"]].sum()
+        return pd.DataFrame(
+            {
+                "o_custkey": agg.index.to_numpy(np.int64),
+                n_alias: agg["pn"].to_numpy(np.int64),
+                cents_alias: agg["pc"].to_numpy(np.int64),
+            }
+        )
+
+    return (
+        orders.map_batches(_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_combine, batch_format="pandas")
+    )
+
+
+def customer_status_full_join(sf_dir: str):
+    """FULL OUTER join through the generic hash-join operator: customers
+    with only-finished orders, only-open orders, or both — genuine
+    two-sided orphans.  Both sides pre-aggregate per customer, then the
+    bucketed co-group emits every orphan exactly once (full outer cannot
+    broadcast)."""
+    from .stages.join import hash_join
+
+    f = _orders_status_agg(sf_dir, "F", "n_f", "cents_f")
+    o = _orders_status_agg(sf_dir, "O", "n_o", "cents_o")
+    return hash_join(
+        f,
+        o,
+        key="o_custkey",
+        right_cols=["n_o", "cents_o"],
+        how="full",
+        strategy="shuffle",
+        left_rows=_nrows(sf_dir, "customer"),
+        fill={"n_f": 0, "cents_f": 0, "n_o": 0, "cents_o": 0},
+    )
+
+
 #: TPC-H-Q6-shaped parameters (exact-integer revenue: cents x permille)
 Q6_YEAR = 1996
 Q6_MAX_QTY = 24

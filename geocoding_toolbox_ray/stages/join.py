@@ -9,7 +9,9 @@ join runs vectorized (pandas merge) inside each bounded bucket — never
 a Ray groupby keyed on the join key itself (group-count cost rule,
 CLAUDE.md).
 
-Contract: single int64 equi-key, inner / left-outer / semi / anti join
+Contract: single int64 equi-key, inner / left-outer / full-outer / semi /
+anti join (full outer is shuffle-only — a broadcast would emit every
+right-unmatched row once per left block)
 (semi and anti carry no right-side columns — EXISTS / NOT EXISTS as an
 operator, Acero "left semi"/"left anti" on the broadcast path and a
 vectorized isin mask on the shuffle path), right side
@@ -173,7 +175,9 @@ def shuffle_join(
             mask = l[key].isin(r[key].to_numpy())
             m = l[mask] if how == "semi" else l[~mask]
             return m[out_cols].astype(dtypes)
-        m = l.merge(r, on=key, how=how)
+        # pandas spells full outer 'outer'; both sides of every key hash
+        # to the same bucket, so per-bucket outer merges compose exactly
+        m = l.merge(r, on=key, how="outer" if how == "full" else how)
         if fill:
             m = m.fillna(fill)
         return m[out_cols].astype(dtypes)
@@ -197,10 +201,17 @@ def hash_join(
     BROADCAST_MAX_ROWS, else falls back to the bucketed co-group.  Pass
     ``right_rows`` from parquet metadata so selection never triggers a
     count() execution."""
-    if how not in ("inner", "left", "semi", "anti"):
+    if how not in ("inner", "left", "semi", "anti", "full"):
         raise ValueError(f"unknown join type: {how}")
     if how in ("semi", "anti") and right_cols:
         raise ValueError(f"{how} join carries no right-side columns")
+    if how == "full":
+        # full outer cannot broadcast: each left block joining the whole
+        # right table would emit every right-unmatched row once PER BLOCK.
+        # Only the bucketed co-group keeps the one-row-per-orphan contract.
+        if strategy == "broadcast":
+            raise ValueError("full outer join requires the shuffle strategy")
+        strategy = "shuffle"
     if strategy == "auto":
         n = right_rows if right_rows is not None else right.count()
         strategy = "broadcast" if n <= BROADCAST_MAX_ROWS else "shuffle"

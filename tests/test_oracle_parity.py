@@ -559,6 +559,29 @@ def test_nation_trade_coverage_parity(ray_session, con):
     )
 
 
+def test_customer_status_full_join_parity(ray_session, con):
+    from geocoding_toolbox_ray import oracle, queries
+
+    compare(
+        queries.customer_status_full_join(SF_DIR),
+        oracle.customer_status_full_join_sql(),
+        con,
+    )
+
+
+def test_full_outer_broadcast_rejected(ray_session):
+    """Full outer must refuse the broadcast strategy (per-block duplicate
+    orphan hazard)."""
+    import pytest as _pytest
+    import ray.data as rd
+
+    from geocoding_toolbox_ray.stages.join import hash_join
+
+    ds = rd.from_items([{"k": 1, "v": 2}])
+    with _pytest.raises(ValueError):
+        hash_join(ds, ds, key="k", right_cols=["v"], how="full", strategy="broadcast")
+
+
 def test_orders_trend_by_priority_parity(ray_session, con):
     from geocoding_toolbox_ray import oracle, queries
 
