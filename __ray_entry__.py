@@ -103,6 +103,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_trade_coverage": q.nation_trade_coverage,
         "customer_status_full_join": q.customer_status_full_join,
         "cell_encode_lineitem": q.cell_encode_lineitem,
+        "geohash_lineitem": q.geohash_lineitem,
+        "url_canonicalize": q.url_canonicalize,
+        "events_decayed_value": q.events_decayed_value,
         "tile_assign_lineitem": q.tile_assign_lineitem,
         "tile_counts": q.tile_counts,
         "tile_counts_salted": q.tile_counts_salted,
@@ -298,6 +301,9 @@ def oracle_sql() -> dict[str, str]:
         "nation_trade_coverage": oracle.nation_trade_coverage_sql(),
         "customer_status_full_join": oracle.customer_status_full_join_sql(),
         "cell_encode_lineitem": oracle.cell_encode_lineitem_sql(),
+        "geohash_lineitem": oracle.geohash_lineitem_sql(),
+        "url_canonicalize": oracle.url_canonicalize_sql(),
+        "events_decayed_value": oracle.events_decayed_value_sql(),
         "tile_assign_lineitem": oracle.tile_assign_lineitem_sql(),
         "tile_counts": oracle.tile_counts_sql(),
         "tile_counts_salted": oracle.tile_counts_sql(),

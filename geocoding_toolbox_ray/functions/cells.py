@@ -103,3 +103,35 @@ def cell_encode_sql(x_expr: str, y_expr: str, res: int = DEFAULT_RES) -> str:
         "LEAST(GREATEST(CAST(floor(({y} - {y0}) / {s}) AS BIGINT), 0), {m})"
     ).format(y=y_expr, y0=repr(Y0), s=s, m=n - 1)
     return f"({iy} * {n} + {ix})"
+
+
+# ------------------------------------------------------------- geohash
+#: base32 alphabet of classic geohash (no a,i,l,o)
+GEOHASH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+GEOHASH_CHARS = 6                 # 6 chars = 30 bits = 15 bits per axis
+GEOHASH_BITS_PER_AXIS = 15
+
+
+def geohash_encode(x: np.ndarray, y: np.ndarray, chars: int = GEOHASH_CHARS) -> np.ndarray:
+    """Planar geohash over the engine grid: interleave the top bits of the
+    2^15-resolution cell indices (x in the odd/higher positions, the
+    classic lon-first convention) and emit base32 strings.
+
+    Pure integer bit arithmetic — the DuckDB oracle
+    (``oracle.geohash_expr_sql``) builds the identical value from the same
+    constants, term by term.
+    """
+    n = 1 << GEOHASH_BITS_PER_AXIS
+    s = EXTENT / n
+    ix = np.clip(np.floor((np.asarray(x, np.float64) - X0) / s), 0, n - 1).astype(np.int64)
+    iy = np.clip(np.floor((np.asarray(y, np.float64) - Y0) / s), 0, n - 1).astype(np.int64)
+    z = np.zeros(len(ix), np.int64)
+    for k in range(GEOHASH_BITS_PER_AXIS):
+        z |= ((ix >> k) & 1) << (2 * k + 1)
+        z |= ((iy >> k) & 1) << (2 * k)
+    alph = np.array(list(GEOHASH_ALPHABET), dtype="U1")
+    total_bits = 2 * GEOHASH_BITS_PER_AXIS
+    out = alph[(z >> (total_bits - 5)) & 31]
+    for j in range(1, chars):
+        out = np.char.add(out, alph[(z >> (total_bits - 5 * (j + 1))) & 31])
+    return out.astype(object)

@@ -441,6 +441,78 @@ LEFT JOIN (SELECT c_nationkey, COUNT(*) AS nc FROM customer GROUP BY 1) c
 """
 
 
+def geohash_lineitem_sql() -> str:
+    """Planar geohash assembled term-by-term from the SAME constants as
+    ``functions.cells.geohash_encode`` (bit interleave as integer
+    div/mod arithmetic, base32 chars via substr on the shared alphabet)."""
+    from .functions.cells import (
+        EXTENT,
+        GEOHASH_ALPHABET,
+        GEOHASH_BITS_PER_AXIS,
+        GEOHASH_CHARS,
+        X0,
+        Y0,
+    )
+
+    n = 1 << GEOHASH_BITS_PER_AXIS
+    s = EXTENT / n
+    ix = f"LEAST(GREATEST(CAST(floor((qx - {X0!r}) / {s!r}) AS BIGINT), 0), {n - 1})"
+    iy = f"LEAST(GREATEST(CAST(floor((qy - {Y0!r}) / {s!r}) AS BIGINT), 0), {n - 1})"
+    terms = " + ".join(
+        f"((ix // {1 << k}) % 2) * {1 << (2 * k + 1)}"
+        f" + ((iy // {1 << k}) % 2) * {1 << (2 * k)}"
+        for k in range(GEOHASH_BITS_PER_AXIS)
+    )
+    total_bits = 2 * GEOHASH_BITS_PER_AXIS
+    concat = " || ".join(
+        f"substr('{GEOHASH_ALPHABET}', "
+        f"CAST((z // {1 << (total_bits - 5 * (j + 1))}) % 32 AS INTEGER) + 1, 1)"
+        for j in range(GEOHASH_CHARS)
+    )
+    return f"""
+WITH qpts AS ({_uniform_points_select()}),
+g AS (SELECT query_id, {ix} AS ix, {iy} AS iy FROM qpts),
+zt AS (SELECT query_id, ({terms}) AS z FROM g)
+SELECT query_id, {concat} AS geohash FROM zt
+"""
+
+
+def url_canonicalize_sql() -> str:
+    """Messy-URL fixture + canonicalization rule chain, both assembled
+    from the constants in functions/urls.py."""
+    from .functions.urls import canonicalize_url_sql, messy_url_expr
+
+    return f"""
+WITH s AS (
+    SELECT unnest(generate_series(0, (SELECT 2 * COUNT(*) FROM orders) - 1)) AS i
+),
+m AS (SELECT i, {messy_url_expr('i')} AS u FROM s)
+SELECT i, u AS url_raw, {canonicalize_url_sql('u')} AS url_canonical FROM m
+"""
+
+
+def events_decayed_value_sql() -> str:
+    """Binary-decay recency window, weights generated from DECAY_WINDOW."""
+    from .queries import DECAY_WINDOW
+
+    cases = " ".join(
+        f"WHEN {lag} THEN {1 << (DECAY_WINDOW - 1 - lag)}"
+        for lag in range(DECAY_WINDOW)
+    )
+    return f"""
+WITH r AS (
+    SELECT user_id, CAST(floor(value * 100 + 0.5) AS BIGINT) AS vint,
+           row_number() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+           ) - 1 AS lag
+    FROM events
+)
+SELECT user_id,
+       CAST(SUM(vint * CASE lag {cases} ELSE 0 END) AS BIGINT) AS decayed_cents
+FROM r GROUP BY user_id
+"""
+
+
 def customer_status_full_join_sql() -> str:
     """Two-sided-orphan FULL OUTER join of per-customer status aggregates."""
 

@@ -401,3 +401,23 @@ def reverse_geocode_lineitem(sf_dir: str, max_d: float = REVERSE_MAX_D_M):
         batch_size=16384,
         concurrency=(1, 8),
     )
+
+
+def geohash_lineitem(sf_dir: str):
+    """Uniform lattice points -> planar base32 geohash strings (the
+    third cell-code family next to square cells and ZXY tiles)."""
+    from ..functions.cells import geohash_encode
+
+    def _f(batch: pa.Table) -> pa.Table:
+        pts = derive_uniform_points(batch)
+        gh = geohash_encode(
+            pts["qx"].to_numpy(zero_copy_only=False),
+            pts["qy"].to_numpy(zero_copy_only=False),
+        )
+        return pa.table(
+            {"query_id": pts["query_id"], "geohash": pa.array(gh, pa.string())}
+        )
+
+    return _lineitem(sf_dir, ["l_orderkey", "l_linenumber", "l_partkey"]).map_batches(
+        _f, batch_format="pyarrow"
+    )

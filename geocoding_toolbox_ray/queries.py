@@ -176,6 +176,90 @@ def cell_encode_lineitem(sf_dir: str):
     return _f(sf_dir)
 
 
+def geohash_lineitem(sf_dir: str):
+    """Base32 planar geohash per uniform lattice point (bit-interleave
+    cell code, exact integer arithmetic in engine AND oracle)."""
+    from .pipelines.spatial import geohash_lineitem as _f
+
+    return _f(sf_dir)
+
+
+def url_canonicalize(sf_dir: str):
+    """Crawl-ingest URL canonicalization: lowercase scheme/host, strip
+    default port + fragment + utm_* tracking params — one RE2 rule chain
+    shared verbatim with the DuckDB oracle (functions/urls.py)."""
+    import ray.data as rd
+
+    from .functions.urls import canonicalize_urls, messy_urls
+
+    n = 2 * _nrows(sf_dir, "orders")
+
+    def _f(batch: pa.Table) -> pa.Table:
+        idx = np.asarray(batch["id"].to_numpy(zero_copy_only=False), np.int64)
+        raw = pa.array(messy_urls(idx), pa.string())
+        return pa.table(
+            {
+                "i": batch["id"],
+                "url_raw": raw,
+                "url_canonical": canonicalize_urls(raw),
+            }
+        )
+
+    return rd.range(n).map_batches(_f, batch_format="pyarrow")
+
+
+#: decayed-value window: the newest event weighs 2^(W-1), the W-th newest 1
+DECAY_WINDOW = 8
+
+
+def events_decayed_value(sf_dir: str):
+    """Per-user exponentially-decayed recent value (recency score): the
+    last DECAY_WINDOW events by (ts, event_id) weighted 2^(W-1-lag), in
+    exact integer cents — the feature-store freshness aggregate.  Coarse
+    user-hash buckets, one sort + grouped cumcount per bucket."""
+
+    events = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
+
+    def _prep(t: pa.Table) -> pa.Table:
+        uid = np.asarray(t["user_id"].to_numpy(zero_copy_only=False), np.int64)
+        vint = np.floor(
+            np.asarray(t["value"].to_numpy(zero_copy_only=False), np.float64) * 100.0
+            + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array((uid * 2654435761 % 2**32) % SESSION_BUCKETS, pa.int64()),
+                "user_id": pa.array(uid, pa.int64()),
+                "ts_us": t["ts"].cast(pa.int64()),
+                "event_id": t["event_id"],
+                "vint": pa.array(vint, pa.int64()),
+            }
+        )
+
+    def _decay(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["user_id", "ts_us", "event_id"], ascending=[True, False, False],
+            kind="mergesort",
+        )
+        lag = g.groupby("user_id", sort=False).cumcount().to_numpy(np.int64)
+        w = np.where(lag < DECAY_WINDOW, np.int64(1) << (DECAY_WINDOW - 1 - np.minimum(lag, DECAY_WINDOW - 1)), 0)
+        contrib = g["vint"].to_numpy(np.int64) * w
+        agg = pd.DataFrame({"user_id": g["user_id"].to_numpy(np.int64), "c": contrib})
+        out = agg.groupby("user_id", sort=False)["c"].sum()
+        return pd.DataFrame(
+            {
+                "user_id": out.index.to_numpy(np.int64),
+                "decayed_cents": out.to_numpy(np.int64),
+            }
+        )
+
+    return (
+        events.map_batches(_prep, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_decay, batch_format="pandas")
+    )
+
+
 def _orders_status_agg(sf_dir: str, status: str, n_alias: str, cents_alias: str):
     """Per-customer (count, cents sum) over orders of one status — per-batch
     np.unique partials, combined vectorized inside coarse customer-hash

@@ -582,6 +582,16 @@ def test_full_outer_broadcast_rejected(ray_session):
         hash_join(ds, ds, key="k", right_cols=["v"], how="full", strategy="broadcast")
 
 
+@pytest.mark.parametrize(
+    "name",
+    ["geohash_lineitem", "url_canonicalize", "events_decayed_value"],
+)
+def test_wave4_additions_parity(name, ray_session, con):
+    import __ray_entry__ as entrymod
+
+    compare(entrymod.queries()[name](SF_DIR), entrymod.oracle_sql()[name], con)
+
+
 def test_orders_trend_by_priority_parity(ray_session, con):
     from geocoding_toolbox_ray import oracle, queries
 
