@@ -106,6 +106,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geohash_lineitem": q.geohash_lineitem,
         "url_canonicalize": q.url_canonicalize,
         "events_decayed_value": q.events_decayed_value,
+        "parcel_tile_cover": q.parcel_tile_cover,
+        "address_point_density": q.address_point_density,
         "tile_assign_lineitem": q.tile_assign_lineitem,
         "tile_counts": q.tile_counts,
         "tile_counts_salted": q.tile_counts_salted,
@@ -304,6 +306,8 @@ def oracle_sql() -> dict[str, str]:
         "geohash_lineitem": oracle.geohash_lineitem_sql(),
         "url_canonicalize": oracle.url_canonicalize_sql(),
         "events_decayed_value": oracle.events_decayed_value_sql(),
+        "parcel_tile_cover": oracle.parcel_tile_cover_sql(),
+        "address_point_density": oracle.address_point_density_sql(),
         "tile_assign_lineitem": oracle.tile_assign_lineitem_sql(),
         "tile_counts": oracle.tile_counts_sql(),
         "tile_counts_salted": oracle.tile_counts_sql(),

@@ -149,6 +149,12 @@ def run_bench() -> dict:
         timed("knn_graph", lambda: q.knn_graph(SF_DIR))
         timed("orders_upsert", lambda: q.orders_upsert(SF_DIR))
         timed("tile_cover_lineitem", lambda: q.tile_cover_lineitem(SF_DIR))
+        # late round-3 spatial wave: distance join, zonal stats, gated
+        # reverse geocode, full-outer co-group
+        timed("points_within_radius", lambda: q.points_within_radius(SF_DIR))
+        timed("parcel_zonal_stats", lambda: q.parcel_zonal_stats(SF_DIR))
+        timed("reverse_geocode_lineitem", lambda: q.reverse_geocode_lineitem(SF_DIR))
+        timed("customer_status_full_join", lambda: q.customer_status_full_join(SF_DIR))
 
     total = round(sum(timings.values()), 3)
     geocode_rows_per_s = (

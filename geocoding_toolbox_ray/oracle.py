@@ -491,6 +491,42 @@ SELECT i, u AS url_raw, {canonicalize_url_sql('u')} AS url_canonical FROM m
 """
 
 
+def parcel_tile_cover_sql() -> str:
+    """Parcel bbox -> overlapped ZXY tiles (2-step UNNEST like
+    tile_cover_lineitem — DuckDB lacks lateral generate_series)."""
+    from .functions.tiles import tile_assign_sql
+
+    tx0, ty0 = tile_assign_sql("xmin", "ymax")
+    tx1, ty1 = tile_assign_sql("xmax", "ymin")
+    return f"""
+WITH {parcels_bbox_values_sql('parcels')},
+c AS (
+    SELECT parcel_id, {tx0} AS tx0, {ty0} AS ty0, {tx1} AS tx1, {ty1} AS ty1
+    FROM parcels
+),
+ex AS (
+    SELECT parcel_id, UNNEST(generate_series(tx0, tx1)) AS tile_x, ty0, ty1
+    FROM c
+)
+SELECT parcel_id, tile_x, UNNEST(generate_series(ty0, ty1)) AS tile_y FROM ex
+"""
+
+
+def address_point_density_sql() -> str:
+    """Per-reference-point density: the distance join grouped by point."""
+    from .pipelines.spatial import RADIUS_JOIN_M
+
+    r = float(RADIUS_JOIN_M)
+    d2 = "(q.qx - ap.x) * (q.qx - ap.x) + (q.qy - ap.y) * (q.qy - ap.y)"
+    return f"""
+WITH {address_points_values_sql('ap')},
+{_anchored_points_cte()}
+SELECT ap.point_id, CAST(COUNT(*) AS BIGINT) AS n_within
+FROM qpts q JOIN ap ON {d2} <= {r!r} * {r!r}
+GROUP BY ap.point_id
+"""
+
+
 def events_decayed_value_sql() -> str:
     """Binary-decay recency window, weights generated from DECAY_WINDOW."""
     from .queries import DECAY_WINDOW

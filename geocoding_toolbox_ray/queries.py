@@ -184,6 +184,70 @@ def geohash_lineitem(sf_dir: str):
     return _f(sf_dir)
 
 
+def parcel_tile_cover(sf_dir: str):
+    """Polygon -> raster tile cover: every ZXY tile overlapping each
+    parcel's bbox (rectangle == geometry for this layer), the vectorized
+    np.repeat flat-map — the vector->raster direction of the tiling pair."""
+    import ray.data as rd
+
+    from .functions.tiles import tile_assign
+    from .sources.synthetic import PARCEL_HALF, address_points_table
+
+    ap = address_points_table().select(["point_id", "x", "y"])
+
+    def _cover(t: pa.Table) -> pa.Table:
+        pid = np.asarray(t["point_id"].to_numpy(zero_copy_only=False), np.int64)
+        x = np.asarray(t["x"].to_numpy(zero_copy_only=False), np.float64)
+        y = np.asarray(t["y"].to_numpy(zero_copy_only=False), np.float64)
+        h = PARCEL_HALF
+        tx0, ty0 = tile_assign(x - h, y + h)
+        tx1, ty1 = tile_assign(x + h, y - h)
+        cx = tx1 - tx0 + 1
+        cy = ty1 - ty0 + 1
+        reps = cx * cy
+        idx = np.repeat(np.arange(len(pid)), reps)
+        start = np.cumsum(reps) - reps
+        o = np.arange(int(reps.sum()), dtype=np.int64) - np.repeat(start, reps)
+        parcel_id = np.array([f"P{int(p)}" for p in pid], object)
+        return pa.table(
+            {
+                "parcel_id": pa.array(parcel_id[idx], pa.string()),
+                "tile_x": pa.array(tx0[idx] + o // cy[idx]),
+                "tile_y": pa.array(ty0[idx] + o % cy[idx]),
+            }
+        )
+
+    return rd.from_arrow(ap).map_batches(_cover, batch_format="pyarrow")
+
+
+def address_point_density(sf_dir: str):
+    """Spatial density map: per reference point, how many anchored query
+    points fall within the distance-join radius — the radius join's
+    pair stream pre-aggregated per batch, reduced over a point-bounded
+    groupby (485 groups max)."""
+    from ray.data.aggregate import Sum
+
+    from .pipelines.spatial import radius_join
+
+    pairs = radius_join(sf_dir)
+
+    def _partial(t: pa.Table) -> pa.Table:
+        pid = np.asarray(t["point_id"].to_numpy(zero_copy_only=False), np.int64)
+        uniq, counts = np.unique(pid, return_counts=True)
+        return pa.table(
+            {
+                "point_id": pa.array(uniq, pa.int64()),
+                "partial_n": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        pairs.map_batches(_partial, batch_format="pyarrow")
+        .groupby("point_id")
+        .aggregate(Sum("partial_n", alias_name="n_within"))
+    )
+
+
 def url_canonicalize(sf_dir: str):
     """Crawl-ingest URL canonicalization: lowercase scheme/host, strip
     default port + fragment + utm_* tracking params — one RE2 rule chain

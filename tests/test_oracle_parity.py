@@ -584,7 +584,13 @@ def test_full_outer_broadcast_rejected(ray_session):
 
 @pytest.mark.parametrize(
     "name",
-    ["geohash_lineitem", "url_canonicalize", "events_decayed_value"],
+    [
+        "geohash_lineitem",
+        "url_canonicalize",
+        "events_decayed_value",
+        "parcel_tile_cover",
+        "address_point_density",
+    ],
 )
 def test_wave4_additions_parity(name, ray_session, con):
     import __ray_entry__ as entrymod
