@@ -422,6 +422,23 @@ class ReverseGeocodeStage:
         self.grid = np.asarray(self.index.points["address_grid"], object)
         self.rings = int(float(max_d) // cell_size(self.index.res)) + 1
         self._cand_cache: dict[int, np.ndarray] = {}
+        # ACTIVE query cells: any cell whose candidate disk holds >= 1
+        # reference point.  Scattered query workloads (uniform lattices)
+        # have ~one unique cell per row and most of the map is empty —
+        # the vectorized membership probe short-circuits those before the
+        # per-cell loop ever runs (reference points x disk size, built
+        # once per actor).
+        res = self.index.res
+        ncell = 1 << res
+        pcell = cell_encode(self.px, self.py, res)
+        pix, piy = pcell % ncell, pcell // ncell
+        cells = []
+        for ox in range(-self.rings, self.rings + 1):
+            for oy in range(-self.rings, self.rings + 1):
+                cx, cy = pix + ox, piy + oy
+                ok = (cx >= 0) & (cx < ncell) & (cy >= 0) & (cy < ncell)
+                cells.append(cy[ok] * ncell + cx[ok])
+        self.active_cells = np.unique(np.concatenate(cells))
 
     def _candidates(self, cell: int) -> np.ndarray:
         out = self._cand_cache.get(cell)
@@ -438,8 +455,14 @@ class ReverseGeocodeStage:
 
         win = np.full(n, -1, np.int64)  # winning candidate POSITION, -1 = none
         d2_out = np.full(n, np.nan, np.float64)
-        for cell in np.unique(cells):
-            sel = np.flatnonzero(cells == cell)
+        if len(self.active_cells):
+            pos = np.searchsorted(self.active_cells, cells)
+            pos[pos >= len(self.active_cells)] = 0
+            live = np.flatnonzero(self.active_cells[pos] == cells)
+        else:
+            live = np.zeros(0, np.int64)
+        for cell in np.unique(cells[live]):
+            sel = live[np.flatnonzero(cells[live] == cell)]
             cand = self._candidates(int(cell))
             if len(cand) == 0:
                 continue
