@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_canonicalize": q.url_canonicalize,
         "events_decayed_value": q.events_decayed_value,
         "parcel_tile_cover": q.parcel_tile_cover,
+        "spatial_cell_join": q.spatial_cell_join,
         "address_point_density": q.address_point_density,
         "tile_assign_lineitem": q.tile_assign_lineitem,
         "tile_counts": q.tile_counts,
@@ -307,6 +308,7 @@ def oracle_sql() -> dict[str, str]:
         "url_canonicalize": oracle.url_canonicalize_sql(),
         "events_decayed_value": oracle.events_decayed_value_sql(),
         "parcel_tile_cover": oracle.parcel_tile_cover_sql(),
+        "spatial_cell_join": oracle.spatial_cell_join_sql(),
         "address_point_density": oracle.address_point_density_sql(),
         "tile_assign_lineitem": oracle.tile_assign_lineitem_sql(),
         "tile_counts": oracle.tile_counts_sql(),

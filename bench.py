@@ -155,6 +155,9 @@ def run_bench() -> dict:
         timed("parcel_zonal_stats", lambda: q.parcel_zonal_stats(SF_DIR))
         timed("reverse_geocode_lineitem", lambda: q.reverse_geocode_lineitem(SF_DIR))
         timed("customer_status_full_join", lambda: q.customer_status_full_join(SF_DIR))
+        # big-big distance join: the explicit cell-shuffle exchange with
+        # replication pruning (no broadcast side anywhere)
+        timed("spatial_cell_join", lambda: q.spatial_cell_join(SF_DIR))
 
     total = round(sum(timings.values()), 3)
     geocode_rows_per_s = (

