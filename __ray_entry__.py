@@ -108,6 +108,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_decayed_value": q.events_decayed_value,
         "parcel_tile_cover": q.parcel_tile_cover,
         "spatial_cell_join": q.spatial_cell_join,
+        "quality_lr_score": q.quality_lr_score,
+        "supplier_degree_histogram": q.supplier_degree_histogram,
         "address_point_density": q.address_point_density,
         "tile_assign_lineitem": q.tile_assign_lineitem,
         "tile_counts": q.tile_counts,
@@ -309,6 +311,8 @@ def oracle_sql() -> dict[str, str]:
         "events_decayed_value": oracle.events_decayed_value_sql(),
         "parcel_tile_cover": oracle.parcel_tile_cover_sql(),
         "spatial_cell_join": oracle.spatial_cell_join_sql(),
+        "quality_lr_score": oracle.quality_lr_score_sql(),
+        "supplier_degree_histogram": oracle.supplier_degree_histogram_sql(),
         "address_point_density": oracle.address_point_density_sql(),
         "tile_assign_lineitem": oracle.tile_assign_lineitem_sql(),
         "tile_counts": oracle.tile_counts_sql(),

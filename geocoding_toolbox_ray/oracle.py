@@ -491,6 +491,49 @@ SELECT i, u AS url_raw, {canonicalize_url_sql('u')} AS url_canonical FROM m
 """
 
 
+def supplier_degree_histogram_sql() -> str:
+    """Degree distribution of the distinct co-supply edge set."""
+    return """
+WITH inc AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk FROM lineitem WHERE l_orderkey % 10 = 0),
+e AS (
+    SELECT DISTINCT a.sk AS sa, b.sk AS sb
+    FROM inc a JOIN inc b ON a.ok = b.ok AND a.sk < b.sk
+),
+deg AS (
+    SELECT sk, CAST(COUNT(*) AS BIGINT) AS degree
+    FROM (SELECT sa AS sk FROM e UNION ALL SELECT sb AS sk FROM e)
+    GROUP BY 1
+)
+SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_suppliers FROM deg GROUP BY 1
+"""
+
+
+def quality_lr_score_sql() -> str:
+    """Integer LR scoring replica: same rolling-poly hash, same weight
+    formula W[d] = (d*KNUTH) % (2*span+1) - span, per-token dot product."""
+    from .functions.text import rolling_fingerprint_sql
+    from .queries import FEAT_HASH_DIMS, LR_WEIGHT_SPAN
+
+    K = FEAT_HASH_DIMS
+    span = LR_WEIGHT_SPAN
+    return f"""
+WITH {_doc_tokens_cte()},
+tk AS (SELECT doc_id, unnest(ts) AS t FROM toks),
+h AS (SELECT doc_id, {rolling_fingerprint_sql('t')} AS hv FROM tk),
+c AS (
+    SELECT doc_id,
+           (((hv % {K}) * 2654435761) % {2 * span + 1} - {span})
+           * (CASE WHEN (hv // {K}) % 2 = 0 THEN 1 ELSE -1 END) AS contrib
+    FROM h
+),
+s AS (SELECT doc_id, CAST(SUM(contrib) AS BIGINT) AS sc FROM c GROUP BY 1)
+SELECT d.doc_id,
+       CAST(COALESCE(s.sc, 0) AS BIGINT) AS lr_score,
+       CAST(CASE WHEN COALESCE(s.sc, 0) >= 0 THEN 1 ELSE 0 END AS BIGINT) AS accepted
+FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id
+"""
+
+
 def spatial_cell_join_sql() -> str:
     """Big-big distance join: B replicated to the same 9 cell offsets the
     engine uses, equality hash join on the cell pair, exact d2 filter."""

@@ -184,6 +184,59 @@ def geohash_lineitem(sf_dir: str):
     return _f(sf_dir)
 
 
+#: deterministic integer LR weights over the hashed feature space:
+#: W[d] = (d * KNUTH) % (2*LR_WEIGHT_SPAN + 1) - LR_WEIGHT_SPAN
+LR_WEIGHT_SPAN = 1000
+
+
+def quality_lr_score(sf_dir: str):
+    """Batched model inference: score every document with a (fixed,
+    integer) logistic-regression-style weight vector over the signed
+    hashed bag-of-words features — the classifier-scoring stage of a
+    curation pipeline.  The weight vector is broadcast ONCE via ray.put
+    (zero-copy numpy on every read) and each batch reduces
+    token-contributions with one bincount; exact integers end to end, so
+    the DuckDB oracle replicates the dot product bit-for-bit."""
+    import ray
+
+    from .functions.text import rolling_fingerprint_batch, ws_tokens
+
+    K = FEAT_HASH_DIMS
+    span = LR_WEIGHT_SPAN
+    dims = np.arange(K, dtype=np.int64)
+    weights = (dims * 2654435761) % (2 * span + 1) - span
+    w_ref = ray.put(weights)
+
+    def _f(df: pd.DataFrame) -> pd.DataFrame:
+        w = ray.get(w_ref)
+        toks: list[str] = []
+        lens: list[int] = []
+        for s in df["text"]:
+            ts = ws_tokens(s.lower())
+            toks.extend(ts)
+            lens.append(len(ts))
+        doc_id = df["doc_id"].to_numpy(np.int64)
+        score = np.zeros(len(df), np.int64)
+        if toks:
+            owner = np.repeat(np.arange(len(df)), np.asarray(lens, np.int64))
+            h = rolling_fingerprint_batch(toks)
+            dim = h % K
+            sign = np.where((h // K) % 2 == 0, 1, -1).astype(np.int64)
+            contrib = w[dim] * sign
+            score = np.bincount(
+                owner, weights=contrib.astype(np.float64), minlength=len(df)
+            ).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": doc_id,
+                "lr_score": score,
+                "accepted": (score >= 0).astype(np.int64),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(_f, batch_format="pandas")
+
+
 def spatial_cell_join(sf_dir: str):
     """Big-big distance join through the explicit cell shuffle (no
     broadcast side): see pipelines/spatial.spatial_cell_join."""
@@ -4621,6 +4674,74 @@ def orders_price_rank(sf_dir: str):
 
 
 # --------------------- graph triangles / table checksum / grouped median
+
+def supplier_degree_histogram(sf_dir: str) -> pd.DataFrame:
+    """Degree distribution of the supplier co-occurrence graph: distinct
+    (order, supplier) incidence -> per-order distinct co-supply edges
+    (bucketed vectorized merge) -> global edge dedup (second bucketed
+    reduce) -> per-supplier degree -> histogram.  Driver sees only the
+    edge list, bounded by supplier-pair cardinality (never input rows)."""
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
+
+    def _inc(t: pa.Table) -> pd.DataFrame:
+        ok = np.asarray(t["l_orderkey"].to_numpy(zero_copy_only=False), np.int64)
+        sk = np.asarray(t["l_suppkey"].to_numpy(zero_copy_only=False), np.int64)
+        # deterministic 1/10 order sample keeps the co-supply graph sparse
+        # enough for a non-degenerate degree distribution at small scale
+        keep = ok % 10 == 0
+        ok, sk = ok[keep], sk[keep]
+        key = ok * 1000 + sk
+        u = np.unique(key)
+        ok_u, sk_u = u // 1000, u % 1000
+        return pd.DataFrame(
+            {
+                "bucket": ((ok_u * 2654435761) % 4294967296) % SESSION_BUCKETS,
+                "ok": ok_u,
+                "sk": sk_u,
+            }
+        )
+
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["ok", "sk"])
+        m = g.merge(g, on="ok")
+        m = m[m["sk_x"] < m["sk_y"]]
+        m = m.drop_duplicates(["sk_x", "sk_y"])
+        pk = m["sk_x"].to_numpy(np.int64) * 1000 + m["sk_y"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "pbucket": ((pk * 2654435761) % 4294967296) % SESSION_BUCKETS,
+                "sa": m["sk_x"].to_numpy(np.int64),
+                "sb": m["sk_y"].to_numpy(np.int64),
+            }
+        )
+
+    def _dedup(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["sa", "sb"])
+        return pd.DataFrame(
+            {"sa": g["sa"].to_numpy(np.int64), "sb": g["sb"].to_numpy(np.int64)}
+        )
+
+    edges = (
+        li.map_batches(_inc, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_pairs, batch_format="pandas")
+        .groupby("pbucket")
+        .map_groups(_dedup, batch_format="pandas")
+        .to_pandas()
+    )
+    deg = (
+        pd.concat([edges["sa"], edges["sb"]])
+        .value_counts()
+        .to_numpy(np.int64)
+    )
+    uniq, counts = np.unique(deg, return_counts=True)
+    return pd.DataFrame(
+        {
+            "degree": pd.array(uniq, "int64"),
+            "n_suppliers": pd.array(counts.astype(np.int64), "int64"),
+        }
+    )
+
 
 def supplier_triangles(sf_dir: str) -> pd.DataFrame:
     """Triangle count over the supplier co-occurrence graph (the graph-

@@ -591,6 +591,8 @@ def test_full_outer_broadcast_rejected(ray_session):
         "parcel_tile_cover",
         "address_point_density",
         "spatial_cell_join",
+        "quality_lr_score",
+        "supplier_degree_histogram",
     ],
 )
 def test_wave4_additions_parity(name, ray_session, con):
