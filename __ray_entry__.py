@@ -110,6 +110,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_cell_join": q.spatial_cell_join,
         "quality_lr_score": q.quality_lr_score,
         "supplier_degree_histogram": q.supplier_degree_histogram,
+        "doc_type_token_ratio": q.doc_type_token_ratio,
+        "customer_coverage_days": q.customer_coverage_days,
         "address_point_density": q.address_point_density,
         "tile_assign_lineitem": q.tile_assign_lineitem,
         "tile_counts": q.tile_counts,
@@ -313,6 +315,8 @@ def oracle_sql() -> dict[str, str]:
         "spatial_cell_join": oracle.spatial_cell_join_sql(),
         "quality_lr_score": oracle.quality_lr_score_sql(),
         "supplier_degree_histogram": oracle.supplier_degree_histogram_sql(),
+        "doc_type_token_ratio": oracle.doc_type_token_ratio_sql(),
+        "customer_coverage_days": oracle.customer_coverage_days_sql(),
         "address_point_density": oracle.address_point_density_sql(),
         "tile_assign_lineitem": oracle.tile_assign_lineitem_sql(),
         "tile_counts": oracle.tile_counts_sql(),

@@ -491,6 +491,56 @@ SELECT i, u AS url_raw, {canonicalize_url_sql('u')} AS url_canonical FROM m
 """
 
 
+def doc_type_token_ratio_sql() -> str:
+    """Type-token ratio with distinctness over the shared rolling-poly
+    hash (identical collision behavior to the engine)."""
+    from .functions.text import rolling_fingerprint_sql
+
+    return f"""
+WITH {_doc_tokens_cte()},
+tk AS (SELECT doc_id, unnest(ts) AS t FROM toks),
+h AS (SELECT doc_id, {rolling_fingerprint_sql('t')} AS hv FROM tk),
+agg AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(COUNT(DISTINCT hv) AS BIGINT) AS n_distinct
+    FROM h GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(a.n_distinct, 0) AS BIGINT) AS n_distinct,
+       CAST(CASE WHEN COALESCE(a.n_tokens, 0) > 0
+                 THEN 1000 * a.n_distinct // a.n_tokens ELSE 0 END AS BIGINT)
+           AS ttr_permille
+FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+"""
+
+
+def customer_coverage_days_sql() -> str:
+    """Interval-union sweep as the standard shifted-window cummax."""
+    from .queries import COVERAGE_SPAN_DAYS
+
+    w = COVERAGE_SPAN_DAYS
+    return f"""
+WITH d AS (
+    SELECT o_custkey, o_orderkey,
+           CAST(date_diff('day', TIMESTAMP '1970-01-01', o_orderdate) AS BIGINT)
+               AS day_num
+    FROM orders
+),
+w AS (
+    SELECT o_custkey, day_num AS s, day_num + {w} AS e,
+           MAX(day_num + {w}) OVER (
+               PARTITION BY o_custkey ORDER BY day_num, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+    FROM d
+)
+SELECT o_custkey,
+       CAST(SUM(GREATEST(0, e - GREATEST(s, COALESCE(prev_max, -1000000000000000))))
+            AS BIGINT) AS covered_days
+FROM w GROUP BY 1
+"""
+
+
 def supplier_degree_histogram_sql() -> str:
     """Degree distribution of the distinct co-supply edge set."""
     return """

@@ -245,6 +245,85 @@ def spatial_cell_join(sf_dir: str):
     return _f(sf_dir)
 
 
+def doc_type_token_ratio(sf_dir: str):
+    """Lexical-diversity curation signal: per-doc type-token ratio in
+    exact integers.  Distinctness is counted over the shared rolling-
+    polynomial token hash on BOTH sides (COUNT(DISTINCT hash) in SQL), so
+    hash collisions — if any — collapse identically and the permille
+    stays bit-equal.  One sort per batch, no shuffle."""
+    from .functions.text import rolling_fingerprint_batch, ws_tokens
+
+    def _f(df: pd.DataFrame) -> pd.DataFrame:
+        toks: list[str] = []
+        lens: list[int] = []
+        for s in df["text"]:
+            ts = ws_tokens(s.lower())
+            toks.extend(ts)
+            lens.append(len(ts))
+        n_tok = np.asarray(lens, np.int64)
+        n_distinct = np.zeros(len(df), np.int64)
+        if toks:
+            owner = np.repeat(np.arange(len(df)), n_tok)
+            h = rolling_fingerprint_batch(toks)
+            key = owner * (np.int64(1) << 32) + h  # hash < 2^31: exact pack
+            ks = np.sort(key)
+            firsts = np.concatenate([[True], ks[1:] != ks[:-1]])
+            n_distinct = np.bincount(
+                (ks[firsts] >> 32).astype(np.int64), minlength=len(df)
+            ).astype(np.int64)
+        ttr = np.where(n_tok > 0, 1000 * n_distinct // np.maximum(n_tok, 1), 0)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(np.int64),
+                "n_tokens": n_tok,
+                "n_distinct": n_distinct,
+                "ttr_permille": ttr.astype(np.int64),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(_f, batch_format="pandas")
+
+
+#: coverage-interval length (days) hung off each order date
+COVERAGE_SPAN_DAYS = 7
+
+
+def customer_coverage_days(sf_dir: str):
+    """Interval-union coverage: each order opens a [day, day+7) service
+    window; per customer, the number of DISTINCT covered days — the
+    classic merge-overlapping-intervals sweep, vectorized inside coarse
+    customer buckets as a grouped running-max (cummax) pass, exact
+    integer days.  The SQL oracle uses the standard windowed
+    MAX(...) OVER (... ROWS UNBOUNDED PRECEDING AND 1 PRECEDING) form."""
+
+    def _cover(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_custkey", "day_num", "o_orderkey"], kind="mergesort")
+        ck = g["o_custkey"].to_numpy(np.int64)
+        s = g["day_num"].to_numpy(np.int64)
+        e = s + COVERAGE_SPAN_DAYS
+        first = np.concatenate([[True], ck[1:] != ck[:-1]])
+        seg = np.cumsum(first) - 1  # per-customer group id in sort order
+        # prev_max[i] = max interval end over EARLIER rows of the same
+        # customer (the merge-overlaps sweep), C-level grouped cummax
+        prev_max = pd.Series(e).groupby(seg).cummax().shift(1).to_numpy()
+        prev_max[first] = -(10**15)  # group starts: no earlier interval
+        new_start = np.maximum(s, prev_max.astype(np.int64))
+        contrib = np.maximum(0, e - new_start)
+        out = pd.DataFrame({"ck": ck, "c": contrib}).groupby("ck", sort=False)["c"].sum()
+        return pd.DataFrame(
+            {
+                "o_custkey": out.index.to_numpy(np.int64),
+                "covered_days": out.to_numpy(np.int64),
+            }
+        )
+
+    return (
+        _orders_customer_bucketed(sf_dir)
+        .groupby("bucket")
+        .map_groups(_cover, batch_format="pandas")
+    )
+
+
 def parcel_tile_cover(sf_dir: str):
     """Polygon -> raster tile cover: every ZXY tile overlapping each
     parcel's bbox (rectangle == geometry for this layer), the vectorized

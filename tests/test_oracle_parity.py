@@ -593,6 +593,8 @@ def test_full_outer_broadcast_rejected(ray_session):
         "spatial_cell_join",
         "quality_lr_score",
         "supplier_degree_histogram",
+        "doc_type_token_ratio",
+        "customer_coverage_days",
     ],
 )
 def test_wave4_additions_parity(name, ray_session, con):
