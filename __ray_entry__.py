@@ -111,6 +111,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_lr_score": q.quality_lr_score,
         "supplier_degree_histogram": q.supplier_degree_histogram,
         "doc_type_token_ratio": q.doc_type_token_ratio,
+        "documents_sink_roundtrip": q.documents_sink_roundtrip,
+        "key_uniqueness_audit": q.key_uniqueness_audit,
         "customer_coverage_days": q.customer_coverage_days,
         "address_point_density": q.address_point_density,
         "tile_assign_lineitem": q.tile_assign_lineitem,
@@ -316,6 +318,8 @@ def oracle_sql() -> dict[str, str]:
         "quality_lr_score": oracle.quality_lr_score_sql(),
         "supplier_degree_histogram": oracle.supplier_degree_histogram_sql(),
         "doc_type_token_ratio": oracle.doc_type_token_ratio_sql(),
+        "documents_sink_roundtrip": oracle.documents_sink_roundtrip_sql(),
+        "key_uniqueness_audit": oracle.key_uniqueness_audit_sql(),
         "customer_coverage_days": oracle.customer_coverage_days_sql(),
         "address_point_density": oracle.address_point_density_sql(),
         "tile_assign_lineitem": oracle.tile_assign_lineitem_sql(),

@@ -491,6 +491,44 @@ SELECT i, u AS url_raw, {canonicalize_url_sql('u')} AS url_canonical FROM m
 """
 
 
+def documents_sink_roundtrip_sql() -> str:
+    """Per-lang count + checksum straight from the source table — equals
+    the engine's write-then-read-back reduce iff the sink is lossless."""
+    from .queries import CHECKSUM_K, CHECKSUM_M
+
+    return f"""
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(((doc_id % {CHECKSUM_M}) * {CHECKSUM_K}
+                 + n_chars % {CHECKSUM_M}) % {CHECKSUM_M}) AS BIGINT) AS checksum
+FROM documents GROUP BY 1
+"""
+
+
+def key_uniqueness_audit_sql() -> str:
+    """Row vs distinct-key counts per audited candidate key."""
+    return """
+SELECT * FROM (
+    SELECT 'orders.o_orderkey' AS key_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+           CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_dup_rows
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem.(o_orderkey,l_linenumber)',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(DISTINCT l_orderkey * 10 + l_linenumber) AS BIGINT),
+           CAST(COUNT(*) - COUNT(DISTINCT l_orderkey * 10 + l_linenumber) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'events.event_id',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(DISTINCT event_id) AS BIGINT),
+           CAST(COUNT(*) - COUNT(DISTINCT event_id) AS BIGINT)
+    FROM events
+)
+"""
+
+
 def doc_type_token_ratio_sql() -> str:
     """Type-token ratio with distinctness over the shared rolling-poly
     hash (identical collision behavior to the engine)."""

@@ -245,6 +245,100 @@ def spatial_cell_join(sf_dir: str):
     return _f(sf_dir)
 
 
+def documents_sink_roundtrip(sf_dir: str):
+    """Partitioned-parquet sink verification: write documents hive-
+    partitioned by lang under /tmp (the resumable-output layout), read
+    the store back, and reduce to per-lang row counts + an
+    order-independent content checksum — the oracle computes the same
+    from the source table, so a green hash proves the sink+readback path
+    loses nothing (the anti-entropy check every ingest pipeline runs)."""
+    import os
+    import shutil
+
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    out = f"/tmp/graft_sink_roundtrip/{os.path.basename(os.path.normpath(sf_dir))}"
+    shutil.rmtree(out, ignore_errors=True)
+    _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"]).write_parquet(
+        out, partition_cols=["lang"]
+    )
+    back = rd.read_parquet(out)
+
+    def _h(t: pa.Table) -> pa.Table:
+        k = np.asarray(t["doc_id"].to_numpy(zero_copy_only=False), np.int64)
+        nc = np.asarray(t["n_chars"].to_numpy(zero_copy_only=False), np.int64)
+        h = ((k % CHECKSUM_M) * CHECKSUM_K + nc % CHECKSUM_M) % CHECKSUM_M
+        return pa.table({"lang": t["lang"], "h": pa.array(h)})
+
+    return (
+        back.map_batches(_h, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Count(alias_name="n_rows"), Sum("h", alias_name="checksum"))
+    )
+
+
+def key_uniqueness_audit(sf_dir: str) -> pd.DataFrame:
+    """Data-quality key audit: row count vs distinct-key count per
+    candidate key (lineitem's (orderkey, linenumber) is knowingly
+    non-unique in this corpus — the audit's positive case).  Distinct
+    counts run as per-batch dedup partials + a coarse-bucket distinct
+    reduce; only three scalar rows reach the driver."""
+
+    def _distinct_count(table: str, cols: list[str], pack) -> tuple[int, int]:
+        ds = _read(sf_dir, table, columns=cols)
+
+        def _part(t: pa.Table) -> pa.Table:
+            k = pack(t)
+            u = np.unique(k)
+            return pa.table(
+                {
+                    "bucket": pa.array((u * 2654435761 % 2**32) % SESSION_BUCKETS, pa.int64()),
+                    "k": pa.array(u, pa.int64()),
+                    "n": pa.array(np.ones(len(u), np.int64)),
+                }
+            )
+
+        def _cnt(g: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {"nd": pd.array([g["k"].nunique()], "int64")}
+            )
+
+        nd = (
+            ds.map_batches(_part, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(_cnt, batch_format="pandas")
+            .to_pandas()["nd"]
+            .sum()
+        )
+        return _nrows(sf_dir, table), int(nd)
+
+    rows = []
+    n, nd = _distinct_count(
+        "orders", ["o_orderkey"], lambda t: np.asarray(t["o_orderkey"].to_numpy(zero_copy_only=False), np.int64)
+    )
+    rows.append(("orders.o_orderkey", n, nd))
+    n, nd = _distinct_count(
+        "lineitem",
+        ["l_orderkey", "l_linenumber"],
+        lambda t: np.asarray(t["l_orderkey"].to_numpy(zero_copy_only=False), np.int64) * 10
+        + np.asarray(t["l_linenumber"].to_numpy(zero_copy_only=False), np.int64),
+    )
+    rows.append(("lineitem.(o_orderkey,l_linenumber)", n, nd))
+    n, nd = _distinct_count(
+        "events", ["event_id"], lambda t: np.asarray(t["event_id"].to_numpy(zero_copy_only=False), np.int64)
+    )
+    rows.append(("events.event_id", n, nd))
+    return pd.DataFrame(
+        {
+            "key_name": [r[0] for r in rows],
+            "n_rows": pd.array([r[1] for r in rows], "int64"),
+            "n_distinct": pd.array([r[2] for r in rows], "int64"),
+            "n_dup_rows": pd.array([r[1] - r[2] for r in rows], "int64"),
+        }
+    )
+
+
 def doc_type_token_ratio(sf_dir: str):
     """Lexical-diversity curation signal: per-doc type-token ratio in
     exact integers.  Distinctness is counted over the shared rolling-

@@ -595,6 +595,8 @@ def test_full_outer_broadcast_rejected(ray_session):
         "supplier_degree_histogram",
         "doc_type_token_ratio",
         "customer_coverage_days",
+        "documents_sink_roundtrip",
+        "key_uniqueness_audit",
     ],
 )
 def test_wave4_additions_parity(name, ray_session, con):
