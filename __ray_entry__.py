@@ -259,6 +259,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_retention_cohorts": q.user_retention_cohorts,
         # exact-integer distributed least-squares trend
         "orders_trend_by_priority": q.orders_trend_by_priority,
+        # TPC-H Q5-shaped local-supplier multi-dim join
+        "q5_nation_revenue": q.q5_nation_revenue,
+        # per-nation bounding-box extent aggregate (ST_Extent analog)
+        "customer_nation_bbox": q.customer_nation_bbox,
+        # UNPIVOT / melt of the per-user crosstab back to long form
+        "events_melt": q.events_melt,
+        # keyset pagination via bounded value-histogram (no global sort)
+        "orders_keyset_page": q.orders_keyset_page,
+        # cross-table FK referential-integrity audit (sorted-array probes)
+        "fk_integrity_audit": q.fk_integrity_audit,
         # --- near-dup ops (exact SQL replicas incl. hash families).
         #     NOTE: every oracle-backed name MUST precede every rows-only
         #     entry — the driver checks registry order (round-2 verdict:
@@ -440,4 +450,9 @@ def oracle_sql() -> dict[str, str]:
         "pages_html_extract_verify": oracle.pages_html_extract_verify_sql(),
         "user_retention_cohorts": oracle.user_retention_cohorts_sql(),
         "orders_trend_by_priority": oracle.orders_trend_by_priority_sql(),
+        "q5_nation_revenue": oracle.q5_nation_revenue_sql(),
+        "customer_nation_bbox": oracle.customer_nation_bbox_sql(),
+        "events_melt": oracle.events_melt_sql(),
+        "orders_keyset_page": oracle.orders_keyset_page_sql(),
+        "fk_integrity_audit": oracle.fk_integrity_audit_sql(),
     }

@@ -2742,3 +2742,97 @@ SELECT prio AS o_orderpriority, n,
        n * sxx - sx * sx AS slope_den
 FROM s
 """
+
+
+def q5_nation_revenue_sql() -> str:
+    """TPC-H-Q5-shaped: local-supplier revenue per nation, identical
+    per-row cents quantization to the engine partial."""
+    return """
+SELECT n.n_name, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n   ON n.n_nationkey = c.c_nationkey
+WHERE c.c_nationkey = s.s_nationkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def customer_nation_bbox_sql() -> str:
+    """ST_Extent analog over the customer lattice points; the lattice ->
+    meters projection is the same pure-affine map as the engine (exact
+    in float64)."""
+    from .queries import BBOX_MULT_X, BBOX_MULT_Y
+
+    return f"""
+WITH pts AS (
+    SELECT CAST(c_nationkey AS BIGINT) AS n_nationkey,
+           (c_custkey * {BBOX_MULT_X}) % 4096 AS ix,
+           (c_custkey * {BBOX_MULT_Y}) % 4096 AS iy
+    FROM customer
+)
+SELECT p.n_nationkey, n.n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_points,
+       200000.0 + MIN(ix) * 125.0 AS min_x,
+       200000.0 + MAX(ix) * 125.0 AS max_x,
+       4000000.0 + MIN(iy) * 125.0 AS min_y,
+       4000000.0 + MAX(iy) * 125.0 AS max_y
+FROM pts p JOIN nation n ON n.n_nationkey = p.n_nationkey
+GROUP BY 1, 2 ORDER BY 1
+"""
+
+
+def events_melt_sql() -> str:
+    """Long-form twin of user_event_pivot_sql: the unpivot of the
+    crosstab collapses to a plain grouped count over the declared
+    types (zero cells drop out by construction)."""
+    from .queries import PIVOT_EVENT_TYPES
+
+    types = ", ".join(f"'{t}'" for t in PIVOT_EVENT_TYPES)
+    return f"""
+SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM events WHERE event_type IN ({types})
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def orders_keyset_page_sql() -> str:
+    from .queries import PAGE_OFFSET, PAGE_SIZE
+
+    return f"""
+WITH r AS (
+    SELECT o_orderkey,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+    FROM orders
+),
+ranked AS (
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY price_cents DESC, o_orderkey ASC)
+                AS BIGINT) AS pos,
+           o_orderkey, price_cents
+    FROM r
+)
+SELECT pos, o_orderkey, price_cents FROM ranked
+WHERE pos > {PAGE_OFFSET} AND pos <= {PAGE_OFFSET + PAGE_SIZE}
+ORDER BY pos
+"""
+
+
+def fk_integrity_audit_sql() -> str:
+    """One NOT IN anti-probe per FK relation (keys are non-null PKs);
+    relation labels sorted to match the engine's FK_RELATIONS order."""
+    from .queries import FK_RELATIONS
+
+    parts = []
+    for label, child_t, child_k, parent_t, parent_k in FK_RELATIONS:
+        parts.append(
+            f"""
+SELECT '{label}' AS relation, CAST(COUNT(*) AS BIGINT) AS child_rows,
+       CAST(SUM(CASE WHEN {child_k} NOT IN (SELECT {parent_k} FROM {parent_t})
+                     THEN 1 ELSE 0 END) AS BIGINT) AS orphan_rows
+FROM {child_t}"""
+        )
+    body = "\nUNION ALL\n".join(parts)
+    return f"SELECT * FROM (\n{body}\n) ORDER BY relation"

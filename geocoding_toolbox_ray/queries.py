@@ -5398,3 +5398,309 @@ def orders_trend_by_priority(sf_dir: str):
             "slope_den": n * agg["sxx"].to_numpy(np.int64) - sx * sx,
         }
     ).sort_values("o_orderpriority").reset_index(drop=True)
+
+
+# --------------------------- multi-dim join / bbox / melt / pagination
+
+def q5_nation_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H-Q5-shaped multi-way join: lineitem x orders x customer x
+    supplier x nation with the local-supplier constraint
+    (c_nationkey = s_nationkey), discounted revenue in integer cents.
+
+    Join plan (the 100 TB shape): the FACT (lineitem) streams; orders
+    joins via the generic hash_join operator (broadcast side picked by
+    row count); the customer/supplier -> nation lookups are sorted-array
+    broadcasts built remotely from block refs (driver never holds them);
+    revenue pre-aggregates per batch so the final Ray groupby sees only
+    ~25 nation groups."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .stages.dedup import _sorted_kv_task
+    from .stages.join import hash_join
+
+    li = _read(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
+    )
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]).map_batches(
+        lambda t: t.rename_columns(["l_orderkey", "o_custkey"]), batch_format="pyarrow"
+    )
+    joined = hash_join(
+        li, orders, "l_orderkey", ["o_custkey"], right_rows=_nrows(sf_dir, "orders")
+    )
+
+    def _nat_lookup(table: str, key: str, val: str):
+        ds = _read(sf_dir, table, columns=[key, val]).map_batches(
+            lambda t, k=key, v=val: pa.table(
+                {
+                    "k": pa.array(np.asarray(t[k].to_numpy(zero_copy_only=False), np.int64)),
+                    "v": pa.array(np.asarray(t[v].to_numpy(zero_copy_only=False), np.int64)),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        refs = [br for b in ds.iter_internal_ref_bundles() for br in b.block_refs]
+        return _sorted_kv_task.remote(refs, "k", "v")
+
+    cust_ref = _nat_lookup("customer", "c_custkey", "c_nationkey")
+    supp_ref = _nat_lookup("supplier", "s_suppkey", "s_nationkey")
+
+    def _partial(t: pa.Table) -> pa.Table:
+        ck, cn = ray.get(cust_ref)  # zero-copy sorted (keys, vals)
+        sk, sn = ray.get(supp_ref)
+        cust = np.asarray(t["o_custkey"].to_numpy(zero_copy_only=False), np.int64)
+        supp = np.asarray(t["l_suppkey"].to_numpy(zero_copy_only=False), np.int64)
+        c_nat = cn[np.searchsorted(ck, cust)]
+        s_nat = sn[np.searchsorted(sk, supp)]
+        keep = c_nat == s_nat
+        price = np.asarray(t["l_extendedprice"].to_numpy(zero_copy_only=False), np.float64)[keep]
+        disc = np.asarray(t["l_discount"].to_numpy(zero_copy_only=False), np.float64)[keep]
+        cents = np.floor(price * (1.0 - disc) * 100.0 + 0.5).astype(np.int64)
+        nat = c_nat[keep]
+        uniq, inv = np.unique(nat, return_inverse=True)
+        return pa.table(
+            {
+                "n_nationkey": pa.array(uniq, pa.int64()),
+                "part_n": pa.array(np.bincount(inv).astype(np.int64)),
+                "part_cents": pa.array(np.bincount(inv, weights=cents.astype(np.float64)).astype(np.int64)),
+            }
+        )
+
+    agg = (
+        joined.map_batches(_partial, batch_format="pyarrow")
+        .groupby("n_nationkey")
+        .aggregate(Sum("part_n", alias_name="n"), Sum("part_cents", alias_name="revenue_cents"))
+        .to_pandas()
+    )
+    import pyarrow.parquet as pq
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]).to_pandas()
+    nat["n_nationkey"] = nat["n_nationkey"].astype(np.int64)
+    out = agg.merge(nat, on="n_nationkey")[["n_name", "n", "revenue_cents"]]
+    out["n"] = out["n"].astype(np.int64)
+    out["revenue_cents"] = out["revenue_cents"].astype(np.int64)
+    return out.sort_values("n_name").reset_index(drop=True)
+
+
+#: customer lattice point multipliers (mirrors the lineitem lattice in
+#: pipelines/spatial.py derive_uniform_points; 125 m pitch, 4096 cells)
+BBOX_MULT_X = 131
+BBOX_MULT_Y = 241
+
+
+def customer_nation_bbox(sf_dir: str) -> pd.DataFrame:
+    """Spatial extent aggregate (the ST_Extent analog): per-nation
+    bounding box + point count over customer-derived lattice points.
+    Per-batch partial min/max/count per nation (pandas groupby inside the
+    batch), then a bounded Ray groupby (~25 nations) merges partials;
+    the affine lattice->meters projection is applied once at the end, so
+    everything that aggregates is exact int64."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    from .functions.cells import X0, Y0
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+
+    def _partial(t: pa.Table) -> pd.DataFrame:
+        ck = np.asarray(t["c_custkey"].to_numpy(zero_copy_only=False), np.int64)
+        nk = np.asarray(t["c_nationkey"].to_numpy(zero_copy_only=False), np.int64)
+        ix = (ck * BBOX_MULT_X) % 4096
+        iy = (ck * BBOX_MULT_Y) % 4096
+        df = pd.DataFrame({"n_nationkey": nk, "ix": ix, "iy": iy})
+        out = (
+            df.groupby("n_nationkey", sort=False)
+            .agg(
+                part_n=("ix", "size"),
+                min_ix=("ix", "min"),
+                max_ix=("ix", "max"),
+                min_iy=("iy", "min"),
+                max_iy=("iy", "max"),
+            )
+            .reset_index()
+        )
+        return out.astype({c: np.int64 for c in out.columns})
+
+    agg = (
+        cust.map_batches(_partial, batch_format="pyarrow")
+        .groupby("n_nationkey")
+        .aggregate(
+            Sum("part_n", alias_name="n_points"),
+            Min("min_ix", alias_name="min_ix"),
+            Max("max_ix", alias_name="max_ix"),
+            Min("min_iy", alias_name="min_iy"),
+            Max("max_iy", alias_name="max_iy"),
+        )
+        .to_pandas()
+    )
+    import pyarrow.parquet as pq
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]).to_pandas()
+    nat["n_nationkey"] = nat["n_nationkey"].astype(np.int64)
+    out = agg.merge(nat, on="n_nationkey")
+    out["n_points"] = out["n_points"].astype(np.int64)
+    for src, dst, origin in (
+        ("min_ix", "min_x", X0),
+        ("max_ix", "max_x", X0),
+        ("min_iy", "min_y", Y0),
+        ("max_iy", "max_y", Y0),
+    ):
+        out[dst] = origin + out[src].to_numpy(np.int64).astype(np.float64) * 125.0
+    cols = ["n_nationkey", "n_name", "n_points", "min_x", "max_x", "min_y", "max_y"]
+    return out[cols].sort_values("n_nationkey").reset_index(drop=True)
+
+
+def events_melt(sf_dir: str):
+    """UNPIVOT / melt: the wide per-user event-count crosstab
+    (user_event_pivot) flattened back to long (user_id, event_type, n)
+    rows, zero-count cells dropped.  The melt itself is one
+    np.repeat/tile pass per batch — wide->long as a streaming batch
+    transform, no shuffle beyond the pivot's own."""
+    wide = user_event_pivot(sf_dir)
+    types = list(PIVOT_EVENT_TYPES)
+    cols = [f"n_{t}" for t in types]
+
+    def _melt(df: pd.DataFrame) -> pd.DataFrame:
+        uid = df["user_id"].to_numpy(np.int64)
+        m = df[cols].to_numpy(np.int64)  # rows x types
+        k = len(types)
+        user_rep = np.repeat(uid, k)
+        type_tile = np.tile(np.asarray(types, object), len(df))
+        n = m.reshape(-1)
+        keep = n > 0
+        return pd.DataFrame(
+            {"user_id": user_rep[keep], "event_type": type_tile[keep], "n": n[keep]}
+        )
+
+    return wide.map_batches(_melt, batch_format="pandas")
+
+
+PAGE_SIZE = 100
+PAGE_OFFSET = 300
+
+
+def orders_keyset_page(sf_dir: str) -> pd.DataFrame:
+    """Keyset pagination without a global sort: page rows
+    [PAGE_OFFSET+1, PAGE_OFFSET+PAGE_SIZE] in (price_cents DESC,
+    o_orderkey ASC) order.  A bounded value-histogram reduce (distinct
+    prices, never rows — the orders_price_rank shape) finds the price
+    threshold covering the page; only rows at-or-above the threshold
+    (<= offset + page + one tie-group) ever leave the cluster, then the
+    tiny candidate set sorts locally.  OFFSET-style full sorts are the
+    anti-pattern this replaces at 100 TB; depth stays bounded by the
+    requested page, not the table."""
+    import ray
+
+    from .stages.dedup import _sorted_kv_task
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def _cents(t: pa.Table) -> np.ndarray:
+        return np.floor(
+            np.asarray(t["o_totalprice"].to_numpy(zero_copy_only=False), np.float64) * 100.0
+            + 0.5
+        ).astype(np.int64)
+
+    def _partial(t: pa.Table) -> pa.Table:
+        c = _cents(t)
+        ub, inv = np.unique(c, return_inverse=True)
+        return pa.table(
+            {
+                "bucket": pa.array(((ub * 2654435761) % 4294967296) % SESSION_BUCKETS),
+                "cents": pa.array(ub),
+                "part_n": pa.array(np.bincount(inv).astype(np.int64)),
+            }
+        )
+
+    def _reduce(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("cents", sort=False)["part_n"].sum()
+        return pd.DataFrame({"cents": s.index.to_numpy(np.int64), "n": s.to_numpy(np.int64)})
+
+    hist = (
+        orders.map_batches(_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_reduce, batch_format="pandas")
+    )
+    refs = [br for b in hist.iter_internal_ref_bundles() for br in b.block_refs]
+    vals, counts = ray.get(_sorted_kv_task.remote(refs, "cents", "n"))
+    # descending cumulative: smallest price threshold whose at-or-above
+    # row count covers the page end
+    desc_cum = np.cumsum(counts[::-1])
+    need = PAGE_OFFSET + PAGE_SIZE
+    idx = int(np.searchsorted(desc_cum, need, side="left"))
+    idx = min(idx, len(vals) - 1)
+    threshold = int(vals[::-1][idx])
+
+    cand = orders.map_batches(
+        lambda t: pa.table(
+            {"o_orderkey": t["o_orderkey"], "price_cents": pa.array(_cents(t))}
+        ),
+        batch_format="pyarrow",
+    ).filter(expr=f"price_cents >= {threshold}")
+    df = cand.to_pandas()
+    df = df.sort_values(
+        ["price_cents", "o_orderkey"], ascending=[False, True], kind="mergesort"
+    ).reset_index(drop=True)
+    page = df.iloc[PAGE_OFFSET : PAGE_OFFSET + PAGE_SIZE].reset_index(drop=True)
+    page.insert(0, "pos", np.arange(PAGE_OFFSET + 1, PAGE_OFFSET + 1 + len(page), dtype=np.int64))
+    page["o_orderkey"] = page["o_orderkey"].astype(np.int64)
+    return page
+
+
+#: (relation label, child table, child key col, parent table, parent key col)
+FK_RELATIONS = (
+    ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("nation->region", "nation", "n_regionkey", "region", "r_regionkey"),
+    ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+)
+
+
+def fk_integrity_audit(sf_dir: str) -> pd.DataFrame:
+    """Cross-table referential-integrity audit: one row per FK relation
+    with total child rows and orphan (unmatched) rows.  Each parent key
+    set becomes a sorted-array broadcast built remotely from block refs
+    (never a Python set, never through the driver); children stream with
+    a searchsorted membership probe and only two int64 partial counters
+    per batch reach the aggregate.  At 100 TB the fact->fact relation
+    (lineitem->orders) would swap the broadcast for the Bloom anti-join
+    (stages/bloom.py) — same output contract."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .stages.dedup import _remote_sorted_column
+
+    rows = []
+    for label, child_t, child_k, parent_t, parent_k in FK_RELATIONS:
+        parents = _read(sf_dir, parent_t, columns=[parent_k]).map_batches(
+            lambda t, k=parent_k: pa.table(
+                {"pk": pa.array(np.asarray(t[k].to_numpy(zero_copy_only=False), np.int64))}
+            ),
+            batch_format="pyarrow",
+        )
+        pref = _remote_sorted_column(parents, "pk")
+
+        def _probe(t: pa.Table, k=child_k, ref=pref) -> pa.Table:
+            arr = ray.get(ref)
+            v = np.asarray(t[k].to_numpy(zero_copy_only=False), np.int64)
+            return pa.table(
+                {
+                    "part_rows": pa.array([len(v)], pa.int64()),
+                    "part_orphans": pa.array(
+                        [int(len(v) - _sorted_member(arr, v).sum())], pa.int64()
+                    ),
+                }
+            )
+
+        agg = (
+            _read(sf_dir, child_t, columns=[child_k])
+            .map_batches(_probe, batch_format="pyarrow")
+            .aggregate(Sum("part_rows", alias_name="r"), Sum("part_orphans", alias_name="o"))
+        )
+        rows.append((label, int(agg["r"]), int(agg["o"])))
+
+    return pd.DataFrame(rows, columns=["relation", "child_rows", "orphan_rows"]).astype(
+        {"child_rows": np.int64, "orphan_rows": np.int64}
+    )

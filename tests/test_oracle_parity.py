@@ -613,3 +613,19 @@ def test_orders_trend_by_priority_parity(ray_session, con):
         oracle.orders_trend_by_priority_sql(),
         con,
     )
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q5_nation_revenue",
+        "customer_nation_bbox",
+        "events_melt",
+        "orders_keyset_page",
+        "fk_integrity_audit",
+    ],
+)
+def test_wave5_additions_parity(name, ray_session, con):
+    import __ray_entry__ as entrymod
+
+    compare(entrymod.queries()[name](SF_DIR), entrymod.oracle_sql()[name], con)
