@@ -269,6 +269,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_keyset_page": q.orders_keyset_page,
         # cross-table FK referential-integrity audit (sorted-array probes)
         "fk_integrity_audit": q.fk_integrity_audit,
+        # exact grouped WEIGHTED median via bounded value histograms
+        "lineitem_weighted_median": q.lineitem_weighted_median,
+        # shuffle-planning skew diagnostic (rows / distinct / max group)
+        "key_skew_report": q.key_skew_report,
+        # spatio-temporal rollup: distinct orders per (8 km cell, week)
+        "cell_week_distinct_orders": q.cell_week_distinct_orders,
         # --- near-dup ops (exact SQL replicas incl. hash families).
         #     NOTE: every oracle-backed name MUST precede every rows-only
         #     entry — the driver checks registry order (round-2 verdict:
@@ -455,4 +461,7 @@ def oracle_sql() -> dict[str, str]:
         "events_melt": oracle.events_melt_sql(),
         "orders_keyset_page": oracle.orders_keyset_page_sql(),
         "fk_integrity_audit": oracle.fk_integrity_audit_sql(),
+        "lineitem_weighted_median": oracle.lineitem_weighted_median_sql(),
+        "key_skew_report": oracle.key_skew_report_sql(),
+        "cell_week_distinct_orders": oracle.cell_week_distinct_orders_sql(),
     }

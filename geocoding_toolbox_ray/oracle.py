@@ -2836,3 +2836,62 @@ FROM {child_t}"""
         )
     body = "\nUNION ALL\n".join(parts)
     return f"SELECT * FROM (\n{body}\n) ORDER BY relation"
+
+
+def lineitem_weighted_median_sql() -> str:
+    """Weighted-median replica: same ceil-rank rule (first cents whose
+    cumulative quantity weight reaches ceil(W/2))."""
+    return """
+WITH g AS (
+    SELECT l_returnflag AS flag,
+           CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+           CAST(SUM(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS w
+    FROM lineitem GROUP BY 1, 2
+),
+c AS (
+    SELECT flag, cents,
+           SUM(w) OVER (PARTITION BY flag ORDER BY cents) AS cum,
+           SUM(w) OVER (PARTITION BY flag) AS tot
+    FROM g
+)
+SELECT flag AS l_returnflag, CAST(MIN(cents) AS BIGINT) AS wmedian_cents
+FROM c WHERE cum >= (tot + 1) // 2
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def key_skew_report_sql() -> str:
+    from .queries import SKEW_KEYS
+
+    parts = []
+    for label, table, col in SKEW_KEYS:
+        parts.append(
+            f"""
+SELECT '{label}' AS key, CAST(SUM(n) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       CAST(MAX(n) AS BIGINT) AS max_group_n
+FROM (SELECT COUNT(*) AS n FROM {table} GROUP BY {col})"""
+        )
+    body = "\nUNION ALL\n".join(parts)
+    return f"SELECT * FROM (\n{body}\n) ORDER BY key"
+
+
+def cell_week_distinct_orders_sql() -> str:
+    from .functions.cells import cell_encode_sql
+    from .queries import CELLWEEK_DAY_OFFSET, CELLWEEK_RES
+
+    cell = cell_encode_sql("qx", "qy", CELLWEEK_RES)
+    off = CELLWEEK_DAY_OFFSET
+    return f"""
+WITH qpts AS (
+    SELECT l_orderkey,
+           ({X0!r} + CAST((l_orderkey * 131 + l_linenumber * 17) % 4096 AS DOUBLE) * 125.0) AS qx,
+           ({Y0!r} + CAST((l_orderkey * 241 + l_partkey * 13) % 4096 AS DOUBLE) * 125.0) AS qy,
+           (CAST(date_diff('day', DATE '2024-01-01',
+                           date_trunc('day', l_shipdate)) AS BIGINT) + {off}) // 7
+               - {off // 7} AS week
+    FROM lineitem
+)
+SELECT {cell} AS cell, week, CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+FROM qpts GROUP BY 1, 2 ORDER BY 1, 2
+"""

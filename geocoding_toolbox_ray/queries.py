@@ -5704,3 +5704,168 @@ def fk_integrity_audit(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["relation", "child_rows", "orphan_rows"]).astype(
         {"child_rows": np.int64, "orphan_rows": np.int64}
     )
+
+
+# ---------------- weighted median / skew diagnostics / cell-week rollup
+
+def lineitem_weighted_median(sf_dir: str):
+    """Grouped WEIGHTED median (price cents weighted by quantity units),
+    exact: per-batch partial (flag, cents) weight histograms shrink the
+    shuffle to distinct values; the final groupby has exactly as many
+    groups as return flags (bounded), and each group resolves its median
+    with one vectorized cumsum scan — the shared ceil-rank rule
+    (first value whose cumulative weight reaches ceil(W/2))."""
+    li = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def _partial(t: pa.Table) -> pd.DataFrame:
+        cents = np.floor(
+            np.asarray(t["l_extendedprice"].to_numpy(zero_copy_only=False), np.float64) * 100.0
+            + 0.5
+        ).astype(np.int64)
+        qty = np.floor(
+            np.asarray(t["l_quantity"].to_numpy(zero_copy_only=False), np.float64) + 0.5
+        ).astype(np.int64)
+        df = pd.DataFrame({"flag": t["l_returnflag"].to_pandas(), "cents": cents, "w": qty})
+        out = df.groupby(["flag", "cents"], sort=False)["w"].sum().reset_index()
+        out["cents"] = out["cents"].astype(np.int64)
+        out["w"] = out["w"].astype(np.int64)
+        return out
+
+    def _median(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("cents", sort=True)["w"].sum()
+        w = s.to_numpy(np.int64)
+        cum = np.cumsum(w)
+        need = (cum[-1] + 1) // 2
+        v = int(s.index.to_numpy(np.int64)[int(np.searchsorted(cum, need))])
+        return pd.DataFrame(
+            {"l_returnflag": [g["flag"].iloc[0]], "wmedian_cents": np.asarray([v], np.int64)}
+        )
+
+    return (
+        li.map_batches(_partial, batch_format="pyarrow")
+        .groupby("flag")
+        .map_groups(_median, batch_format="pandas")
+    )
+
+
+#: (label, table, int64 key column) probed by key_skew_report
+SKEW_KEYS = (
+    ("events.user_id", "events", "user_id"),
+    ("lineitem.l_orderkey", "lineitem", "l_orderkey"),
+    ("lineitem.l_partkey", "lineitem", "l_partkey"),
+    ("lineitem.l_suppkey", "lineitem", "l_suppkey"),
+    ("orders.o_custkey", "orders", "o_custkey"),
+)
+
+
+def key_skew_report(sf_dir: str) -> pd.DataFrame:
+    """Shuffle-planning diagnostic: per candidate partition key, total
+    rows, distinct keys, and the largest single-key group — the three
+    numbers that decide broadcast vs shuffle vs salt.  Per-batch partial
+    counts ride a coarse hash-bucket shuffle (each key wholly owned by
+    one bucket), buckets reduce vectorized and emit 3 scalars each, so
+    the driver sees O(buckets) rows per key regardless of scale."""
+    from ray.data.aggregate import Max, Sum
+
+    rows = []
+    for label, table, col in SKEW_KEYS:
+        ds = _read(sf_dir, table, columns=[col])
+
+        def _partial(t: pa.Table, c=col) -> pa.Table:
+            v = np.asarray(t[c].to_numpy(zero_copy_only=False), np.int64)
+            u, counts = np.unique(v, return_counts=True)
+            return pa.table(
+                {
+                    "bucket": pa.array(((u * 2654435761) % 4294967296) % SESSION_BUCKETS),
+                    "key": pa.array(u),
+                    "part_n": pa.array(counts.astype(np.int64)),
+                }
+            )
+
+        def _reduce(g: pd.DataFrame) -> pd.DataFrame:
+            s = g.groupby("key", sort=False)["part_n"].sum().to_numpy(np.int64)
+            return pd.DataFrame(
+                {
+                    "rows_b": np.asarray([int(s.sum())], np.int64),
+                    "distinct_b": np.asarray([len(s)], np.int64),
+                    "max_b": np.asarray([int(s.max())], np.int64),
+                }
+            )
+
+        agg = (
+            ds.map_batches(_partial, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(_reduce, batch_format="pandas")
+            .aggregate(
+                Sum("rows_b", alias_name="n_rows"),
+                Sum("distinct_b", alias_name="n_distinct"),
+                Max("max_b", alias_name="max_group_n"),
+            )
+        )
+        rows.append((label, int(agg["n_rows"]), int(agg["n_distinct"]), int(agg["max_group_n"])))
+
+    return pd.DataFrame(
+        rows, columns=["key", "n_rows", "n_distinct", "max_group_n"]
+    ).astype({"n_rows": np.int64, "n_distinct": np.int64, "max_group_n": np.int64})
+
+
+#: cell resolution for the spatio-temporal rollup (res 6 = 8 km cells)
+CELLWEEK_RES = 6
+#: week epoch offset keeps the day index positive (floor == trunc division)
+CELLWEEK_DAY_OFFSET = 70_000
+
+
+def cell_week_distinct_orders(sf_dir: str):
+    """Spatio-temporal rollup: DISTINCT orders per (8 km cell, ship
+    week).  Distinctness is resolved inside coarse hash buckets keyed on
+    the composite (cell, week) — order keys ride the shuffle exactly
+    once (deduped per batch first), never through the driver; the week
+    index is pure integer arithmetic so the oracle replicates it
+    bit-for-bit."""
+    import pyarrow.compute as pc
+
+    from .functions.cells import cell_encode
+
+    li = _read(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_partkey", "l_shipdate"]
+    )
+
+    def _partial(t: pa.Table) -> pd.DataFrame:
+        from .pipelines.spatial import derive_uniform_points
+
+        pts = derive_uniform_points(t)
+        cell = cell_encode(
+            np.asarray(pts["qx"].to_numpy(), np.float64),
+            np.asarray(pts["qy"].to_numpy(), np.float64),
+            CELLWEEK_RES,
+        )
+        day = pc.cast(
+            pc.days_between(
+                pa.scalar(pd.Timestamp("2024-01-01"), pa.timestamp("us")),
+                pc.floor_temporal(t["l_shipdate"], unit="day"),
+            ),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        week = (np.asarray(day, np.int64) + CELLWEEK_DAY_OFFSET) // 7 - CELLWEEK_DAY_OFFSET // 7
+        ok = np.asarray(t["l_orderkey"].to_numpy(zero_copy_only=False), np.int64)
+        df = pd.DataFrame({"cell": cell, "week": week, "ok": ok}).drop_duplicates()
+        key = df["cell"].to_numpy(np.int64) * 100_000 + df["week"].to_numpy(np.int64)
+        df["bucket"] = ((key * 2654435761) % 4294967296) % SESSION_BUCKETS
+        return df
+
+    def _distinct(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.drop_duplicates(["cell", "week", "ok"]).groupby(["cell", "week"], sort=False).size()
+        idx = s.index.to_frame(index=False)
+        return pd.DataFrame(
+            {
+                "cell": idx["cell"].to_numpy(np.int64),
+                "week": idx["week"].to_numpy(np.int64),
+                "n_orders": s.to_numpy(np.int64),
+            }
+        )
+
+    return (
+        li.map_batches(_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_distinct, batch_format="pandas")
+    )

@@ -629,3 +629,17 @@ def test_wave5_additions_parity(name, ray_session, con):
     import __ray_entry__ as entrymod
 
     compare(entrymod.queries()[name](SF_DIR), entrymod.oracle_sql()[name], con)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "lineitem_weighted_median",
+        "key_skew_report",
+        "cell_week_distinct_orders",
+    ],
+)
+def test_wave6_additions_parity(name, ray_session, con):
+    import __ray_entry__ as entrymod
+
+    compare(entrymod.queries()[name](SF_DIR), entrymod.oracle_sql()[name], con)
