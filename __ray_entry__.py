@@ -304,6 +304,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_recall": q.ann_recall,
         "embedding_dup_pairs": q.embedding_dup_pairs,
         "approx_distinct_users": q.approx_distinct_users,
+        # BPE tokenizer training (iterative greedy argmax — no SQL twin;
+        # pinned in pytest vs an independent naive reference)
+        "bpe_learn_merges": q.bpe_learn_merges,
     }
 
 

@@ -5869,3 +5869,16 @@ def cell_week_distinct_orders(sf_dir: str):
         .groupby("bucket")
         .map_groups(_distinct, batch_format="pandas")
     )
+
+
+def bpe_learn_merges(sf_dir: str, n_merges: int = 10) -> pd.DataFrame:
+    """Distributed BPE tokenizer training: the corpus collapses to a
+    (word, count) histogram via one bucketed reduce — the only pass that
+    touches the data — then the greedy merge loop runs vectorized over
+    the bounded vocab (stages/tokenizer.py).  Rows-only at the driver
+    (iterative argmax has no tractable SQL twin); pinned in pytest
+    against an independent naive reference implementation."""
+    from .stages.tokenizer import bpe_learn_merges as _train
+
+    docs = _read(sf_dir, "documents", columns=["text"])
+    return _train(docs, n_merges=n_merges)
