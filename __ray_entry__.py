@@ -275,6 +275,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "key_skew_report": q.key_skew_report,
         # spatio-temporal rollup: distinct orders per (8 km cell, week)
         "cell_week_distinct_orders": q.cell_week_distinct_orders,
+        # focal 3x3 map-algebra sum over the sparse heat raster
+        "raster_focal_sum": q.raster_focal_sum,
+        # arg-max full row per key (latest order per customer)
+        "customer_latest_order": q.customer_latest_order,
+        # set intersection: customers active in both date halves
+        "repeat_customers_intersect": q.repeat_customers_intersect,
         # --- near-dup ops (exact SQL replicas incl. hash families).
         #     NOTE: every oracle-backed name MUST precede every rows-only
         #     entry — the driver checks registry order (round-2 verdict:
@@ -467,4 +473,7 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_weighted_median": oracle.lineitem_weighted_median_sql(),
         "key_skew_report": oracle.key_skew_report_sql(),
         "cell_week_distinct_orders": oracle.cell_week_distinct_orders_sql(),
+        "raster_focal_sum": oracle.raster_focal_sum_sql(),
+        "customer_latest_order": oracle.customer_latest_order_sql(),
+        "repeat_customers_intersect": oracle.repeat_customers_intersect_sql(),
     }

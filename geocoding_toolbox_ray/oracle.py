@@ -2895,3 +2895,50 @@ WITH qpts AS (
 SELECT {cell} AS cell, week, CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
 FROM qpts GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+def raster_focal_sum_sql() -> str:
+    """Focal 3x3 replica: raster rows replicate via a 9-row offsets cross
+    join, equi-join back to occupied pixels (same sparse discipline as
+    the engine — no dense grid anywhere)."""
+    from .stages.raster import TILE_PX, global_pixel_sql
+
+    gx, gy = global_pixel_sql("qx", "qy")
+    return f"""
+WITH qpts AS ({_uniform_points_select()}),
+gp AS (SELECT {gx} AS gx, {gy} AS gy FROM qpts),
+r AS (SELECT gx, gy, CAST(COUNT(*) AS BIGINT) AS n FROM gp GROUP BY 1, 2),
+offs AS (
+    SELECT dx.v AS dx, dy.v AS dy
+    FROM (VALUES (-1), (0), (1)) dx(v), (VALUES (-1), (0), (1)) dy(v)
+),
+contrib AS (SELECT gx + dx AS tx, gy + dy AS ty, n FROM r, offs)
+SELECT a.gx, a.gy, a.n, CAST(SUM(c.n) AS BIGINT) AS focal_n
+FROM r a JOIN contrib c ON c.tx = a.gx AND c.ty = a.gy
+GROUP BY 1, 2, 3
+"""
+
+
+def customer_latest_order_sql() -> str:
+    return """
+SELECT o_custkey, o_orderkey, o_orderdate, o_orderstatus,
+       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC
+    ) AS rn
+    FROM orders
+) WHERE rn = 1
+ORDER BY o_custkey
+"""
+
+
+def repeat_customers_intersect_sql() -> str:
+    from .queries import INTERSECT_CUTOFF
+
+    return f"""
+SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '{INTERSECT_CUTOFF}'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '{INTERSECT_CUTOFF}'
+ORDER BY o_custkey
+"""

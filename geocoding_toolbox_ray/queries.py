@@ -5882,3 +5882,143 @@ def bpe_learn_merges(sf_dir: str, n_merges: int = 10) -> pd.DataFrame:
 
     docs = _read(sf_dir, "documents", columns=["text"])
     return _train(docs, n_merges=n_merges)
+
+
+# --------------------- focal raster stats / arg-max row / set intersect
+
+def raster_focal_sum(sf_dir: str):
+    """Focal statistics (map algebra): 3x3 neighborhood sum at every
+    occupied pixel of the sparse heat raster.  The sparse raster rows
+    replicate 9x toward their neighbor targets (np.repeat, one pass) and
+    ride ONE bucketed shuffle keyed on the target pixel together with
+    'occupied' marker rows from the raster itself; inside a bucket the
+    contribution sums inner-merge with the markers, so empty pixels never
+    materialize anywhere — the dense-raster trap at z12 is 10^9 cells."""
+    from .stages.raster import rasterize_sparse
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_partkey"])
+
+    def _pts(t: pa.Table) -> pa.Table:
+        from .pipelines.spatial import derive_uniform_points
+
+        return derive_uniform_points(t)
+
+    raster = rasterize_sparse(li.map_batches(_pts, batch_format="pyarrow"))
+    # raster rows: tile_x, tile_y, px_x, px_y, n -> global pixel
+    from .stages.raster import TILE_PX
+
+    def _tag(t: pa.Table) -> pd.DataFrame:
+        gx = (
+            np.asarray(t["tile_x"].to_numpy(zero_copy_only=False), np.int64) * TILE_PX
+            + np.asarray(t["px_x"].to_numpy(zero_copy_only=False), np.int64)
+        )
+        gy = (
+            np.asarray(t["tile_y"].to_numpy(zero_copy_only=False), np.int64) * TILE_PX
+            + np.asarray(t["px_y"].to_numpy(zero_copy_only=False), np.int64)
+        )
+        n = np.asarray(t["n"].to_numpy(zero_copy_only=False), np.int64)
+        k = len(gx)
+        # 9 contribution rows per cell (kind=0) + 1 occupied marker (kind=1)
+        offs = np.array([(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 0), (0, 1), (1, -1), (1, 0), (1, 1)], np.int64)
+        tgx = np.repeat(gx, 9) + np.tile(offs[:, 0], k)
+        tgy = np.repeat(gy, 9) + np.tile(offs[:, 1], k)
+        out = pd.DataFrame(
+            {
+                "gx": np.concatenate([tgx, gx]),
+                "gy": np.concatenate([tgy, gy]),
+                "w": np.concatenate([np.repeat(n, 9), n]),
+                "kind": np.concatenate([np.zeros(9 * k, np.int64), np.ones(k, np.int64)]),
+            }
+        )
+        key = out["gx"].to_numpy(np.int64) * 8_388_608 + out["gy"].to_numpy(np.int64)
+        out["bucket"] = ((key * 2654435761) % 4294967296) % SESSION_BUCKETS
+        return out
+
+    def _focal(g: pd.DataFrame) -> pd.DataFrame:
+        contrib = (
+            g.loc[g["kind"] == 0].groupby(["gx", "gy"], sort=False)["w"].sum().reset_index()
+        )
+        occ = g.loc[g["kind"] == 1, ["gx", "gy", "w"]].rename(columns={"w": "n"})
+        m = occ.merge(contrib, on=["gx", "gy"], how="inner")
+        return pd.DataFrame(
+            {
+                "gx": m["gx"].to_numpy(np.int64),
+                "gy": m["gy"].to_numpy(np.int64),
+                "n": m["n"].to_numpy(np.int64),
+                "focal_n": m["w"].to_numpy(np.int64),
+            }
+        )
+
+    return (
+        raster.map_batches(_tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_focal, batch_format="pandas")
+    )
+
+
+def customer_latest_order(sf_dir: str):
+    """Arg-max row per key (the 'latest record' op): each customer's most
+    recent order as a FULL row (max o_orderdate, tie-break max
+    o_orderkey).  Per-batch argmax partials shrink the shuffle to one
+    candidate row per (customer, batch); buckets re-argmax vectorized
+    (lexsort + keep-last) — never a per-key loop, never a global sort."""
+    orders = _read(
+        sf_dir,
+        "orders",
+        columns=["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "o_orderstatus"],
+    )
+
+    def _argmax(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["o_custkey", "o_orderdate", "o_orderkey"], kind="mergesort")
+        out = df.drop_duplicates("o_custkey", keep="last").copy()
+        out["price_cents"] = np.floor(
+            out["o_totalprice"].to_numpy(np.float64) * 100.0 + 0.5
+        ).astype(np.int64)
+        out = out.drop(columns=["o_totalprice"])
+        out["bucket"] = (
+            (out["o_custkey"].to_numpy(np.int64) * 2654435761) % 4294967296
+        ) % SESSION_BUCKETS
+        return out
+
+    def _reduce(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_custkey", "o_orderdate", "o_orderkey"], kind="mergesort")
+        out = g.drop_duplicates("o_custkey", keep="last").drop(columns=["bucket"])
+        return out.reset_index(drop=True)
+
+    return (
+        orders.map_batches(_argmax, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(_reduce, batch_format="pandas")
+    )
+
+
+INTERSECT_CUTOFF = "1998-06-01"
+
+
+def repeat_customers_intersect(sf_dir: str):
+    """Set intersection as an operator: customers with orders in BOTH
+    halves of the date range (before/after INTERSECT_CUTOFF).  One pass:
+    per-batch (custkey, has_before, has_after) OR-partials, bucketed
+    max-reduce, filter both flags — the two-sided EXISTS without running
+    the table twice."""
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+    cutoff = pd.Timestamp(INTERSECT_CUTOFF)
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        before = (df["o_orderdate"] < cutoff).to_numpy()
+        g = pd.DataFrame(
+            {"o_custkey": df["o_custkey"].to_numpy(np.int64), "b": before, "a": ~before}
+        ).groupby("o_custkey", sort=False)[["b", "a"]].max().reset_index()
+        g["bucket"] = ((g["o_custkey"].to_numpy(np.int64) * 2654435761) % 4294967296) % SESSION_BUCKETS
+        return g
+
+    def _reduce(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("o_custkey", sort=False)[["b", "a"]].max()
+        keep = m.index.to_numpy(np.int64)[(m["b"] & m["a"]).to_numpy()]
+        return pd.DataFrame({"o_custkey": np.sort(keep)})
+
+    return (
+        orders.map_batches(_partial, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(_reduce, batch_format="pandas")
+    )

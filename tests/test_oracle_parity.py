@@ -643,3 +643,17 @@ def test_wave6_additions_parity(name, ray_session, con):
     import __ray_entry__ as entrymod
 
     compare(entrymod.queries()[name](SF_DIR), entrymod.oracle_sql()[name], con)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "raster_focal_sum",
+        "customer_latest_order",
+        "repeat_customers_intersect",
+    ],
+)
+def test_wave7_additions_parity(name, ray_session, con):
+    import __ray_entry__ as entrymod
+
+    compare(entrymod.queries()[name](SF_DIR), entrymod.oracle_sql()[name], con)
