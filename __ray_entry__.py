@@ -281,6 +281,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_latest_order": q.customer_latest_order,
         # set intersection: customers active in both date halves
         "repeat_customers_intersect": q.repeat_customers_intersect,
+        # rolling 7-day distinct (WAU) via bounded window replication
+        "rolling_active_users": q.rolling_active_users,
+        # origin-destination trip matrix between res-5 cells
+        "order_od_matrix": q.order_od_matrix,
         # --- near-dup ops (exact SQL replicas incl. hash families).
         #     NOTE: every oracle-backed name MUST precede every rows-only
         #     entry — the driver checks registry order (round-2 verdict:
@@ -476,4 +480,6 @@ def oracle_sql() -> dict[str, str]:
         "raster_focal_sum": oracle.raster_focal_sum_sql(),
         "customer_latest_order": oracle.customer_latest_order_sql(),
         "repeat_customers_intersect": oracle.repeat_customers_intersect_sql(),
+        "rolling_active_users": oracle.rolling_active_users_sql(),
+        "order_od_matrix": oracle.order_od_matrix_sql(),
     }

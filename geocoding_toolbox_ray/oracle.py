@@ -2942,3 +2942,54 @@ INTERSECT
 SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '{INTERSECT_CUTOFF}'
 ORDER BY o_custkey
 """
+
+
+def rolling_active_users_sql() -> str:
+    """WAU replica: day grid over the observed span, trailing-window
+    distinct count via a range join on day index."""
+    from .queries import WAU_EPOCH, WAU_WINDOW_DAYS
+
+    return f"""
+WITH ud AS (
+    SELECT DISTINCT
+        CAST(date_diff('day', DATE '{WAU_EPOCH}', date_trunc('day', ts)) AS BIGINT) AS d,
+        user_id
+    FROM events
+),
+span AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM ud),
+grid AS (
+    SELECT unnest(generate_series(d0, d1)) AS d FROM span
+)
+SELECT TIMESTAMP '{WAU_EPOCH}' + to_days(CAST(g.d AS INTEGER)) AS day,
+       CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS active_users
+FROM grid g JOIN ud u ON u.d BETWEEN g.d - {WAU_WINDOW_DAYS - 1} AND g.d
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def order_od_matrix_sql() -> str:
+    from .functions.cells import cell_encode_sql
+    from .queries import OD_RES
+
+    o_cell = cell_encode_sql("o_qx", "o_qy", OD_RES)
+    d_cell = cell_encode_sql("d_qx", "d_qy", OD_RES)
+    return f"""
+WITH stops AS (
+    SELECT l_orderkey,
+           ({X0!r} + CAST((l_orderkey * 131 + l_linenumber * 17) % 4096 AS DOUBLE) * 125.0) AS qx,
+           ({Y0!r} + CAST((l_orderkey * 241 + l_partkey * 13) % 4096 AS DOUBLE) * 125.0) AS qy,
+           ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                              ORDER BY l_linenumber, l_partkey) AS rf,
+           ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                              ORDER BY l_linenumber DESC, l_partkey DESC) AS rl
+    FROM lineitem
+),
+ends AS (
+    SELECT f.l_orderkey, f.qx AS o_qx, f.qy AS o_qy, l.qx AS d_qx, l.qy AS d_qy
+    FROM (SELECT * FROM stops WHERE rf = 1) f
+    JOIN (SELECT * FROM stops WHERE rl = 1) l USING (l_orderkey)
+)
+SELECT {o_cell} AS o_cell, {d_cell} AS d_cell,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM ends GROUP BY 1, 2 ORDER BY 1, 2
+"""

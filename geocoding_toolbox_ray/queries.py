@@ -6022,3 +6022,148 @@ def repeat_customers_intersect(sf_dir: str):
         .groupby("bucket")
         .map_groups(_reduce, batch_format="pandas")
     )
+
+
+# ------------------------- rolling distinct window / OD matrix
+
+WAU_WINDOW_DAYS = 7
+WAU_EPOCH = "2024-01-01"
+
+
+def rolling_active_users(sf_dir: str):
+    """Rolling 7-day active users (the WAU curve): for every day in the
+    observed span, DISTINCT users active in the trailing 7-day window.
+    Sliding distinct can't pre-aggregate as plain counts, so the engine
+    replicates each distinct (user, day) pair to the <=7 target days it
+    supports (bounded fan-out, np.repeat flat) and resolves distinctness
+    inside day-keyed hash buckets — user ids cross the wire once per
+    window membership, never row-per-event."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max, Min
+
+    ev = _read(sf_dir, "events", columns=["ts", "user_id"])
+
+    def _days(t: pa.Table) -> pa.Table:
+        day = pc.cast(
+            pc.days_between(
+                pa.scalar(pd.Timestamp(WAU_EPOCH), pa.timestamp("us")),
+                pc.floor_temporal(t["ts"], unit="day"),
+            ),
+            pa.int64(),
+        )
+        return pa.table(
+            {"day": day, "user_id": pa.array(np.asarray(t["user_id"].to_numpy(zero_copy_only=False), np.int64))}
+        )
+
+    pairs = ev.map_batches(_days, batch_format="pyarrow")
+    span = pairs.aggregate(Min("day", alias_name="d0"), Max("day", alias_name="d1"))
+    d0, d1 = int(span["d0"]), int(span["d1"])
+
+    def _spread(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {"day": t["day"].to_numpy(zero_copy_only=False), "user_id": t["user_id"].to_numpy(zero_copy_only=False)}
+        ).drop_duplicates()
+        day = df["day"].to_numpy(np.int64)
+        uid = df["user_id"].to_numpy(np.int64)
+        w = WAU_WINDOW_DAYS
+        tday = np.repeat(day, w) + np.tile(np.arange(w, dtype=np.int64), len(day))
+        tuid = np.repeat(uid, w)
+        keep = tday <= d1
+        out = pd.DataFrame({"day": tday[keep], "user_id": tuid[keep]}).drop_duplicates()
+        out["bucket"] = ((out["day"].to_numpy(np.int64) * 2654435761) % 4294967296) % SESSION_BUCKETS
+        return out
+
+    def _distinct(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.drop_duplicates(["day", "user_id"]).groupby("day", sort=False).size()
+        day = s.index.to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "day": pd.Timestamp(WAU_EPOCH) + pd.to_timedelta(day, unit="D"),
+                "active_users": s.to_numpy(np.int64),
+            }
+        )
+
+    return (
+        pairs.map_batches(_spread, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_distinct, batch_format="pandas")
+    )
+
+
+#: OD matrix cell resolution (res 5 = 16 km cells keeps the matrix dense
+#: enough to be interesting at test scale)
+OD_RES = 5
+
+
+def order_od_matrix(sf_dir: str):
+    """Origin-destination matrix: orders counted by (first-stop cell,
+    last-stop cell) at res 5 — the trip-aggregation primitive.  First a
+    bucketed per-order argmin/argmax over the (l_linenumber, l_partkey)
+    stop order (ties carry identical lattice coords, same contract as
+    order_route_l1), then the bounded (cell, cell) count reduce."""
+    from .functions.cells import cell_encode
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_partkey"])
+
+    def _prep(t: pa.Table) -> pa.Table:
+        ok = np.asarray(t["l_orderkey"].to_numpy(zero_copy_only=False), np.int64)
+        ln = np.asarray(t["l_linenumber"].to_numpy(zero_copy_only=False), np.int64)
+        pk = np.asarray(t["l_partkey"].to_numpy(zero_copy_only=False), np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(((ok * 2654435761) % 4294967296) % SESSION_BUCKETS),
+                "l_orderkey": pa.array(ok),
+                "ln": pa.array(ln),
+                "pk": pa.array(pk),
+                "ix": pa.array((ok * 131 + ln * 17) % 4096),
+                "iy": pa.array((ok * 241 + pk * 13) % 4096),
+            }
+        )
+
+    def _ends(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["l_orderkey", "ln", "pk"], kind="mergesort")
+        first = g.drop_duplicates("l_orderkey", keep="first")
+        last = g.drop_duplicates("l_orderkey", keep="last")
+        from .functions.cells import X0, Y0
+
+        def _cell(sub: pd.DataFrame) -> np.ndarray:
+            return cell_encode(
+                X0 + sub["ix"].to_numpy(np.int64).astype(np.float64) * 125.0,
+                Y0 + sub["iy"].to_numpy(np.int64).astype(np.float64) * 125.0,
+                OD_RES,
+            )
+
+        o_cell = _cell(first)
+        d_cell = _cell(last)
+        df = pd.DataFrame({"o_cell": o_cell, "d_cell": d_cell})
+        s = df.groupby(["o_cell", "d_cell"], sort=False).size()
+        idx = s.index.to_frame(index=False)
+        out = pd.DataFrame(
+            {
+                "o_cell": idx["o_cell"].to_numpy(np.int64),
+                "d_cell": idx["d_cell"].to_numpy(np.int64),
+                "part_n": s.to_numpy(np.int64),
+            }
+        )
+        key = out["o_cell"].to_numpy(np.int64) * 1_048_576 + out["d_cell"].to_numpy(np.int64)
+        out["obucket"] = ((key * 2654435761) % 4294967296) % SESSION_BUCKETS
+        return out
+
+    def _count(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby(["o_cell", "d_cell"], sort=False)["part_n"].sum()
+        idx = s.index.to_frame(index=False)
+        return pd.DataFrame(
+            {
+                "o_cell": idx["o_cell"].to_numpy(np.int64),
+                "d_cell": idx["d_cell"].to_numpy(np.int64),
+                "n_orders": s.to_numpy(np.int64),
+            }
+        )
+
+    return (
+        li.map_batches(_prep, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_ends, batch_format="pandas")
+        .groupby("obucket")
+        .map_groups(_count, batch_format="pandas")
+    )

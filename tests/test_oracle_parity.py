@@ -657,3 +657,16 @@ def test_wave7_additions_parity(name, ray_session, con):
     import __ray_entry__ as entrymod
 
     compare(entrymod.queries()[name](SF_DIR), entrymod.oracle_sql()[name], con)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "rolling_active_users",
+        "order_od_matrix",
+    ],
+)
+def test_wave8_additions_parity(name, ray_session, con):
+    import __ray_entry__ as entrymod
+
+    compare(entrymod.queries()[name](SF_DIR), entrymod.oracle_sql()[name], con)
