@@ -285,6 +285,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_active_users": q.rolling_active_users,
         # origin-destination trip matrix between res-5 cells
         "order_od_matrix": q.order_od_matrix,
+        # BFS hop distances over the co-supply graph (recursive-CTE twin)
+        "supplier_bfs_distance": q.supplier_bfs_distance,
+        # small-file compaction with count+checksum identity audit
+        "documents_store_compaction": q.documents_store_compaction,
         # --- near-dup ops (exact SQL replicas incl. hash families).
         #     NOTE: every oracle-backed name MUST precede every rows-only
         #     entry — the driver checks registry order (round-2 verdict:
@@ -482,4 +486,6 @@ def oracle_sql() -> dict[str, str]:
         "repeat_customers_intersect": oracle.repeat_customers_intersect_sql(),
         "rolling_active_users": oracle.rolling_active_users_sql(),
         "order_od_matrix": oracle.order_od_matrix_sql(),
+        "supplier_bfs_distance": oracle.supplier_bfs_distance_sql(),
+        "documents_store_compaction": oracle.documents_store_compaction_sql(),
     }

@@ -2993,3 +2993,46 @@ SELECT {o_cell} AS o_cell, {d_cell} AS d_cell,
        CAST(COUNT(*) AS BIGINT) AS n_orders
 FROM ends GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+def supplier_bfs_distance_sql() -> str:
+    """BFS replica: recursive CTE expands (node, dist) rows depth-capped
+    at BFS_MAX_DEPTH; MIN(dist) per node is the hop distance.  Source =
+    minimum edge endpoint, same sampled co-supply edges as the engine."""
+    from .queries import BFS_MAX_DEPTH, BFS_ORDER_MOD
+
+    return f"""
+WITH RECURSIVE inc AS (
+    SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+    FROM lineitem WHERE l_orderkey % {BFS_ORDER_MOD} = 0
+),
+edges AS (
+    SELECT DISTINCT a.sk AS sa, b.sk AS sb
+    FROM inc a JOIN inc b USING (ok) WHERE a.sk <> b.sk
+),
+src AS (SELECT MIN(sa) AS s FROM edges),
+bfs(node, dist) AS (
+    SELECT s, 0 FROM src
+    UNION
+    SELECT e.sb, bfs.dist + 1
+    FROM bfs JOIN edges e ON e.sa = bfs.node
+    WHERE bfs.dist < {BFS_MAX_DEPTH}
+)
+SELECT CAST(node AS BIGINT) AS s_suppkey, CAST(MIN(dist) AS BIGINT) AS dist
+FROM bfs GROUP BY 1 ORDER BY 1
+"""
+
+
+def documents_store_compaction_sql() -> str:
+    """Compaction audit twin: the per-lang counts and order-invariant
+    checksum computed straight from the source table — a correct
+    compaction is invisible to both."""
+    from .functions.text import rolling_fingerprint_sql
+    from .queries import COMPACT_CHECKSUM_K
+
+    fp = rolling_fingerprint_sql("text")
+    return f"""
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(doc_id * {COMPACT_CHECKSUM_K} + {fp}) AS BIGINT) AS checksum
+FROM documents GROUP BY 1 ORDER BY 1
+"""

@@ -6167,3 +6167,144 @@ def order_od_matrix(sf_dir: str):
         .groupby("obucket")
         .map_groups(_count, batch_format="pandas")
     )
+
+
+# --------------------------------- graph BFS / store compaction
+
+BFS_MAX_DEPTH = 8
+COMPACT_CHECKSUM_K = 1_000_003
+#: 1/10 deterministic order sample — same sparsifier as
+#: supplier_degree_histogram / supplier_triangles
+BFS_ORDER_MOD = 10
+
+
+def supplier_bfs_distance(sf_dir: str) -> pd.DataFrame:
+    """BFS hop distance from the minimum supplier in the co-supply graph
+    (suppliers sharing a sampled order), capped at BFS_MAX_DEPTH.  Edges
+    stay DISTRIBUTED: each round is one streaming membership probe of the
+    edge Dataset against the sorted frontier broadcast (searchsorted,
+    never a Python set); only node-bounded arrays (frontier / visited /
+    distances) live on the driver — the dedup_clusters discipline, with
+    rounds = eccentricity."""
+    import ray
+
+    from .stages.dedup import _remote_sorted_column
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
+
+    def _inc(t: pa.Table) -> pd.DataFrame:
+        ok = np.asarray(t["l_orderkey"].to_numpy(zero_copy_only=False), np.int64)
+        sk = np.asarray(t["l_suppkey"].to_numpy(zero_copy_only=False), np.int64)
+        keep = ok % BFS_ORDER_MOD == 0
+        ok, sk = ok[keep], sk[keep]
+        key = ok * 1000 + sk
+        u = np.unique(key)
+        return pd.DataFrame(
+            {
+                "bucket": ((u // 1000 * 2654435761) % 4294967296) % SESSION_BUCKETS,
+                "ok": u // 1000,
+                "sk": u % 1000,
+            }
+        )
+
+    def _edges(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["ok", "sk"])
+        m = g.merge(g, on="ok")
+        m = m[m["sk_x"] != m["sk_y"]].drop_duplicates(["sk_x", "sk_y"])
+        return pd.DataFrame(
+            {"sa": m["sk_x"].to_numpy(np.int64), "sb": m["sk_y"].to_numpy(np.int64)}
+        )
+
+    edges = (
+        li.map_batches(_inc, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_edges, batch_format="pandas")
+        .materialize()  # reused every BFS round; edge list, not input rows
+    )
+    src_ref = _remote_sorted_column(edges, "sa")
+    src_arr = ray.get(src_ref)
+    if len(src_arr) == 0:
+        return pd.DataFrame({"s_suppkey": pd.array([], "int64"), "dist": pd.array([], "int64")})
+    src = int(src_arr[0])
+
+    visited = {src: 0}
+    frontier = np.asarray([src], np.int64)
+    for d in range(1, BFS_MAX_DEPTH + 1):
+        f_ref = ray.put(np.sort(frontier))
+
+        def _probe(t: pa.Table) -> pa.Table:
+            f = ray.get(f_ref)
+            sa = np.asarray(t["sa"].to_numpy(zero_copy_only=False), np.int64)
+            sb = np.asarray(t["sb"].to_numpy(zero_copy_only=False), np.int64)
+            hit = _sorted_member(f, sa)
+            return pa.table({"node": pa.array(np.unique(sb[hit]))})
+
+        cand_ref = _remote_sorted_column(
+            edges.map_batches(_probe, batch_format="pyarrow"), "node"
+        )
+        cand = ray.get(cand_ref)
+        new = np.asarray([n for n in cand if int(n) not in visited], np.int64)
+        if len(new) == 0:
+            break
+        for n in new:
+            visited[int(n)] = d
+        frontier = new
+
+    items = sorted(visited.items())
+    return pd.DataFrame(
+        {
+            "s_suppkey": np.asarray([k for k, _ in items], np.int64),
+            "dist": np.asarray([v for _, v in items], np.int64),
+        }
+    )
+
+
+def documents_store_compaction(sf_dir: str) -> pd.DataFrame:
+    """Small-file compaction (the table-maintenance op every long-lived
+    partitioned store needs): the documents table lands as MANY small
+    parquet shards, is compacted by a streaming read -> repartition ->
+    rewrite into few files, and the compacted store is audited against
+    the source — per-lang row counts and an order-invariant int64
+    checksum must survive both rewrites bit-for-bit (the oracle computes
+    them straight from the source table)."""
+    import os
+
+    import ray.data as rd
+
+    from .functions.text import rolling_fingerprint_batch
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    small = f"/tmp/graft_compact/{tag}/small"
+    big = f"/tmp/graft_compact/{tag}/compacted"
+    for p in (small, big):
+        if os.path.isdir(p):
+            import shutil
+
+            shutil.rmtree(p)
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    # fragment into many small files (the pathological arrival state)
+    docs.repartition(32).write_parquet(small)
+    # compact: streaming read -> few files
+    rd.read_parquet(small).repartition(4).write_parquet(big)
+
+    def _audit(t: pa.Table) -> pd.DataFrame:
+        fp = rolling_fingerprint_batch([s or "" for s in t["text"].to_pylist()])
+        did = np.asarray(t["doc_id"].to_numpy(zero_copy_only=False), np.int64)
+        df = pd.DataFrame(
+            {"lang": t["lang"].to_pandas(), "part_n": 1, "part_sum": (did * COMPACT_CHECKSUM_K + fp)}
+        )
+        out = df.groupby("lang", sort=False)[["part_n", "part_sum"]].sum().reset_index()
+        return out.astype({"part_n": np.int64, "part_sum": np.int64})
+
+    from ray.data.aggregate import Sum
+
+    return (
+        rd.read_parquet(big)
+        .map_batches(_audit, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("part_n", alias_name="n_docs"), Sum("part_sum", alias_name="checksum"))
+        .to_pandas()
+        .astype({"n_docs": np.int64, "checksum": np.int64})
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )

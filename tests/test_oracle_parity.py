@@ -670,3 +670,16 @@ def test_wave8_additions_parity(name, ray_session, con):
     import __ray_entry__ as entrymod
 
     compare(entrymod.queries()[name](SF_DIR), entrymod.oracle_sql()[name], con)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "supplier_bfs_distance",
+        "documents_store_compaction",
+    ],
+)
+def test_wave9_additions_parity(name, ray_session, con):
+    import __ray_entry__ as entrymod
+
+    compare(entrymod.queries()[name](SF_DIR), entrymod.oracle_sql()[name], con)
