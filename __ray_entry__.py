@@ -289,6 +289,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_bfs_distance": q.supplier_bfs_distance,
         # small-file compaction with count+checksum identity audit
         "documents_store_compaction": q.documents_store_compaction,
+        # feature-engineering target encoding (exact rational mean)
+        "part_brand_target_encoding": q.part_brand_target_encoding,
+        # zero-filled dense (day x type) grid for time-series models
+        "events_daily_dense": q.events_daily_dense,
+        # per-document sentence segmentation stats (shared RE2 pattern)
+        "doc_sentence_stats": q.doc_sentence_stats,
+        # top-k per group WITH ties (DENSE_RANK semantics)
+        "orders_top_prices_with_ties": q.orders_top_prices_with_ties,
         # --- near-dup ops (exact SQL replicas incl. hash families).
         #     NOTE: every oracle-backed name MUST precede every rows-only
         #     entry — the driver checks registry order (round-2 verdict:
@@ -488,4 +496,8 @@ def oracle_sql() -> dict[str, str]:
         "order_od_matrix": oracle.order_od_matrix_sql(),
         "supplier_bfs_distance": oracle.supplier_bfs_distance_sql(),
         "documents_store_compaction": oracle.documents_store_compaction_sql(),
+        "part_brand_target_encoding": oracle.part_brand_target_encoding_sql(),
+        "events_daily_dense": oracle.events_daily_dense_sql(),
+        "doc_sentence_stats": oracle.doc_sentence_stats_sql(),
+        "orders_top_prices_with_ties": oracle.orders_top_prices_with_ties_sql(),
     }

@@ -158,6 +158,10 @@ def run_bench() -> dict:
         # big-big distance join: the explicit cell-shuffle exchange with
         # replication pruning (no broadcast side anywhere)
         timed("spatial_cell_join", lambda: q.spatial_cell_join(SF_DIR))
+        # second-session additions: multi-dim star join (fact streams,
+        # dims broadcast) and focal 3x3 map algebra over the sparse raster
+        timed("q5_nation_revenue", lambda: q.q5_nation_revenue(SF_DIR))
+        timed("raster_focal_sum", lambda: q.raster_focal_sum(SF_DIR))
 
     total = round(sum(timings.values()), 3)
     geocode_rows_per_s = (

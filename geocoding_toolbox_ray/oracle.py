@@ -3036,3 +3036,75 @@ SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(doc_id * {COMPACT_CHECKSUM_K} + {fp}) AS BIGINT) AS checksum
 FROM documents GROUP BY 1 ORDER BY 1
 """
+
+
+def part_brand_target_encoding_sql() -> str:
+    return """
+WITH enc AS (
+    SELECT p.p_brand,
+           CAST(COUNT(l.l_partkey) AS BIGINT) AS n,
+           CAST(COALESCE(SUM(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)), 0)
+                AS BIGINT) AS sum_cents
+    FROM (SELECT DISTINCT p_brand FROM part) p
+    LEFT JOIN part pt ON pt.p_brand = p.p_brand
+    LEFT JOIN lineitem l ON l.l_partkey = pt.p_partkey
+    GROUP BY 1
+)
+SELECT pt.p_partkey, pt.p_brand,
+       e.sum_cents AS enc_sum_cents, e.n AS enc_n
+FROM part pt JOIN enc e ON e.p_brand = pt.p_brand
+ORDER BY pt.p_partkey
+"""
+
+
+def events_daily_dense_sql() -> str:
+    from .queries import PIVOT_EVENT_TYPES, WAU_EPOCH
+
+    types = ", ".join(f"('{t}')" for t in PIVOT_EVENT_TYPES)
+    return f"""
+WITH e AS (
+    SELECT CAST(date_diff('day', DATE '{WAU_EPOCH}', date_trunc('day', ts)) AS BIGINT) AS d,
+           event_type
+    FROM events WHERE event_type IN (SELECT t FROM (VALUES {types}) v(t))
+),
+span AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM e),
+grid AS (
+    SELECT unnest(generate_series(d0, d1)) AS d, t AS event_type
+    FROM span, (VALUES {types}) v(t)
+),
+c AS (SELECT d, event_type, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY 1, 2)
+SELECT TIMESTAMP '{WAU_EPOCH}' + to_days(CAST(g.d AS INTEGER)) AS day,
+       g.event_type, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+FROM grid g LEFT JOIN c ON c.d = g.d AND c.event_type = g.event_type
+ORDER BY 1, 2
+"""
+
+
+def doc_sentence_stats_sql() -> str:
+    from .queries import SENTENCE_SPLIT_PATTERN
+
+    pat = SENTENCE_SPLIT_PATTERN  # DuckDB single-quoted literals keep backslashes
+    return f"""
+SELECT doc_id,
+       CAST(len(regexp_split_to_array(text, '{pat}')) AS BIGINT) AS n_sentences,
+       CAST(list_max(list_transform(regexp_split_to_array(text, '{pat}'),
+                                    s -> length(s))) AS BIGINT) AS max_sentence_chars
+FROM documents
+"""
+
+
+def orders_top_prices_with_ties_sql() -> str:
+    from .queries import TIES_TOPK
+
+    return f"""
+SELECT o_orderkey, o_orderpriority, price_cents, CAST(dr AS BIGINT) AS price_rank
+FROM (
+    SELECT o_orderkey, o_orderpriority,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents,
+           DENSE_RANK() OVER (PARTITION BY o_orderpriority
+                              ORDER BY CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                                  DESC) AS dr
+    FROM orders
+) WHERE dr <= {TIES_TOPK}
+ORDER BY o_orderpriority, price_cents DESC, o_orderkey
+"""

@@ -6308,3 +6308,219 @@ def documents_store_compaction(sf_dir: str) -> pd.DataFrame:
         .sort_values("lang")
         .reset_index(drop=True)
     )
+
+
+# ----------- target encoding / dense grid / sentence stats / ties top-k
+
+def part_brand_target_encoding(sf_dir: str):
+    """Feature-engineering target encoding: each part carries its brand's
+    revenue statistics as the EXACT rational (sum_cents, n) — no float
+    mean, so the oracle matches bit-for-bit.  Fact rows pre-aggregate per
+    batch against the broadcast part->brand lookup; the brand table
+    (bounded) broadcasts back onto the part dim — two broadcasts, zero
+    shuffles of the fact."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .stages.dedup import _sorted_kv_task
+
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_brand"])
+    li = _read(sf_dir, "lineitem", columns=["l_partkey", "l_extendedprice"])
+
+    # brand ids: deterministic dense codes from the (small) brand set
+    import pyarrow.parquet as pq
+
+    brands = sorted(
+        set(pq.read_table(f"{sf_dir}/part.parquet", columns=["p_brand"])["p_brand"].to_pylist())
+    )
+    brand_code = {b: i for i, b in enumerate(brands)}
+
+    pk2brand = part.map_batches(
+        lambda t: pa.table(
+            {
+                "k": pa.array(np.asarray(t["p_partkey"].to_numpy(zero_copy_only=False), np.int64)),
+                "v": pa.array(
+                    np.asarray([brand_code[b] for b in t["p_brand"].to_pylist()], np.int64)
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    refs = [br for b in pk2brand.iter_internal_ref_bundles() for br in b.block_refs]
+    kv_ref = _sorted_kv_task.remote(refs, "k", "v")
+
+    def _partial(t: pa.Table) -> pa.Table:
+        ks, vs = ray.get(kv_ref)
+        pk = np.asarray(t["l_partkey"].to_numpy(zero_copy_only=False), np.int64)
+        code = vs[np.searchsorted(ks, pk)]
+        cents = np.floor(
+            np.asarray(t["l_extendedprice"].to_numpy(zero_copy_only=False), np.float64) * 100.0
+            + 0.5
+        ).astype(np.int64)
+        u, inv = np.unique(code, return_inverse=True)
+        return pa.table(
+            {
+                "code": pa.array(u),
+                "part_n": pa.array(np.bincount(inv).astype(np.int64)),
+                "part_cents": pa.array(
+                    np.bincount(inv, weights=cents.astype(np.float64)).astype(np.int64)
+                ),
+            }
+        )
+
+    enc = (
+        li.map_batches(_partial, batch_format="pyarrow")
+        .groupby("code")
+        .aggregate(Sum("part_n", alias_name="n"), Sum("part_cents", alias_name="sum_cents"))
+        .to_pandas()
+    )
+    enc_n = np.zeros(len(brands), np.int64)
+    enc_sum = np.zeros(len(brands), np.int64)
+    enc_n[enc["code"].to_numpy(np.int64)] = enc["n"].to_numpy(np.int64)
+    enc_sum[enc["code"].to_numpy(np.int64)] = enc["sum_cents"].to_numpy(np.int64)
+    n_ref = ray.put(enc_n)
+    s_ref = ray.put(enc_sum)
+
+    def _apply(t: pa.Table) -> pa.Table:
+        n_arr, s_arr = ray.get(n_ref), ray.get(s_ref)
+        code = np.asarray([brand_code[b] for b in t["p_brand"].to_pylist()], np.int64)
+        return pa.table(
+            {
+                "p_partkey": t["p_partkey"],
+                "p_brand": t["p_brand"],
+                "enc_sum_cents": pa.array(s_arr[code]),
+                "enc_n": pa.array(n_arr[code]),
+            }
+        )
+
+    return part.map_batches(_apply, batch_format="pyarrow")
+
+
+def events_daily_dense(sf_dir: str) -> pd.DataFrame:
+    """Dimension densification: the (day x declared event type) grid with
+    ZERO-filled cells — downstream time-series models need the dense
+    shape.  Sparse counts aggregate distributed (bounded day x type key
+    space); only the bounded dense grid itself is assembled at the end
+    (days x 5 types), never the events."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    ev = _read(sf_dir, "events", columns=["ts", "event_type"])
+
+    def _partial(t: pa.Table) -> pd.DataFrame:
+        day = pc.cast(
+            pc.days_between(
+                pa.scalar(pd.Timestamp(WAU_EPOCH), pa.timestamp("us")),
+                pc.floor_temporal(t["ts"], unit="day"),
+            ),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"day": np.asarray(day, np.int64), "event_type": t["event_type"].to_pandas()})
+        df = df[df["event_type"].isin(PIVOT_EVENT_TYPES)]
+        out = df.groupby(["day", "event_type"], sort=False).size().reset_index(name="part_n")
+        out["part_n"] = out["part_n"].astype(np.int64)
+        return out
+
+    sparse = (
+        ev.map_batches(_partial, batch_format="pyarrow")
+        .groupby(["day", "event_type"])
+        .aggregate(Sum("part_n", alias_name="n"))
+        .to_pandas()
+    )
+    d0, d1 = int(sparse["day"].min()), int(sparse["day"].max())
+    days = np.arange(d0, d1 + 1, dtype=np.int64)
+    grid = pd.DataFrame(
+        {
+            "day": np.repeat(days, len(PIVOT_EVENT_TYPES)),
+            "event_type": np.tile(np.asarray(PIVOT_EVENT_TYPES, object), len(days)),
+        }
+    )
+    out = grid.merge(sparse, on=["day", "event_type"], how="left")
+    out["n"] = out["n"].fillna(0).astype(np.int64)
+    out["day"] = pd.Timestamp(WAU_EPOCH) + pd.to_timedelta(out["day"], unit="D")
+    return out.sort_values(["day", "event_type"]).reset_index(drop=True)
+
+
+#: sentence boundary (RE2-compatible; \s literal matches functions/text.py
+#: WS_SPLIT_PATTERN semantics)
+SENTENCE_SPLIT_PATTERN = r"[.!?]+[\t\n\f\r ]+"
+
+
+def doc_sentence_stats(sf_dir: str):
+    """Per-document sentence segmentation stats: sentence count (split on
+    terminal punctuation + whitespace) and characters of the longest
+    segment — one vectorized pandas str pass per batch, the same RE2
+    pattern string the oracle feeds regexp_split_to_array."""
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _f(df: pd.DataFrame) -> pd.DataFrame:
+        segs = df["text"].str.split(SENTENCE_SPLIT_PATTERN, regex=True)
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].to_numpy(np.int64),
+                "n_sentences": segs.str.len().to_numpy(np.int64),
+                "max_sentence_chars": segs.map(
+                    lambda xs: max((len(x) for x in xs), default=0)
+                ).to_numpy(np.int64),
+            }
+        )
+
+    return docs.map_batches(_f, batch_format="pandas")
+
+
+TIES_TOPK = 3
+
+
+def orders_top_prices_with_ties(sf_dir: str):
+    """Top-k per group WITH ties (DENSE_RANK <= k semantics): every order
+    whose price is among its priority's TIES_TOPK highest DISTINCT
+    prices.  Per-batch partial top-k distinct values per group make the
+    reduce input bounded (groups x k x batches); the tiny per-group
+    threshold table broadcasts back for a streaming filter — row-limit
+    top-k (top_orders_per_customer) can't express this."""
+    import ray
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority", "o_totalprice"])
+
+    def _cents(t: pa.Table) -> np.ndarray:
+        return np.floor(
+            np.asarray(t["o_totalprice"].to_numpy(zero_copy_only=False), np.float64) * 100.0
+            + 0.5
+        ).astype(np.int64)
+
+    def _partial(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({"prio": t["o_orderpriority"].to_pandas(), "cents": _cents(t)})
+        df = df.drop_duplicates()
+        df = df.sort_values(["prio", "cents"], ascending=[True, False], kind="mergesort")
+        return df.groupby("prio", sort=False).head(TIES_TOPK)
+
+    top = (
+        orders.map_batches(_partial, batch_format="pyarrow")
+        .groupby("prio")
+        .map_groups(
+            lambda g: g.drop_duplicates()
+            .sort_values("cents", ascending=False)
+            .head(TIES_TOPK),
+            batch_format="pandas",
+        )
+        .to_pandas()
+    )
+    top = top.sort_values(["prio", "cents"], ascending=[True, False], kind="mergesort")
+    top["price_rank"] = top.groupby("prio", sort=False).cumcount().to_numpy(np.int64) + 1
+    thresholds = top.rename(columns={"prio": "o_orderpriority", "cents": "price_cents"})
+    t_ref = ray.put(thresholds)
+
+    def _filter(t: pa.Table) -> pd.DataFrame:
+        th = ray.get(t_ref)  # bounded: groups x TIES_TOPK rows
+        df = pd.DataFrame(
+            {
+                "o_orderkey": np.asarray(t["o_orderkey"].to_numpy(zero_copy_only=False), np.int64),
+                "o_orderpriority": t["o_orderpriority"].to_pandas(),
+                "price_cents": _cents(t),
+            }
+        )
+        out = df.merge(th, on=["o_orderpriority", "price_cents"], how="inner")
+        out["price_rank"] = out["price_rank"].astype(np.int64)
+        return out
+
+    return orders.map_batches(_filter, batch_format="pyarrow")

@@ -683,3 +683,18 @@ def test_wave9_additions_parity(name, ray_session, con):
     import __ray_entry__ as entrymod
 
     compare(entrymod.queries()[name](SF_DIR), entrymod.oracle_sql()[name], con)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "part_brand_target_encoding",
+        "events_daily_dense",
+        "doc_sentence_stats",
+        "orders_top_prices_with_ties",
+    ],
+)
+def test_wave10_additions_parity(name, ray_session, con):
+    import __ray_entry__ as entrymod
+
+    compare(entrymod.queries()[name](SF_DIR), entrymod.oracle_sql()[name], con)
