@@ -297,6 +297,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sentence_stats": q.doc_sentence_stats,
         # top-k per group WITH ties (DENSE_RANK semantics)
         "orders_top_prices_with_ties": q.orders_top_prices_with_ties,
+        # exact-rational time-weighted average per user
+        "user_time_weighted_value": q.user_time_weighted_value,
         # --- near-dup ops (exact SQL replicas incl. hash families).
         #     NOTE: every oracle-backed name MUST precede every rows-only
         #     entry — the driver checks registry order (round-2 verdict:
@@ -500,4 +502,5 @@ def oracle_sql() -> dict[str, str]:
         "events_daily_dense": oracle.events_daily_dense_sql(),
         "doc_sentence_stats": oracle.doc_sentence_stats_sql(),
         "orders_top_prices_with_ties": oracle.orders_top_prices_with_ties_sql(),
+        "user_time_weighted_value": oracle.user_time_weighted_value_sql(),
     }

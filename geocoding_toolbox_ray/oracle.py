@@ -3108,3 +3108,22 @@ FROM (
 ) WHERE dr <= {TIES_TOPK}
 ORDER BY o_orderpriority, price_cents DESC, o_orderkey
 """
+
+
+def user_time_weighted_value_sql() -> str:
+    """TWA replica: lead() over the same (ts, event_id) order, identical
+    floor-divided second gaps, COALESCE for the per-user last event."""
+    return """
+WITH e AS (
+    SELECT user_id, epoch_us(ts) AS us,
+           CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
+           lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_us
+    FROM events
+)
+SELECT user_id,
+       CAST(SUM(cents * COALESCE((next_us - us) // 1000000, 0)) AS BIGINT)
+           AS twa_num,
+       CAST((MAX(us) - MIN(us)) // 1000000 AS BIGINT) AS twa_den_s
+FROM e GROUP BY 1 ORDER BY 1
+"""

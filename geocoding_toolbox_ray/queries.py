@@ -6524,3 +6524,60 @@ def orders_top_prices_with_ties(sf_dir: str):
         return out
 
     return orders.map_batches(_filter, batch_format="pyarrow")
+
+
+def user_time_weighted_value(sf_dir: str):
+    """Time-weighted average per user (the state/sensor TWA primitive):
+    value holds between events, so the integral is
+    sum(cents_i * hold_seconds_i) over the (ts, event_id)-ordered stream
+    — reported as the EXACT rational (twa_num, twa_den_s), no float
+    division.  Hold times use floor-divided epoch-microsecond gaps
+    (bit-identical in numpy and DuckDB's epoch_us); one coarse
+    user-bucket shuffle, vectorized in-bucket sort + shift."""
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
+
+    def _bucket(t: pa.Table) -> pd.DataFrame:
+        uid = np.asarray(t["user_id"].to_numpy(zero_copy_only=False), np.int64)
+        df = pd.DataFrame(
+            {
+                "user_id": uid,
+                "event_id": np.asarray(t["event_id"].to_numpy(zero_copy_only=False), np.int64),
+                "us": t["ts"].to_pandas().astype("datetime64[us]").astype(np.int64),
+                "cents": np.floor(
+                    np.asarray(t["value"].to_numpy(zero_copy_only=False), np.float64) * 100.0
+                    + 0.5
+                ).astype(np.int64),
+            }
+        )
+        df["bucket"] = ((uid * 2654435761) % 4294967296) % SESSION_BUCKETS
+        return df
+
+    def _twa(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "us", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy(np.int64)
+        us = g["us"].to_numpy(np.int64)
+        cents = g["cents"].to_numpy(np.int64)
+        same = np.zeros(len(g), bool)
+        same[:-1] = uid[:-1] == uid[1:]
+        hold_s = np.zeros(len(g), np.int64)
+        hold_s[:-1] = (us[1:] - us[:-1]) // 1_000_000
+        hold_s[~same] = 0
+        contrib = cents * hold_s
+        s = pd.DataFrame({"user_id": uid, "num": contrib, "us": us}).groupby(
+            "user_id", sort=False
+        )
+        num = s["num"].sum()
+        den = (s["us"].max() - s["us"].min()) // 1_000_000
+        return pd.DataFrame(
+            {
+                "user_id": num.index.to_numpy(np.int64),
+                "twa_num": num.to_numpy(np.int64),
+                "twa_den_s": den.to_numpy(np.int64),
+            }
+        )
+
+    return (
+        ev.map_batches(_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_twa, batch_format="pandas")
+    )

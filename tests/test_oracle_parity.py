@@ -698,3 +698,13 @@ def test_wave10_additions_parity(name, ray_session, con):
     import __ray_entry__ as entrymod
 
     compare(entrymod.queries()[name](SF_DIR), entrymod.oracle_sql()[name], con)
+
+
+def test_user_time_weighted_value_parity(ray_session, con):
+    import __ray_entry__ as entrymod
+
+    compare(
+        entrymod.queries()["user_time_weighted_value"](SF_DIR),
+        entrymod.oracle_sql()["user_time_weighted_value"],
+        con,
+    )
