@@ -299,6 +299,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_top_prices_with_ties": q.orders_top_prices_with_ties,
         # exact-rational time-weighted average per user
         "user_time_weighted_value": q.user_time_weighted_value,
+        # full curation -> sequence-packing composition (end-to-end)
+        "curate_then_pack": q.curate_then_pack,
         # --- near-dup ops (exact SQL replicas incl. hash families).
         #     NOTE: every oracle-backed name MUST precede every rows-only
         #     entry — the driver checks registry order (round-2 verdict:
@@ -503,4 +505,5 @@ def oracle_sql() -> dict[str, str]:
         "doc_sentence_stats": oracle.doc_sentence_stats_sql(),
         "orders_top_prices_with_ties": oracle.orders_top_prices_with_ties_sql(),
         "user_time_weighted_value": oracle.user_time_weighted_value_sql(),
+        "curate_then_pack": oracle.curate_then_pack_sql(),
     }

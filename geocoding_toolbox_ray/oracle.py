@@ -3127,3 +3127,30 @@ SELECT user_id,
        CAST((MAX(us) - MIN(us)) // 1000000 AS BIGINT) AS twa_den_s
 FROM e GROUP BY 1 ORDER BY 1
 """
+
+
+def curate_then_pack_sql(theta_permille: int = 500, max_len: int | None = None) -> str:
+    """Composition twin: the curated keep-set CTE (same gates, clusters,
+    md5 keepers) feeds the packing window cumsum, ordered by doc_id."""
+    from .functions.text import token_count_sql
+    from .queries import SEQ_PACK_MAXLEN
+
+    ml = SEQ_PACK_MAXLEN if max_len is None else max_len
+    return f"""
+WITH kept AS ({curated_documents_sql(theta_permille)}),
+c AS (
+    SELECT d.doc_id, {token_count_sql('d.text')} AS n_tokens
+    FROM documents d JOIN kept k ON k.doc_id = d.doc_id
+),
+s AS (
+    SELECT doc_id, n_tokens,
+           CAST(COALESCE(SUM(n_tokens) OVER (
+               ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS BIGINT) AS cum
+    FROM c
+)
+SELECT doc_id, n_tokens,
+       CAST(cum // {ml} AS BIGINT) AS seq_id,
+       CAST(cum % {ml} AS BIGINT) AS seq_offset
+FROM s
+"""

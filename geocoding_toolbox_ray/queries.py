@@ -6581,3 +6581,63 @@ def user_time_weighted_value(sf_dir: str):
         .groupby("bucket")
         .map_groups(_twa, batch_format="pandas")
     )
+
+
+def curate_then_pack(sf_dir: str, max_len: int = SEQ_PACK_MAXLEN):
+    """The full training-data path composed END TO END: lang filter ->
+    quality gates -> exact dedup -> near-dedup -> sequence packing of the
+    survivors (doc_id order).  Gates reuse the exact curated_documents
+    broadcasts (sorted keep/drop arrays); the packing offset comes from
+    the same distributed ordered prefix scan as sequence_packing — the
+    curated token stream never funnels through the driver."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from .functions.text import quality_features, token_count
+    from .stages.scan import ordered_prefix_sum
+
+    drop_arr = _near_dup_drop_set(sf_dir)
+    keep_arr = np.unique(_exact_keepers(sf_dir).to_pandas()["doc_id"].to_numpy(np.int64))
+    keep_ref = ray.put(keep_arr)
+    drop_ref = ray.put(drop_arr)
+    n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"]).filter(
+        expr="lang == 'en'"
+    )
+
+    def _gate(df: pd.DataFrame) -> pd.DataFrame:
+        karr = ray.get(keep_ref)
+        darr = ray.get(drop_ref)
+        feats = quality_features(df["text"])
+        ids = df["doc_id"].to_numpy(np.int64)
+        ok = (
+            (feats["is_short"] == 0)
+            & (feats["stop_permille"] >= 10)
+            & (feats["stop_permille"] <= 400)
+            & _sorted_member(karr, ids)
+            & ~_sorted_member(darr, ids)
+        )
+        sub = df.loc[ok]
+        return pd.DataFrame(
+            {
+                "doc_id": sub["doc_id"].to_numpy(np.int64),
+                "n_tokens": token_count(pa.chunked_array([pa.array(sub["text"], pa.string())])),
+            }
+        )
+
+    counts = docs.map_batches(_gate, batch_format="pandas")
+    scanned = ordered_prefix_sum(counts, "doc_id", "n_tokens", max_key=n_docs + 1)
+
+    def _layout(t: pa.Table) -> pa.Table:
+        cum = np.asarray(t["cum_prev"].to_numpy(zero_copy_only=False), np.int64)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": t["n_tokens"],
+                "seq_id": pa.array(cum // max_len, pa.int64()),
+                "seq_offset": pa.array(cum % max_len, pa.int64()),
+            }
+        )
+
+    return scanned.map_batches(_layout, batch_format="pyarrow")

@@ -708,3 +708,13 @@ def test_user_time_weighted_value_parity(ray_session, con):
         entrymod.oracle_sql()["user_time_weighted_value"],
         con,
     )
+
+
+def test_curate_then_pack_parity(ray_session, con):
+    import __ray_entry__ as entrymod
+
+    compare(
+        entrymod.queries()["curate_then_pack"](SF_DIR),
+        entrymod.oracle_sql()["curate_then_pack"],
+        con,
+    )
