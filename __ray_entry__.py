@@ -301,6 +301,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_time_weighted_value": q.user_time_weighted_value,
         # full curation -> sequence-packing composition (end-to-end)
         "curate_then_pack": q.curate_then_pack,
+        # spatial partition pruning: bbox query over the cell-keyed store
+        "points_in_bbox_pruned": q.points_in_bbox_pruned,
         # --- near-dup ops (exact SQL replicas incl. hash families).
         #     NOTE: every oracle-backed name MUST precede every rows-only
         #     entry — the driver checks registry order (round-2 verdict:
@@ -506,4 +508,5 @@ def oracle_sql() -> dict[str, str]:
         "orders_top_prices_with_ties": oracle.orders_top_prices_with_ties_sql(),
         "user_time_weighted_value": oracle.user_time_weighted_value_sql(),
         "curate_then_pack": oracle.curate_then_pack_sql(),
+        "points_in_bbox_pruned": oracle.points_in_bbox_pruned_sql(),
     }

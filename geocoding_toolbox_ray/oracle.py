@@ -3154,3 +3154,16 @@ SELECT doc_id, n_tokens,
        CAST(cum % {ml} AS BIGINT) AS seq_offset
 FROM s
 """
+
+
+def points_in_bbox_pruned_sql() -> str:
+    """Bbox twin over the full derivation — dir-pick pruning must be
+    output-invisible (partition cells strictly cover the box)."""
+    from .queries import BBOX_QUERY
+
+    x0, y0, x1, y1 = BBOX_QUERY
+    return f"""
+WITH qpts AS ({_uniform_points_select()})
+SELECT query_id, qx, qy FROM qpts
+WHERE qx >= {x0!r} AND qx <= {x1!r} AND qy >= {y0!r} AND qy <= {y1!r}
+"""

@@ -6641,3 +6641,85 @@ def curate_then_pack(sf_dir: str, max_len: int = SEQ_PACK_MAXLEN):
         )
 
     return scanned.map_batches(_layout, batch_format="pyarrow")
+
+
+# ------------------------- spatial partition pruning (bbox over store)
+
+#: res-3 cells (64 km) partition the point store: 64 partitions
+BBOX_STORE_RES = 3
+#: query bbox in lattice meters (covers a handful of res-3 cells)
+BBOX_QUERY = (260_000.0, 4_060_000.0, 330_000.0, 4_140_000.0)  # x0, y0, x1, y1
+
+
+def points_in_bbox_pruned(sf_dir: str):
+    """Spatial partition pruning: the uniform points land ONCE in a
+    hive-partitioned store keyed by their res-3 cell; a bbox query then
+    selects only the partition directories whose cells intersect the box
+    — pruning at path selection, before a single byte leaves storage
+    (the spatial twin of events_recent_pruned / ann_topk_ivf_pruned) —
+    and applies the exact bbox predicate inside.  At 100 TB this is the
+    difference between scanning 64 km cells that can match and scanning
+    the planet."""
+    import glob
+    import os
+
+    import ray.data as rd
+    from ray.data.datasource.partitioning import Partitioning
+
+    from .functions.cells import EXTENT, X0, Y0, cell_encode
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    store = f"/tmp/graft_bbox_store/{tag}"
+    if not os.path.isdir(store):
+        li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_partkey"])
+
+        def _pts(t: pa.Table) -> pa.Table:
+            from .pipelines.spatial import derive_uniform_points
+
+            pts = derive_uniform_points(t)
+            cell = cell_encode(
+                np.asarray(pts["qx"].to_numpy(), np.float64),
+                np.asarray(pts["qy"].to_numpy(), np.float64),
+                BBOX_STORE_RES,
+            )
+            return pts.append_column("cell3", pa.array(cell, pa.int64()))
+
+        li.map_batches(_pts, batch_format="pyarrow").write_parquet(
+            store, partition_cols=["cell3"]
+        )
+
+    x0, y0, x1, y1 = BBOX_QUERY
+    n = 1 << BBOX_STORE_RES
+    s = EXTENT / n
+    ix0 = max(int((x0 - X0) // s), 0)
+    ix1 = min(int((x1 - X0) // s), n - 1)
+    iy0 = max(int((y0 - Y0) // s), 0)
+    iy1 = min(int((y1 - Y0) // s), n - 1)
+    cells = [iy * n + ix for iy in range(iy0, iy1 + 1) for ix in range(ix0, ix1 + 1)]
+    paths = [
+        f
+        for c in cells
+        for f in sorted(glob.glob(f"{store}/cell3={c}/*.parquet"))
+    ]
+    if not paths:
+        return pd.DataFrame(
+            {"query_id": pd.array([], "int64"), "qx": pd.array([], "float64"), "qy": pd.array([], "float64")}
+        )
+    ds = rd.read_parquet(
+        paths,
+        partitioning=Partitioning("hive", base_dir=store, field_types={"cell3": int}),
+    )
+
+    def _exact(t: pa.Table) -> pa.Table:
+        qx = np.asarray(t["qx"].to_numpy(zero_copy_only=False), np.float64)
+        qy = np.asarray(t["qy"].to_numpy(zero_copy_only=False), np.float64)
+        keep = (qx >= x0) & (qx <= x1) & (qy >= y0) & (qy <= y1)
+        return pa.table(
+            {
+                "query_id": pa.array(np.asarray(t["query_id"].to_numpy(zero_copy_only=False), np.int64)[keep]),
+                "qx": pa.array(qx[keep]),
+                "qy": pa.array(qy[keep]),
+            }
+        )
+
+    return ds.map_batches(_exact, batch_format="pyarrow")

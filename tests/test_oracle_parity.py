@@ -718,3 +718,13 @@ def test_curate_then_pack_parity(ray_session, con):
         entrymod.oracle_sql()["curate_then_pack"],
         con,
     )
+
+
+def test_points_in_bbox_pruned_parity(ray_session, con):
+    import __ray_entry__ as entrymod
+
+    compare(
+        entrymod.queries()["points_in_bbox_pruned"](SF_DIR),
+        entrymod.oracle_sql()["points_in_bbox_pruned"],
+        con,
+    )
