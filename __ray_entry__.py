@@ -335,6 +335,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # BPE tokenizer training (iterative greedy argmax — no SQL twin;
         # pinned in pytest vs an independent naive reference)
         "bpe_learn_merges": q.bpe_learn_merges,
+        # BPE apply/encode (subword counts under the learned merges)
+        "bpe_encode_tokens": q.bpe_encode_tokens,
     }
 
 

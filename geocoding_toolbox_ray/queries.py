@@ -6723,3 +6723,43 @@ def points_in_bbox_pruned(sf_dir: str):
         )
 
     return ds.map_batches(_exact, batch_format="pyarrow")
+
+
+def bpe_encode_tokens(sf_dir: str, n_merges: int = 10):
+    """Tokenizer APPLY side: encode every document with the merges
+    learned by bpe_learn_merges and report its subword count.  The merge
+    list (tiny) broadcasts once; each batch encodes only its DISTINCT
+    words (flat-array merge passes, stages/tokenizer.py) and scatters
+    counts back to docs with one bincount.  Rows-only (the trainer has
+    no SQL twin); pinned in pytest against a naive per-word encoder."""
+    import ray
+
+    from .functions.text import ws_tokens
+    from .stages.tokenizer import encode_subword_counts
+
+    merges_df = bpe_learn_merges(sf_dir, n_merges=n_merges)
+    merges = list(zip(merges_df["left"].tolist(), merges_df["right"].tolist()))
+    m_ref = ray.put(merges)
+
+    def _encode(df: pd.DataFrame) -> pd.DataFrame:
+        ms = ray.get(m_ref)
+        toks: list[str] = []
+        lens: list[int] = []
+        for s in df["text"]:
+            ts = ws_tokens(s.lower())
+            toks.extend(ts)
+            lens.append(len(ts))
+        doc_id = df["doc_id"].to_numpy(np.int64)
+        n_sub = np.zeros(len(df), np.int64)
+        if toks:
+            arr = np.asarray(toks, object)
+            uniq, inv = np.unique(arr, return_inverse=True)
+            per_word = encode_subword_counts(uniq, ms)
+            owner = np.repeat(np.arange(len(df)), np.asarray(lens, np.int64))
+            n_sub = np.bincount(
+                owner, weights=per_word[inv].astype(np.float64), minlength=len(df)
+            ).astype(np.int64)
+        return pd.DataFrame({"doc_id": doc_id, "n_subwords": n_sub})
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return docs.map_batches(_encode, batch_format="pandas")

@@ -155,3 +155,16 @@ def bpe_learn_merges(ds, n_merges: int = 10) -> pd.DataFrame:
     return learn_merges(
         hist["word"].to_numpy(object), hist["n"].to_numpy(np.int64), n_merges
     )
+
+
+def encode_subword_counts(words: np.ndarray, merges) -> np.ndarray:
+    """Apply an ordered merge list to each (unique) word; return subword
+    counts per word.  Same flat-array kernel as training — one
+    ``_apply_merge`` pass per merge over the whole batch vocabulary, so
+    cost scales with distinct words, not corpus rows."""
+    if len(words) == 0:
+        return np.zeros(0, np.int64)
+    syms, wid, _ = _flatten_vocab(words, np.ones(len(words), np.int64))
+    for left, right in merges:
+        syms, wid = _apply_merge(syms, wid, str(left), str(right))
+    return np.bincount(wid, minlength=len(words)).astype(np.int64)

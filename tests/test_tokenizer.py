@@ -87,3 +87,56 @@ def test_end_to_end_dataset(ray_session):
     got = bpe_learn_merges(docs, n_merges=5)
     want = _naive_bpe({"low": 2, "lower": 1, "newest": 3, "widest": 1}, 5)
     assert [tuple(r) for r in got[["left", "right", "pair_count"]].itertuples(index=False)] == want
+
+
+def _naive_encode(word: str, merges) -> int:
+    syms = list(word)
+    syms[-1] += EOW
+    for l, r in merges:
+        out = []
+        i = 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                out.append(l + r)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return len(syms)
+
+
+def test_encode_subword_counts_matches_naive():
+    from geocoding_toolbox_ray.stages.tokenizer import encode_subword_counts
+
+    wc = {"low": 5, "lower": 2, "newest": 6, "widest": 3, "aaaa": 2}
+    merges = [(l, r) for l, r, _ in _naive_bpe(wc, 6)]
+    words = np.asarray(sorted(wc), object)
+    got = encode_subword_counts(words, merges)
+    want = [_naive_encode(w, merges) for w in words]
+    assert got.tolist() == want
+
+
+def test_bpe_encode_tokens_dataset(ray_session):
+    from geocoding_toolbox_ray import queries as q
+
+    out = q.bpe_encode_tokens("/root/testdata/sf0.001").to_pandas()
+    assert len(out) == 500
+    assert (out["n_subwords"] > 0).all()
+    # encoding can never produce more subwords than characters+1 per word
+    # and never fewer than the word count; spot-check one doc end to end
+    import duckdb
+
+    row = duckdb.sql(
+        "SELECT doc_id, text FROM '/root/testdata/sf0.001/documents.parquet' LIMIT 1"
+    ).fetchone()
+    from geocoding_toolbox_ray.functions.text import ws_tokens
+    from geocoding_toolbox_ray.stages.tokenizer import bpe_learn_merges
+    import ray.data as rd
+
+    docs = rd.read_parquet("/root/testdata/sf0.001/documents.parquet", columns=["text"])
+    merges_df = bpe_learn_merges(docs, n_merges=10)
+    merges = list(zip(merges_df["left"], merges_df["right"]))
+    want = sum(_naive_encode(w, merges) for w in ws_tokens(row[1].lower()))
+    got = int(out.loc[out["doc_id"] == row[0], "n_subwords"].iloc[0])
+    assert got == want
