@@ -303,6 +303,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_then_pack": q.curate_then_pack,
         # spatial partition pruning: bbox query over the cell-keyed store
         "points_in_bbox_pruned": q.points_in_bbox_pruned,
+        # gaps-and-islands: order streak counts per customer
+        "customer_order_streaks": q.customer_order_streaks,
+        # percent-of-total (ratio-to-report) over the Q5 aggregate
+        "nation_revenue_share": q.nation_revenue_share,
         # --- near-dup ops (exact SQL replicas incl. hash families).
         #     NOTE: every oracle-backed name MUST precede every rows-only
         #     entry — the driver checks registry order (round-2 verdict:
@@ -511,4 +515,6 @@ def oracle_sql() -> dict[str, str]:
         "user_time_weighted_value": oracle.user_time_weighted_value_sql(),
         "curate_then_pack": oracle.curate_then_pack_sql(),
         "points_in_bbox_pruned": oracle.points_in_bbox_pruned_sql(),
+        "customer_order_streaks": oracle.customer_order_streaks_sql(),
+        "nation_revenue_share": oracle.nation_revenue_share_sql(),
     }

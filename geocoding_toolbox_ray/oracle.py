@@ -3167,3 +3167,35 @@ WITH qpts AS ({_uniform_points_select()})
 SELECT query_id, qx, qy FROM qpts
 WHERE qx >= {x0!r} AND qx <= {x1!r} AND qy >= {y0!r} AND qy <= {y1!r}
 """
+
+
+def customer_order_streaks_sql() -> str:
+    from .queries import STREAK_GAP_DAYS
+
+    return f"""
+WITH o AS (
+    SELECT o_custkey, epoch_us(o_orderdate) AS us,
+           lag(epoch_us(o_orderdate)) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ) AS prev_us
+    FROM orders
+)
+SELECT o_custkey,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(1 + SUM(CASE WHEN prev_us IS NOT NULL
+                          AND (us - prev_us) // {86_400 * 1_000_000}
+                              >= {STREAK_GAP_DAYS}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_streaks
+FROM o GROUP BY 1 ORDER BY 1
+"""
+
+
+def nation_revenue_share_sql() -> str:
+    return f"""
+WITH base AS ({q5_nation_revenue_sql()})
+SELECT n_name, revenue_cents,
+       CAST(SUM(revenue_cents) OVER () AS BIGINT) AS total_cents,
+       CAST(revenue_cents * 1000 // GREATEST(SUM(revenue_cents) OVER (), 1)
+            AS BIGINT) AS share_permille
+FROM base ORDER BY n_name
+"""

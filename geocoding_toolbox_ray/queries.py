@@ -6763,3 +6763,69 @@ def bpe_encode_tokens(sf_dir: str, n_merges: int = 10):
 
     docs = _read(sf_dir, "documents", columns=["doc_id", "text"])
     return docs.map_batches(_encode, batch_format="pandas")
+
+
+# ----------------------------- gaps & islands / percent-of-total
+
+STREAK_GAP_DAYS = 30
+
+
+def customer_order_streaks(sf_dir: str):
+    """Gaps-and-islands: per customer, the number of order 'streaks'
+    (runs of consecutive orders < STREAK_GAP_DAYS apart) plus total
+    orders — the classic sessionize-on-irregular-keys shape, at order
+    granularity.  One coarse customer-bucket shuffle; inside a bucket
+    the streak count is 1 + count of over-gap breaks, fully vectorized
+    (sort + shift), identical tie order to the oracle's window."""
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_orderdate"])
+
+    def _bucket(t: pa.Table) -> pd.DataFrame:
+        ck = np.asarray(t["o_custkey"].to_numpy(zero_copy_only=False), np.int64)
+        df = pd.DataFrame(
+            {
+                "o_custkey": ck,
+                "o_orderkey": np.asarray(t["o_orderkey"].to_numpy(zero_copy_only=False), np.int64),
+                "us": t["o_orderdate"].to_pandas().astype("datetime64[us]").astype(np.int64),
+            }
+        )
+        df["bucket"] = ((ck * 2654435761) % 4294967296) % SESSION_BUCKETS
+        return df
+
+    def _streaks(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_custkey", "us", "o_orderkey"], kind="mergesort")
+        ck = g["o_custkey"].to_numpy(np.int64)
+        us = g["us"].to_numpy(np.int64)
+        same = np.zeros(len(g), bool)
+        same[1:] = ck[1:] == ck[:-1]
+        gap_days = np.zeros(len(g), np.int64)
+        gap_days[1:] = (us[1:] - us[:-1]) // (86_400 * 1_000_000)
+        brk = (same & (gap_days >= STREAK_GAP_DAYS)).astype(np.int64)
+        s = pd.DataFrame({"ck": ck, "brk": brk}).groupby("ck", sort=False)["brk"]
+        return pd.DataFrame(
+            {
+                "o_custkey": s.sum().index.to_numpy(np.int64),
+                "n_orders": s.size().to_numpy(np.int64),
+                "n_streaks": (s.sum() + 1).to_numpy(np.int64),
+            }
+        )
+
+    return (
+        orders.map_batches(_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_streaks, batch_format="pandas")
+    )
+
+
+def nation_revenue_share(sf_dir: str) -> pd.DataFrame:
+    """Percent-of-total (ratio-to-report window): each nation's
+    local-supplier revenue next to the global total and its exact
+    floor(permille) share — the SUM() OVER () shape without a second
+    pass: the bounded per-nation aggregate already holds the total."""
+    base = q5_nation_revenue(sf_dir)
+    total = int(base["revenue_cents"].sum())
+    out = base[["n_name", "revenue_cents"]].copy()
+    out["total_cents"] = np.int64(total)
+    out["share_permille"] = (
+        out["revenue_cents"].to_numpy(np.int64) * 1000 // max(total, 1)
+    ).astype(np.int64)
+    return out

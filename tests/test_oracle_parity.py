@@ -728,3 +728,16 @@ def test_points_in_bbox_pruned_parity(ray_session, con):
         entrymod.oracle_sql()["points_in_bbox_pruned"],
         con,
     )
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "customer_order_streaks",
+        "nation_revenue_share",
+    ],
+)
+def test_wave11_additions_parity(name, ray_session, con):
+    import __ray_entry__ as entrymod
+
+    compare(entrymod.queries()[name](SF_DIR), entrymod.oracle_sql()[name], con)
