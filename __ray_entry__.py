@@ -307,6 +307,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_streaks": q.customer_order_streaks,
         # percent-of-total (ratio-to-report) over the Q5 aggregate
         "nation_revenue_share": q.nation_revenue_share,
+        # rect-rect proximity join (dilated bbox, cell-bucket shuffle)
+        "parcel_proximity_pairs": q.parcel_proximity_pairs,
+        # CUSUM-style running-sum drift alarm per user
+        "user_cusum_alarm": q.user_cusum_alarm,
         # --- near-dup ops (exact SQL replicas incl. hash families).
         #     NOTE: every oracle-backed name MUST precede every rows-only
         #     entry — the driver checks registry order (round-2 verdict:
@@ -517,4 +521,6 @@ def oracle_sql() -> dict[str, str]:
         "points_in_bbox_pruned": oracle.points_in_bbox_pruned_sql(),
         "customer_order_streaks": oracle.customer_order_streaks_sql(),
         "nation_revenue_share": oracle.nation_revenue_share_sql(),
+        "parcel_proximity_pairs": oracle.parcel_proximity_pairs_sql(),
+        "user_cusum_alarm": oracle.user_cusum_alarm_sql(),
     }

@@ -3199,3 +3199,50 @@ SELECT n_name, revenue_cents,
             AS BIGINT) AS share_permille
 FROM base ORDER BY n_name
 """
+
+
+def parcel_proximity_pairs_sql() -> str:
+    """Rect proximity twin: identical dilated-box floats (same literal
+    constants, same left-assoc arithmetic), full pairwise predicate —
+    the engine's cell-bucket candidates + report-once rule must be
+    output-invisible."""
+    from .queries import PARCEL_PROX_D
+    from .sources.synthetic import PARCEL_HALF
+
+    half = PARCEL_PROX_D / 2.0
+    return f"""
+WITH {address_points_values_sql('ap')},
+p AS (
+    SELECT point_id AS pid,
+           x - {PARCEL_HALF!r} - {half!r} AS ex0, x + {PARCEL_HALF!r} + {half!r} AS ex1,
+           y - {PARCEL_HALF!r} - {half!r} AS ey0, y + {PARCEL_HALF!r} + {half!r} AS ey1
+    FROM ap
+)
+SELECT CAST(a.pid AS BIGINT) AS pa, CAST(b.pid AS BIGINT) AS pb
+FROM p a JOIN p b ON a.pid < b.pid
+WHERE a.ex0 < b.ex1 AND b.ex0 < a.ex1 AND a.ey0 < b.ey1 AND b.ey0 < a.ey1
+ORDER BY 1, 2
+"""
+
+
+def user_cusum_alarm_sql() -> str:
+    from .queries import CUSUM_SLOPE_CENTS
+
+    return f"""
+WITH e AS (
+    SELECT user_id, event_id,
+           SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run,
+           CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                AS BIGINT) AS pos
+    FROM events
+),
+a AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY pos) AS rn
+    FROM e WHERE run > {CUSUM_SLOPE_CENTS} * pos
+)
+SELECT user_id, event_id AS alarm_event_id, pos AS alarm_pos,
+       CAST(run AS BIGINT) AS run_cents
+FROM a WHERE rn = 1 ORDER BY user_id
+"""

@@ -6829,3 +6829,169 @@ def nation_revenue_share(sf_dir: str) -> pd.DataFrame:
         out["revenue_cents"].to_numpy(np.int64) * 1000 // max(total, 1)
     ).astype(np.int64)
     return out
+
+
+# ------------------- rectangle proximity join / CUSUM alarm
+
+PARCEL_PROX_D = 500.0  #: L-inf gap (m) for the buffered parcel pair join
+
+
+def parcel_proximity_pairs(sf_dir: str):
+    """Polygon-polygon proximity join: all parcel pairs whose rectangles
+    come within PARCEL_PROX_D meters (L-inf).  Each parcel's D/2-dilated
+    bbox flat-maps to its covering res-9 cells; candidate pairs form
+    inside ONE cell-bucket shuffle and deduplicate by the standard
+    report-once rule (only the cell containing the dilated intersection's
+    min corner emits) — the rect-rect twin of spatial_cell_join, no
+    broadcast side, replication bounded by the dilation/cell ratio."""
+    import ray.data as rd
+
+    from .functions.cells import EXTENT, X0, Y0
+    from .sources.synthetic import PARCEL_HALF, address_points_table
+
+    res = 9
+    n = 1 << res
+    s = EXTENT / n
+    half = PARCEL_PROX_D / 2.0
+
+    ap = address_points_table()
+    pid = np.arange(1, ap.num_rows + 1, dtype=np.int64)
+    base = pa.table(
+        {
+            "pid": pa.array(pid),
+            "x": ap["x"],
+            "y": ap["y"],
+        }
+    )
+    parcels = rd.from_arrow(base)
+
+    def _cover(t: pa.Table) -> pd.DataFrame:
+        p = np.asarray(t["pid"].to_numpy(zero_copy_only=False), np.int64)
+        x = np.asarray(t["x"].to_numpy(zero_copy_only=False), np.float64)
+        y = np.asarray(t["y"].to_numpy(zero_copy_only=False), np.float64)
+        ex0, ex1 = x - PARCEL_HALF - half, x + PARCEL_HALF + half
+        ey0, ey1 = y - PARCEL_HALF - half, y + PARCEL_HALF + half
+        ix0 = np.clip(np.floor((ex0 - X0) / s), 0, n - 1).astype(np.int64)
+        ix1 = np.clip(np.floor((ex1 - X0) / s), 0, n - 1).astype(np.int64)
+        iy0 = np.clip(np.floor((ey0 - Y0) / s), 0, n - 1).astype(np.int64)
+        iy1 = np.clip(np.floor((ey1 - Y0) / s), 0, n - 1).astype(np.int64)
+        rows = []
+        # dilation (<= 520 m) vs 1 km cells: at most 2x2 cells per parcel
+        for dx in (0, 1):
+            for dy in (0, 1):
+                cx = np.minimum(ix0 + dx, ix1)
+                cy = np.minimum(iy0 + dy, iy1)
+                rows.append(
+                    pd.DataFrame(
+                        {"cell": cy * n + cx, "pid": p, "x": x, "y": y,
+                         "ex0": ex0, "ey0": ey0, "ex1": ex1, "ey1": ey1}
+                    )
+                )
+        out = pd.concat(rows).drop_duplicates(["cell", "pid"])
+        out["bucket"] = ((out["cell"].to_numpy(np.int64) * 2654435761) % 4294967296) % SESSION_BUCKETS
+        return out
+
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        res_rows = []
+        for cell, sub in g.groupby("cell", sort=False):
+            m = sub.merge(sub, on="cell")
+            m = m[m["pid_x"] < m["pid_y"]]
+            if not len(m):
+                continue
+            # dilated boxes overlap (open) == L-inf gap < D
+            ok = (
+                (m["ex0_x"] < m["ex1_y"]) & (m["ex0_y"] < m["ex1_x"])
+                & (m["ey0_x"] < m["ey1_y"]) & (m["ey0_y"] < m["ey1_x"])
+            )
+            m = m[ok]
+            if not len(m):
+                continue
+            # report-once: only the cell holding the intersection min corner
+            mx = np.maximum(m["ex0_x"].to_numpy(), m["ex0_y"].to_numpy())
+            my = np.maximum(m["ey0_x"].to_numpy(), m["ey0_y"].to_numpy())
+            cix = np.clip(np.floor((mx - X0) / s), 0, n - 1).astype(np.int64)
+            ciy = np.clip(np.floor((my - Y0) / s), 0, n - 1).astype(np.int64)
+            keep = (ciy * n + cix) == cell
+            if keep.any():
+                res_rows.append(
+                    pd.DataFrame(
+                        {"pa": m["pid_x"].to_numpy(np.int64)[keep],
+                         "pb": m["pid_y"].to_numpy(np.int64)[keep]}
+                    )
+                )
+        if not res_rows:
+            return pd.DataFrame({"pa": pd.array([], "int64"), "pb": pd.array([], "int64")})
+        return pd.concat(res_rows).reset_index(drop=True)
+
+    return (
+        parcels.map_batches(_cover, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_pairs, batch_format="pandas")
+    )
+
+
+CUSUM_SLOPE_CENTS = 5000  #: alarm when a user's running value sum exceeds slope*i
+
+
+def user_cusum_alarm(sf_dir: str):
+    """CUSUM-style drift alarm per user: walking the (ts, event_id)-
+    ordered stream, flag the FIRST event where the running cents sum
+    exceeds CUSUM_SLOPE_CENTS x (events so far) — the streaming-monitor
+    shape (is this meter running hot?).  One user-bucket shuffle,
+    vectorized cumsum + argmax per bucket; output is one row per alarmed
+    user with the crossing event."""
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
+
+    def _bucket(t: pa.Table) -> pd.DataFrame:
+        uid = np.asarray(t["user_id"].to_numpy(zero_copy_only=False), np.int64)
+        df = pd.DataFrame(
+            {
+                "user_id": uid,
+                "event_id": np.asarray(t["event_id"].to_numpy(zero_copy_only=False), np.int64),
+                "us": t["ts"].to_pandas().astype("datetime64[us]").astype(np.int64),
+                "cents": np.floor(
+                    np.asarray(t["value"].to_numpy(zero_copy_only=False), np.float64) * 100.0
+                    + 0.5
+                ).astype(np.int64),
+            }
+        )
+        df["bucket"] = ((uid * 2654435761) % 4294967296) % SESSION_BUCKETS
+        return df
+
+    def _alarm(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "us", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy(np.int64)
+        cents = g["cents"].to_numpy(np.int64)
+        eid = g["event_id"].to_numpy(np.int64)
+        # per-user running sum and index via segmented cumsum
+        new = np.zeros(len(g), bool)
+        new[0] = True
+        new[1:] = uid[1:] != uid[:-1]
+        grp = np.cumsum(new) - 1
+        cum = np.cumsum(cents)
+        base = np.zeros(len(g), np.int64)
+        starts = np.flatnonzero(new)
+        base[starts] = cum[starts] - cents[starts]
+        seg_base = np.maximum.accumulate(base)
+        run = cum - seg_base
+        idx = np.arange(len(g), dtype=np.int64)
+        pos = idx - np.maximum.accumulate(np.where(new, idx, 0)) + 1
+        hit = run > CUSUM_SLOPE_CENTS * pos
+        df = pd.DataFrame(
+            {"user_id": uid[hit], "event_id": eid[hit], "pos": pos[hit], "run_cents": run[hit]}
+        )
+        first = df.drop_duplicates("user_id", keep="first")
+        return pd.DataFrame(
+            {
+                "user_id": first["user_id"].to_numpy(np.int64),
+                "alarm_event_id": first["event_id"].to_numpy(np.int64),
+                "alarm_pos": first["pos"].to_numpy(np.int64),
+                "run_cents": first["run_cents"].to_numpy(np.int64),
+            }
+        )
+
+    return (
+        ev.map_batches(_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_alarm, batch_format="pandas")
+    )
