@@ -311,6 +311,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parcel_proximity_pairs": q.parcel_proximity_pairs,
         # CUSUM-style running-sum drift alarm per user
         "user_cusum_alarm": q.user_cusum_alarm,
+        # list-column vector math (quantized L2 norms, zero-copy reshape)
+        "embedding_norm_quantized": q.embedding_norm_quantized,
+        # per-group order statistics: gap between the two largest values
+        "events_top2_gap": q.events_top2_gap,
         # --- near-dup ops (exact SQL replicas incl. hash families).
         #     NOTE: every oracle-backed name MUST precede every rows-only
         #     entry — the driver checks registry order (round-2 verdict:
@@ -523,4 +527,6 @@ def oracle_sql() -> dict[str, str]:
         "nation_revenue_share": oracle.nation_revenue_share_sql(),
         "parcel_proximity_pairs": oracle.parcel_proximity_pairs_sql(),
         "user_cusum_alarm": oracle.user_cusum_alarm_sql(),
+        "embedding_norm_quantized": oracle.embedding_norm_quantized_sql(),
+        "events_top2_gap": oracle.events_top2_gap_sql(),
     }

@@ -3246,3 +3246,36 @@ SELECT user_id, event_id AS alarm_event_id, pos AS alarm_pos,
        CAST(run AS BIGINT) AS run_cents
 FROM a WHERE rn = 1 ORDER BY user_id
 """
+
+
+def embedding_norm_quantized_sql() -> str:
+    from .stages.ann import QUANT
+
+    q = f"CAST(floor(CAST(x AS DOUBLE) * {QUANT!r} + 0.5) AS BIGINT)"
+    return f"""
+SELECT vec_id,
+       CAST(len(embedding) AS BIGINT) AS dims,
+       CAST(list_sum(list_transform(embedding, x -> {q} * {q})) AS BIGINT)
+           AS norm2_q
+FROM embeddings
+"""
+
+
+def events_top2_gap_sql() -> str:
+    return """
+WITH r AS (
+    SELECT user_id, CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY CAST(floor(value * 100.0 + 0.5) AS BIGINT)
+                                  DESC) AS rn
+    FROM events
+)
+SELECT user_id,
+       CAST(MAX(CASE WHEN rn = 1 THEN cents END) AS BIGINT) AS max_cents,
+       CAST(MAX(CASE WHEN rn = 2 THEN cents END) AS BIGINT) AS second_cents,
+       CAST(MAX(CASE WHEN rn = 1 THEN cents END)
+            - MAX(CASE WHEN rn = 2 THEN cents END) AS BIGINT) AS gap_cents
+FROM r WHERE rn <= 2
+GROUP BY 1 HAVING COUNT(*) >= 2
+ORDER BY 1
+"""

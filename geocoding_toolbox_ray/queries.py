@@ -6995,3 +6995,78 @@ def user_cusum_alarm(sf_dir: str):
         .groupby("bucket")
         .map_groups(_alarm, batch_format="pandas")
     )
+
+
+# ---------------------- list-column vector math / per-group order stats
+
+def embedding_norm_quantized(sf_dir: str):
+    """List-column vector math with an exact oracle: per embedding, the
+    quantized squared L2 norm (stages/ann.py QUANT grid, every product
+    < 2^62) and the dimension count — computed as one zero-copy
+    numpy reshape per batch (fixed-width lists), never a Python loop
+    over elements; DuckDB replicates with a list_transform lambda."""
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def _f(t: pa.Table) -> pa.Table:
+        from .stages.ann import QUANT
+
+        col = t["embedding"].combine_chunks()
+        flat = np.asarray(col.flatten().to_numpy(zero_copy_only=False), np.float64)
+        offs = np.asarray(col.offsets.to_numpy(zero_copy_only=False), np.int64)
+        qv = np.floor(flat * QUANT + 0.5).astype(np.int64)
+        sq = qv * qv
+        cum = np.concatenate([[0], np.cumsum(sq)])
+        norm2 = cum[offs[1:]] - cum[offs[:-1]]
+        return pa.table(
+            {
+                "vec_id": t["vec_id"],
+                "dims": pa.array(offs[1:] - offs[:-1], pa.int64()),
+                "norm2_q": pa.array(norm2, pa.int64()),
+            }
+        )
+
+    return emb.map_batches(_f, batch_format="pyarrow")
+
+
+def events_top2_gap(sf_dir: str):
+    """Per-user order statistics: the gap between the two largest event
+    values (cents) — the '2nd max' shape that plain aggregates can't
+    express.  Per-batch partial top-2 per user bounds the shuffle at two
+    rows per (user, batch); buckets re-take top-2 vectorized.  Users
+    with a single event drop out (no gap), same as the oracle's n >= 2
+    filter."""
+    ev = _read(sf_dir, "events", columns=["user_id", "value"])
+
+    def _partial(t: pa.Table) -> pd.DataFrame:
+        uid = np.asarray(t["user_id"].to_numpy(zero_copy_only=False), np.int64)
+        cents = np.floor(
+            np.asarray(t["value"].to_numpy(zero_copy_only=False), np.float64) * 100.0 + 0.5
+        ).astype(np.int64)
+        df = pd.DataFrame({"user_id": uid, "cents": cents})
+        df = df.sort_values(["user_id", "cents"], ascending=[True, False], kind="mergesort")
+        out = df.groupby("user_id", sort=False).head(2)
+        out["bucket"] = ((out["user_id"].to_numpy(np.int64) * 2654435761) % 4294967296) % SESSION_BUCKETS
+        return out
+
+    def _gap(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "cents"], ascending=[True, False], kind="mergesort")
+        top2 = g.groupby("user_id", sort=False).head(2)
+        s = top2.groupby("user_id", sort=False)["cents"]
+        n = s.size()
+        mx = s.max()
+        mn = s.min()
+        keep = n >= 2
+        return pd.DataFrame(
+            {
+                "user_id": mx.index.to_numpy(np.int64)[keep.to_numpy()],
+                "max_cents": mx.to_numpy(np.int64)[keep.to_numpy()],
+                "second_cents": mn.to_numpy(np.int64)[keep.to_numpy()],
+                "gap_cents": (mx - mn).to_numpy(np.int64)[keep.to_numpy()],
+            }
+        )
+
+    return (
+        ev.map_batches(_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_gap, batch_format="pandas")
+    )
