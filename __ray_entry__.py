@@ -315,6 +315,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_norm_quantized": q.embedding_norm_quantized,
         # per-group order statistics: gap between the two largest values
         "events_top2_gap": q.events_top2_gap,
+        # calendar rollup: revenue per (year, quarter)
+        "orders_quarterly_revenue": q.orders_quarterly_revenue,
+        # cross-table derived-duration histogram (order->ship delay bins)
+        "lineitem_ship_delay_histogram": q.lineitem_ship_delay_histogram,
         # --- near-dup ops (exact SQL replicas incl. hash families).
         #     NOTE: every oracle-backed name MUST precede every rows-only
         #     entry — the driver checks registry order (round-2 verdict:
@@ -529,4 +533,6 @@ def oracle_sql() -> dict[str, str]:
         "user_cusum_alarm": oracle.user_cusum_alarm_sql(),
         "embedding_norm_quantized": oracle.embedding_norm_quantized_sql(),
         "events_top2_gap": oracle.events_top2_gap_sql(),
+        "orders_quarterly_revenue": oracle.orders_quarterly_revenue_sql(),
+        "lineitem_ship_delay_histogram": oracle.lineitem_ship_delay_histogram_sql(),
     }

@@ -3279,3 +3279,27 @@ FROM r WHERE rn <= 2
 GROUP BY 1 HAVING COUNT(*) >= 2
 ORDER BY 1
 """
+
+
+def orders_quarterly_revenue_sql() -> str:
+    return """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS year,
+       CAST((month(o_orderdate) - 1) // 3 + 1 AS BIGINT) AS quarter,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS revenue_cents
+FROM orders GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def lineitem_ship_delay_histogram_sql() -> str:
+    from .queries import DELAY_BIN_DAYS
+
+    return f"""
+SELECT CAST((date_diff('day', date_trunc('day', o.o_orderdate),
+                       date_trunc('day', l.l_shipdate)) + 300000)
+            // {DELAY_BIN_DAYS} - {300_000 // DELAY_BIN_DAYS} AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+GROUP BY 1 ORDER BY 1
+"""

@@ -7070,3 +7070,97 @@ def events_top2_gap(sf_dir: str):
         .groupby("bucket")
         .map_groups(_gap, batch_format="pandas")
     )
+
+
+# --------------------------- calendar rollup / ship-delay histogram
+
+def orders_quarterly_revenue(sf_dir: str):
+    """Calendar rollup: revenue per (year, fiscal quarter).  Per-batch
+    partials reduce to a bounded (year x 4) key space, so the Ray groupby
+    is safe; year/quarter come from the same calendar functions on both
+    sides (pyarrow temporal kernels vs DuckDB year()/month())."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    orders = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def _partial(t: pa.Table) -> pd.DataFrame:
+        year = pc.year(t["o_orderdate"]).to_numpy(zero_copy_only=False).astype(np.int64)
+        month = pc.month(t["o_orderdate"]).to_numpy(zero_copy_only=False).astype(np.int64)
+        quarter = (month - 1) // 3 + 1
+        cents = np.floor(
+            np.asarray(t["o_totalprice"].to_numpy(zero_copy_only=False), np.float64) * 100.0
+            + 0.5
+        ).astype(np.int64)
+        df = pd.DataFrame({"year": year, "quarter": quarter, "cents": cents})
+        out = df.groupby(["year", "quarter"], sort=False).agg(
+            part_n=("cents", "size"), part_cents=("cents", "sum")
+        ).reset_index()
+        return out.astype({c: np.int64 for c in out.columns})
+
+    return (
+        orders.map_batches(_partial, batch_format="pyarrow")
+        .groupby(["year", "quarter"])
+        .aggregate(Sum("part_n", alias_name="n"), Sum("part_cents", alias_name="revenue_cents"))
+    )
+
+
+DELAY_BIN_DAYS = 30
+
+
+def lineitem_ship_delay_histogram(sf_dir: str):
+    """Cross-table derived-duration histogram: days between order date
+    and line-item ship date, binned into DELAY_BIN_DAYS buckets.  The
+    order-date lookup is a sorted-array broadcast built remotely (the
+    fact never shuffles); per-batch bincount partials leave a bounded
+    bin-keyed groupby."""
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .stages.dedup import _sorted_kv_task
+
+    def _day_col(col) -> np.ndarray:
+        day = pc.cast(
+            pc.days_between(
+                pa.scalar(pd.Timestamp("1990-01-01"), pa.timestamp("us")),
+                pc.floor_temporal(col, unit="day"),
+            ),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        return np.asarray(day, np.int64)
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"]).map_batches(
+        lambda t: pa.table(
+            {
+                "k": t["o_orderkey"],
+                "v": pa.array(_day_col(t["o_orderdate"])),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    refs = [br for b in orders.iter_internal_ref_bundles() for br in b.block_refs]
+    kv_ref = _sorted_kv_task.remote(refs, "k", "v")
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+
+    def _partial(t: pa.Table) -> pd.DataFrame:
+        ks, vs = ray.get(kv_ref)
+        ok = np.asarray(t["l_orderkey"].to_numpy(zero_copy_only=False), np.int64)
+        oday = vs[np.searchsorted(ks, ok)]
+        sday = _day_col(t["l_shipdate"])
+        delay = sday - oday
+        # negative delays exist in the synthetic data; numpy // floors
+        # while DuckDB // truncates toward zero — offset to positive so
+        # floor == trunc on both sides (CLAUDE.md week-index trick)
+        bin_id = (delay + 300_000) // DELAY_BIN_DAYS - 300_000 // DELAY_BIN_DAYS
+        u, inv = np.unique(bin_id, return_inverse=True)
+        return pd.DataFrame(
+            {"bin": u.astype(np.int64), "part_n": np.bincount(inv).astype(np.int64)}
+        )
+
+    return (
+        li.map_batches(_partial, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(Sum("part_n", alias_name="n"))
+    )
