@@ -2765,8 +2765,10 @@ def customer_nation_bbox_sql() -> str:
     """ST_Extent analog over the customer lattice points; the lattice ->
     meters projection is the same pure-affine map as the engine (exact
     in float64)."""
+    from .functions.cells import EXTENT, X0, Y0
     from .queries import BBOX_MULT_X, BBOX_MULT_Y
 
+    step = EXTENT / 4096
     return f"""
 WITH pts AS (
     SELECT CAST(c_nationkey AS BIGINT) AS n_nationkey,
@@ -2776,10 +2778,10 @@ WITH pts AS (
 )
 SELECT p.n_nationkey, n.n_name,
        CAST(COUNT(*) AS BIGINT) AS n_points,
-       200000.0 + MIN(ix) * 125.0 AS min_x,
-       200000.0 + MAX(ix) * 125.0 AS max_x,
-       4000000.0 + MIN(iy) * 125.0 AS min_y,
-       4000000.0 + MAX(iy) * 125.0 AS max_y
+       {X0!r} + MIN(ix) * {step!r} AS min_x,
+       {X0!r} + MAX(ix) * {step!r} AS max_x,
+       {Y0!r} + MIN(iy) * {step!r} AS min_y,
+       {Y0!r} + MAX(iy) * {step!r} AS max_y
 FROM pts p JOIN nation n ON n.n_nationkey = p.n_nationkey
 GROUP BY 1, 2 ORDER BY 1
 """

@@ -954,6 +954,14 @@ def events_window(sf_dir: str):
 
 SESSION_BUCKETS = 64
 
+# Integer packing stride for (order, supplier) / (supplier, supplier)
+# keys in the co-supply graph ops: exact for any suppkey < SUPP_PACK and
+# orderkey < 2**63 // SUPP_PACK (~9.2e12).  Every pack site asserts the
+# bound — a larger key space must widen this constant, never silently
+# corrupt the graph (round-3 ADVICE: sf0.1 already hits suppkey 999 under
+# the old stride of 1000).
+SUPP_PACK = 1_000_000
+
 
 def sessionize(sf_dir: str):
     """Gap-based sessionization (30-min gap).  Users are hashed into
@@ -4863,9 +4871,10 @@ def supplier_degree_histogram(sf_dir: str) -> pd.DataFrame:
         # enough for a non-degenerate degree distribution at small scale
         keep = ok % 10 == 0
         ok, sk = ok[keep], sk[keep]
-        key = ok * 1000 + sk
+        assert len(sk) == 0 or sk.max() < SUPP_PACK, "widen SUPP_PACK"
+        key = ok * SUPP_PACK + sk
         u = np.unique(key)
-        ok_u, sk_u = u // 1000, u % 1000
+        ok_u, sk_u = u // SUPP_PACK, u % SUPP_PACK
         return pd.DataFrame(
             {
                 "bucket": ((ok_u * 2654435761) % 4294967296) % SESSION_BUCKETS,
@@ -4879,7 +4888,7 @@ def supplier_degree_histogram(sf_dir: str) -> pd.DataFrame:
         m = g.merge(g, on="ok")
         m = m[m["sk_x"] < m["sk_y"]]
         m = m.drop_duplicates(["sk_x", "sk_y"])
-        pk = m["sk_x"].to_numpy(np.int64) * 1000 + m["sk_y"].to_numpy(np.int64)
+        pk = m["sk_x"].to_numpy(np.int64) * SUPP_PACK + m["sk_y"].to_numpy(np.int64)
         return pd.DataFrame(
             {
                 "pbucket": ((pk * 2654435761) % 4294967296) % SESSION_BUCKETS,
@@ -4931,10 +4940,10 @@ def supplier_triangles(sf_dir: str) -> pd.DataFrame:
     def _inc(t: pa.Table) -> pd.DataFrame:
         ok = np.asarray(t["l_orderkey"].to_numpy(zero_copy_only=False), np.int64)
         sk = np.asarray(t["l_suppkey"].to_numpy(zero_copy_only=False), np.int64)
-        assert len(sk) == 0 or sk.max() < 1000, "packing assumes suppkey < 1000"
-        key = ok * 1000 + sk  # packed (order, supplier) distinct
+        assert len(sk) == 0 or sk.max() < SUPP_PACK, "widen SUPP_PACK"
+        key = ok * SUPP_PACK + sk  # packed (order, supplier) distinct
         u = np.unique(key)
-        ok_u, sk_u = u // 1000, u % 1000
+        ok_u, sk_u = u // SUPP_PACK, u % SUPP_PACK
         return pd.DataFrame(
             {
                 "bucket": ((ok_u * 2654435761) % 4294967296) % SESSION_BUCKETS,
@@ -4954,7 +4963,7 @@ def supplier_triangles(sf_dir: str) -> pd.DataFrame:
             )
         s = m.groupby(["sk_x", "sk_y"], sort=False).size()
         idx = s.index.to_frame(index=False)
-        pk = idx["sk_x"].to_numpy(np.int64) * 1000 + idx["sk_y"].to_numpy(np.int64)
+        pk = idx["sk_x"].to_numpy(np.int64) * SUPP_PACK + idx["sk_y"].to_numpy(np.int64)
         return pd.DataFrame(
             {
                 "pbucket": ((pk * 2654435761) % 4294967296) % SESSION_BUCKETS,
@@ -5538,13 +5547,16 @@ def customer_nation_bbox(sf_dir: str) -> pd.DataFrame:
     nat["n_nationkey"] = nat["n_nationkey"].astype(np.int64)
     out = agg.merge(nat, on="n_nationkey")
     out["n_points"] = out["n_points"].astype(np.int64)
+    from .functions.cells import EXTENT
+
+    step = EXTENT / 4096  # shared grid constants, same as the oracle SQL
     for src, dst, origin in (
         ("min_ix", "min_x", X0),
         ("max_ix", "max_x", X0),
         ("min_iy", "min_y", Y0),
         ("max_iy", "max_y", Y0),
     ):
-        out[dst] = origin + out[src].to_numpy(np.int64).astype(np.float64) * 125.0
+        out[dst] = origin + out[src].to_numpy(np.int64).astype(np.float64) * step
     cols = ["n_nationkey", "n_name", "n_points", "min_x", "max_x", "min_y", "max_y"]
     return out[cols].sort_values("n_nationkey").reset_index(drop=True)
 
@@ -6197,13 +6209,14 @@ def supplier_bfs_distance(sf_dir: str) -> pd.DataFrame:
         sk = np.asarray(t["l_suppkey"].to_numpy(zero_copy_only=False), np.int64)
         keep = ok % BFS_ORDER_MOD == 0
         ok, sk = ok[keep], sk[keep]
-        key = ok * 1000 + sk
+        assert len(sk) == 0 or sk.max() < SUPP_PACK, "widen SUPP_PACK"
+        key = ok * SUPP_PACK + sk
         u = np.unique(key)
         return pd.DataFrame(
             {
-                "bucket": ((u // 1000 * 2654435761) % 4294967296) % SESSION_BUCKETS,
-                "ok": u // 1000,
-                "sk": u % 1000,
+                "bucket": ((u // SUPP_PACK * 2654435761) % 4294967296) % SESSION_BUCKETS,
+                "ok": u // SUPP_PACK,
+                "sk": u % SUPP_PACK,
             }
         )
 
@@ -6969,10 +6982,11 @@ def user_cusum_alarm(sf_dir: str):
         new[1:] = uid[1:] != uid[:-1]
         grp = np.cumsum(new) - 1
         cum = np.cumsum(cents)
-        base = np.zeros(len(g), np.int64)
         starts = np.flatnonzero(new)
-        base[starts] = cum[starts] - cents[starts]
-        seg_base = np.maximum.accumulate(base)
+        # exact per-segment base via the segment id — sign-independent
+        # (maximum.accumulate over a zero-initialized base is only right
+        # when every running sum stays non-negative; round-3 ADVICE)
+        seg_base = (cum[starts] - cents[starts])[grp]
         run = cum - seg_base
         idx = np.arange(len(g), dtype=np.int64)
         pos = idx - np.maximum.accumulate(np.where(new, idx, 0)) + 1
