@@ -82,278 +82,231 @@ def _curate_pages_query(sf_dir: str):
     return curate_pages(pages)
 
 
+# ----------------------------------------------------------------------
+# Registry ordering.  The driver verifies the FIRST 50 entries of
+# ``queries()`` against ``oracle_sql()`` each round, so the order below
+# IS the verification schedule (round-3 verdict #1): rotate a window of
+# never-hash-verified oracle-backed queries to the front each round
+# until all 175 have a green driver row.  Every oracle-backed name must
+# precede every rows-only name.
+
+# Round-4 window: 2 anchors (geocode_orders, counters_report) + 48
+# oracle-backed queries with no hash-verified CORRECTNESS row in r01-r03.
+_WINDOW_R4 = [
+    "geocode_orders",
+    "counters_report",
+    "minhash_dup_pairs",
+    "simhash_dup_pairs",
+    "ngram_jaccard_pairs",
+    "dedup_clusters",
+    "geocode_pages",
+    "geocode_pages_dedup",
+    "curate_pages",
+    "curate_then_pack",
+    "pagerank_suppliers",
+    "knn_graph",
+    "q3_shipping_priority",
+    "q5_nation_revenue",
+    "token_heavy_hitters",
+    "token_cooccurrence",
+    "orders_price_rank",
+    "ngram_novelty",
+    "shared_passage_pairs",
+    "pages_domain_cap",
+    "pages_host_reputation",
+    "geocode_pages_tile_counts",
+    "pages_html_extract_verify",
+    "token_count_documents_jsonl",
+    "supplier_triangles",
+    "supplier_bfs_distance",
+    "customer_nation_bbox",
+    "raster_focal_sum",
+    "points_in_bbox_pruned",
+    "events_recent_pruned",
+    "orders_upsert",
+    "events_dedup_hourly",
+    "name_typo_pairs",
+    "orders_table_checksum",
+    "events_hourly_median",
+    "event_transitions",
+    "user_retention_cohorts",
+    "orders_trend_by_priority",
+    "events_melt",
+    "fk_integrity_audit",
+    "lineitem_weighted_median",
+    "cell_week_distinct_orders",
+    "customer_latest_order",
+    "rolling_active_users",
+    "order_od_matrix",
+    "tfidf_search_topk",
+    "repetition_signals_documents",
+    "feature_hash_documents",
+    "embedding_centroids",
+    "pages_boilerplate_strip",
+]
+
+# Remaining never-hash-verified backlog — the round-5 rotation queue
+# (keep these immediately after the window so the next rotation is a
+# simple list swap).
+_BACKLOG = [
+    "token_cms_topk",
+    "sequence_packing",
+    "sequence_packing_shuffled",
+    "document_chunks",
+    "streaming_watermark",
+    "weighted_sample_orders",
+    "orders_range_join",
+    "orders_price_percentiles",
+    "bpe_pair_counts",
+    "order_lineitem_revenue",
+    "order_lineitem_revenue_bcast",
+    "events_resample_ffill",
+    "orders_price_ntile",
+    "customer_running_total",
+    "orders_interorder_gap",
+    "lineitem_moments",
+    "user_mode_event_type",
+    "orders_validation_report",
+    "revenue_rollup",
+    "order_fulfillment_left",
+    "order_fulfillment_left_shuffle",
+    "user_event_pivot",
+    "view_purchase_funnel",
+    "orders_price_histogram",
+    "orders_above_customer_avg",
+    "customers_per_region",
+    "training_mixture",
+    "user_journeys",
+    "customers_with_orders",
+    "orders_without_lineitems_anti",
+    "revenue_cube",
+    "delta_new_documents",
+    "orders_price_outliers",
+    "order_route_l1",
+    "tile_cover_lineitem",
+    "events_props_extract",
+    "orders_profile",
+    "orders_keyset_page",
+    "key_skew_report",
+    "repeat_customers_intersect",
+    "documents_store_compaction",
+    "part_brand_target_encoding",
+    "events_daily_dense",
+    "doc_sentence_stats",
+    "orders_top_prices_with_ties",
+    "user_time_weighted_value",
+    "customer_order_streaks",
+    "nation_revenue_share",
+    "parcel_proximity_pairs",
+    "user_cusum_alarm",
+    "embedding_norm_quantized",
+    "events_top2_gap",
+    "orders_quarterly_revenue",
+    "lineitem_ship_delay_histogram",
+]
+
+# Already hash-verified in r01-r03 (green driver row exists).
+_VERIFIED = [
+    "geocode_orders_dedup",
+    "cleanse_street_documents",
+    "cleanse_zone_orders",
+    "pip_join",
+    "knn_join",
+    "knn_topk_join",
+    "points_within_radius",
+    "parcel_zonal_stats",
+    "reverse_geocode_lineitem",
+    "q6_forecast_revenue",
+    "nation_trade_coverage",
+    "customer_status_full_join",
+    "cell_encode_lineitem",
+    "geohash_lineitem",
+    "url_canonicalize",
+    "events_decayed_value",
+    "parcel_tile_cover",
+    "spatial_cell_join",
+    "quality_lr_score",
+    "supplier_degree_histogram",
+    "doc_type_token_ratio",
+    "documents_sink_roundtrip",
+    "key_uniqueness_audit",
+    "customer_coverage_days",
+    "address_point_density",
+    "tile_assign_lineitem",
+    "tile_counts",
+    "tile_counts_salted",
+    "tile_pyramid",
+    "distinct_orders_per_returnflag",
+    "distinct_orders_per_returnflag_salted",
+    "geocode_orders_centerlines",
+    "geocode_orders_wgs84",
+    "geocode_pobox",
+    "geocode_orders_units",
+    "geocode_join_orders",
+    "orders_without_lineitems",
+    "cell_skew_topk",
+    "sample_orders",
+    "stratified_sample_events",
+    "tile_raster_sparse",
+    "top_tiles_sorted",
+    "distinct_event_types",
+    "token_count_documents",
+    "bpe_token_count_documents",
+    "lang_id_documents",
+    "quality_documents",
+    "doc_fingerprint",
+    "doc_rolling_fp",
+    "dedup_exact",
+    "quality_filter_documents",
+    "documents_deduped",
+    "documents_near_deduped",
+    "curated_documents",
+    "token_histogram",
+    "contamination_flags",
+    "redact_documents",
+    "split_assignment",
+    "doc_length_percentiles",
+    "media_features",
+    "media_frames",
+    "ann_topk_quantized",
+    "streaming_user_state",
+    "events_window",
+    "events_sliding_window",
+    "events_asof_join",
+    "sessionize",
+    "q1_pricing_summary",
+    "top_customers",
+    "value_band_join",
+    "top_orders_per_customer",
+]
+
+# Approximate / iterative ops without a SQL twin (rows-only check; each
+# pinned against ground truth in pytest) — MUST stay last.
+_ROWS_ONLY = [
+    "ann_topk_cosine",
+    "ann_topk_lsh",
+    "ann_topk_ivf",
+    "ann_topk_ivf_kmeans",
+    "ann_topk_ivf_pruned",
+    "ann_recall",
+    "embedding_dup_pairs",
+    "approx_distinct_users",
+    "bpe_learn_merges",
+    "bpe_encode_tokens",
+]
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from geocoding_toolbox_ray import queries as q
 
-    return {
-        # --- geocoding core (oracle-checked) ---
-        "geocode_orders": q.geocode_orders,
-        "geocode_orders_dedup": q.geocode_orders_dedup,
-        "counters_report": q.counters_report,
-        "cleanse_street_documents": q.cleanse_street_documents,
-        "cleanse_zone_orders": q.cleanse_zone_orders,
-        # --- spatial joins / indexing (oracle-checked) ---
-        "pip_join": q.pip_join,
-        "knn_join": q.knn_join,
-        "knn_topk_join": q.knn_topk_join,
-        "points_within_radius": q.points_within_radius,
-        "parcel_zonal_stats": q.parcel_zonal_stats,
-        "reverse_geocode_lineitem": q.reverse_geocode_lineitem,
-        "q6_forecast_revenue": q.q6_forecast_revenue,
-        "nation_trade_coverage": q.nation_trade_coverage,
-        "customer_status_full_join": q.customer_status_full_join,
-        "cell_encode_lineitem": q.cell_encode_lineitem,
-        "geohash_lineitem": q.geohash_lineitem,
-        "url_canonicalize": q.url_canonicalize,
-        "events_decayed_value": q.events_decayed_value,
-        "parcel_tile_cover": q.parcel_tile_cover,
-        "spatial_cell_join": q.spatial_cell_join,
-        "quality_lr_score": q.quality_lr_score,
-        "supplier_degree_histogram": q.supplier_degree_histogram,
-        "doc_type_token_ratio": q.doc_type_token_ratio,
-        "documents_sink_roundtrip": q.documents_sink_roundtrip,
-        "key_uniqueness_audit": q.key_uniqueness_audit,
-        "customer_coverage_days": q.customer_coverage_days,
-        "address_point_density": q.address_point_density,
-        "tile_assign_lineitem": q.tile_assign_lineitem,
-        "tile_counts": q.tile_counts,
-        "tile_counts_salted": q.tile_counts_salted,
-        "tile_pyramid": q.tile_pyramid,
-        "distinct_orders_per_returnflag": q.distinct_orders_per_returnflag,
-        "distinct_orders_per_returnflag_salted": q.distinct_orders_per_returnflag_salted,
-        # --- geocode parameter variants + join/skew/sampling (oracle-checked) ---
-        "geocode_orders_centerlines": q.geocode_orders_centerlines,
-        "geocode_orders_wgs84": q.geocode_orders_wgs84,
-        "geocode_pobox": q.geocode_pobox,
-        "geocode_orders_units": q.geocode_orders_units,
-        "geocode_join_orders": q.geocode_join_orders,
-        "orders_without_lineitems": q.orders_without_lineitems,
-        "cell_skew_topk": q.cell_skew_topk,
-        "sample_orders": q.sample_orders,
-        "stratified_sample_events": q.stratified_sample_events,
-        "tile_raster_sparse": q.tile_raster_sparse,
-        "top_tiles_sorted": q.top_tiles_sorted,
-        "distinct_event_types": q.distinct_event_types,
-        # --- text analysis / training-data ops (oracle-checked) ---
-        "token_count_documents": q.token_count_documents,
-        "bpe_token_count_documents": q.bpe_token_count_documents,
-        "lang_id_documents": q.lang_id_documents,
-        "quality_documents": q.quality_documents,
-        "doc_fingerprint": q.doc_fingerprint,
-        "doc_rolling_fp": q.doc_rolling_fp,
-        "dedup_exact": q.dedup_exact,
-        "quality_filter_documents": q.quality_filter_documents,
-        "documents_deduped": q.documents_deduped,
-        "documents_near_deduped": q.documents_near_deduped,
-        "curated_documents": q.curated_documents,
-        "token_histogram": q.token_histogram,
-        "token_cms_topk": q.token_cms_topk,
-        "sequence_packing": q.sequence_packing,
-        "sequence_packing_shuffled": q.sequence_packing_shuffled,
-        "document_chunks": q.document_chunks,
-        "contamination_flags": q.contamination_flags,
-        "redact_documents": q.redact_documents,
-        "split_assignment": q.split_assignment,
-        "doc_length_percentiles": q.doc_length_percentiles,
-        "media_features": q.media_features,
-        "media_frames": q.media_frames,
-        "ann_topk_quantized": q.ann_topk_quantized,
-        "streaming_user_state": q.streaming_user_state,
-        "streaming_watermark": q.streaming_watermark,
-        "events_window": q.events_window,
-        "events_sliding_window": q.events_sliding_window,
-        "events_asof_join": q.events_asof_join,
-        "sessionize": q.sessionize,
-        "q1_pricing_summary": q.q1_pricing_summary,
-        "top_customers": q.top_customers,
-        "value_band_join": q.value_band_join,
-        "top_orders_per_customer": q.top_orders_per_customer,
-        # --- round-3 additions: weighted sampling, interval join, grouped
-        #     large-domain exact percentiles (all oracle-checked) ---
-        "weighted_sample_orders": q.weighted_sample_orders,
-        "orders_range_join": q.orders_range_join,
-        "orders_price_percentiles": q.orders_price_percentiles,
-        "bpe_pair_counts": q.bpe_pair_counts,
-        # exact-integer PageRank over the lineitem x orders bipartite graph
-        "pagerank_suppliers": q.pagerank_suppliers,
-        # Gopher-style repetition signals / hashing-trick features /
-        # integer tf-idf lexical search (all oracle-checked)
-        "repetition_signals_documents": q.repetition_signals_documents,
-        "feature_hash_documents": q.feature_hash_documents,
-        "tfidf_search_topk": q.tfidf_search_topk,
-        # generic hash join, both strategies (shared oracle: the
-        # broadcast/shuffle choice must be output-invisible)
-        "order_lineitem_revenue": q.order_lineitem_revenue,
-        "order_lineitem_revenue_bcast": q.order_lineitem_revenue_bcast,
-        # per-user hourly resample + forward fill (dense grid, gap rows)
-        "events_resample_ffill": q.events_resample_ffill,
-        # TPC-H-Q3-shaped multi-join (broadcast + shuffle hash-join chain)
-        "q3_shipping_priority": q.q3_shipping_priority,
-        # global equi-depth binning via the distributed ordered prefix scan
-        "orders_price_ntile": q.orders_price_ntile,
-        # per-key window analytics (coarse-bucket + vectorized in-bucket)
-        "customer_running_total": q.customer_running_total,
-        "orders_interorder_gap": q.orders_interorder_gap,
-        "lineitem_moments": q.lineitem_moments,
-        "user_mode_event_type": q.user_mode_event_type,
-        # CCNet-style cross-page boilerplate-sentence removal
-        "pages_boilerplate_strip": q.pages_boilerplate_strip,
-        # quantized embedding centroids / expectations gate / ROLLUP
-        "embedding_centroids": q.embedding_centroids,
-        "orders_validation_report": q.orders_validation_report,
-        "revenue_rollup": q.revenue_rollup,
-        # left-outer join through the generic hash-join operator (both
-        # strategies share one oracle — join type is planner-invisible)
-        "order_fulfillment_left": q.order_fulfillment_left,
-        "order_fulfillment_left_shuffle": q.order_fulfillment_left_shuffle,
-        # crosstab pivot + ordered conversion funnel
-        "user_event_pivot": q.user_event_pivot,
-        "view_purchase_funnel": q.view_purchase_funnel,
-        # histogram / correlated-avg filter / star dimension chain
-        "orders_price_histogram": q.orders_price_histogram,
-        "orders_above_customer_avg": q.orders_above_customer_avg,
-        "customers_per_region": q.customers_per_region,
-        # exact kNN similarity graph / training-data mixture / ordered
-        # per-key string aggregation (all oracle-checked)
-        "knn_graph": q.knn_graph,
-        "training_mixture": q.training_mixture,
-        "user_journeys": q.user_journeys,
-        # semi/anti join as operator strategies + CUBE + exact heavy
-        # hitters via Misra-Gries-then-recheck (all oracle-checked)
-        "customers_with_orders": q.customers_with_orders,
-        "orders_without_lineitems_anti": q.orders_without_lineitems_anti,
-        "revenue_cube": q.revenue_cube,
-        "token_heavy_hitters": q.token_heavy_hitters,
-        # snapshot-diff ingestion dedup + exact-percentile outlier filter
-        "delta_new_documents": q.delta_new_documents,
-        "orders_price_outliers": q.orders_price_outliers,
-        # trajectory length (exact lattice integers) + buffer tile cover
-        "order_route_l1": q.order_route_l1,
-        "tile_cover_lineitem": q.tile_cover_lineitem,
-        # JSON-path extraction aggregate + dataset profile ('describe')
-        "events_props_extract": q.events_props_extract,
-        "orders_profile": q.orders_profile,
-        # time-partition-pruned read + CDC upsert/merge
-        "events_recent_pruned": q.events_recent_pruned,
-        "orders_upsert": q.orders_upsert,
-        # hourly ingestion dedup + top-K token co-occurrence matrix
-        "events_dedup_hourly": q.events_dedup_hourly,
-        "token_cooccurrence": q.token_cooccurrence,
-        # SymSpell deletion-neighborhood fuzzy-key linkage
-        "name_typo_pairs": q.name_typo_pairs,
-        # global per-row RANK via sorted value-histogram broadcast
-        "orders_price_rank": q.orders_price_rank,
-        # triangle count / anti-entropy checksum / grouped exact median
-        "supplier_triangles": q.supplier_triangles,
-        "orders_table_checksum": q.orders_table_checksum,
-        "events_hourly_median": q.events_hourly_median,
-        # Markov transition counts over per-user ordered streams
-        "event_transitions": q.event_transitions,
-        # north-star composition: geocoded pages -> ZXY tile counts
-        "geocode_pages_tile_counts": q.geocode_pages_tile_counts,
-        # JSONL (crawl-dump) source path, same oracle as the parquet op
-        "token_count_documents_jsonl": q.token_count_documents_jsonl,
-        # html-binary -> text extraction byte-identity (input_hint invariant)
-        "pages_html_extract_verify": q.pages_html_extract_verify,
-        # cohort retention matrix (first-activity cohorts x active day)
-        "user_retention_cohorts": q.user_retention_cohorts,
-        # exact-integer distributed least-squares trend
-        "orders_trend_by_priority": q.orders_trend_by_priority,
-        # TPC-H Q5-shaped local-supplier multi-dim join
-        "q5_nation_revenue": q.q5_nation_revenue,
-        # per-nation bounding-box extent aggregate (ST_Extent analog)
-        "customer_nation_bbox": q.customer_nation_bbox,
-        # UNPIVOT / melt of the per-user crosstab back to long form
-        "events_melt": q.events_melt,
-        # keyset pagination via bounded value-histogram (no global sort)
-        "orders_keyset_page": q.orders_keyset_page,
-        # cross-table FK referential-integrity audit (sorted-array probes)
-        "fk_integrity_audit": q.fk_integrity_audit,
-        # exact grouped WEIGHTED median via bounded value histograms
-        "lineitem_weighted_median": q.lineitem_weighted_median,
-        # shuffle-planning skew diagnostic (rows / distinct / max group)
-        "key_skew_report": q.key_skew_report,
-        # spatio-temporal rollup: distinct orders per (8 km cell, week)
-        "cell_week_distinct_orders": q.cell_week_distinct_orders,
-        # focal 3x3 map-algebra sum over the sparse heat raster
-        "raster_focal_sum": q.raster_focal_sum,
-        # arg-max full row per key (latest order per customer)
-        "customer_latest_order": q.customer_latest_order,
-        # set intersection: customers active in both date halves
-        "repeat_customers_intersect": q.repeat_customers_intersect,
-        # rolling 7-day distinct (WAU) via bounded window replication
-        "rolling_active_users": q.rolling_active_users,
-        # origin-destination trip matrix between res-5 cells
-        "order_od_matrix": q.order_od_matrix,
-        # BFS hop distances over the co-supply graph (recursive-CTE twin)
-        "supplier_bfs_distance": q.supplier_bfs_distance,
-        # small-file compaction with count+checksum identity audit
-        "documents_store_compaction": q.documents_store_compaction,
-        # feature-engineering target encoding (exact rational mean)
-        "part_brand_target_encoding": q.part_brand_target_encoding,
-        # zero-filled dense (day x type) grid for time-series models
-        "events_daily_dense": q.events_daily_dense,
-        # per-document sentence segmentation stats (shared RE2 pattern)
-        "doc_sentence_stats": q.doc_sentence_stats,
-        # top-k per group WITH ties (DENSE_RANK semantics)
-        "orders_top_prices_with_ties": q.orders_top_prices_with_ties,
-        # exact-rational time-weighted average per user
-        "user_time_weighted_value": q.user_time_weighted_value,
-        # full curation -> sequence-packing composition (end-to-end)
-        "curate_then_pack": q.curate_then_pack,
-        # spatial partition pruning: bbox query over the cell-keyed store
-        "points_in_bbox_pruned": q.points_in_bbox_pruned,
-        # gaps-and-islands: order streak counts per customer
-        "customer_order_streaks": q.customer_order_streaks,
-        # percent-of-total (ratio-to-report) over the Q5 aggregate
-        "nation_revenue_share": q.nation_revenue_share,
-        # rect-rect proximity join (dilated bbox, cell-bucket shuffle)
-        "parcel_proximity_pairs": q.parcel_proximity_pairs,
-        # CUSUM-style running-sum drift alarm per user
-        "user_cusum_alarm": q.user_cusum_alarm,
-        # list-column vector math (quantized L2 norms, zero-copy reshape)
-        "embedding_norm_quantized": q.embedding_norm_quantized,
-        # per-group order statistics: gap between the two largest values
-        "events_top2_gap": q.events_top2_gap,
-        # calendar rollup: revenue per (year, quarter)
-        "orders_quarterly_revenue": q.orders_quarterly_revenue,
-        # cross-table derived-duration histogram (order->ship delay bins)
-        "lineitem_ship_delay_histogram": q.lineitem_ship_delay_histogram,
-        # --- near-dup ops (exact SQL replicas incl. hash families).
-        #     NOTE: every oracle-backed name MUST precede every rows-only
-        #     entry — the driver checks registry order (round-2 verdict:
-        #     only the first 50 entries were verified). ---
-        "minhash_dup_pairs": q.minhash_dup_pairs,
-        "simhash_dup_pairs": q.simhash_dup_pairs,
-        "ngram_jaccard_pairs": q.ngram_jaccard_pairs,
-        "ngram_novelty": q.ngram_novelty,
-        "shared_passage_pairs": q.shared_passage_pairs,
-        "dedup_clusters": q.dedup_clusters,
-        # --- flagship pages pipelines, now hash-checked end to end: the
-        #     oracle regenerates the deterministic page text in SQL and
-        #     runs the identical RE2 extraction / content fingerprint
-        #     (VERDICT r2 #2, #4) ---
+    local = {
         "geocode_pages": _geocode_pages_query,
         "geocode_pages_dedup": _geocode_pages_dedup_query,
         "curate_pages": _curate_pages_query,
-        "pages_domain_cap": q.pages_domain_cap,
-        "pages_host_reputation": q.pages_host_reputation,
-        # --- approximate ops (float metrics / sketches; rows-only, each
-        #     pinned against ground truth in pytest) ---
-        "ann_topk_cosine": q.ann_topk_cosine,
-        "ann_topk_lsh": q.ann_topk_lsh,
-        "ann_topk_ivf": q.ann_topk_ivf,
-        "ann_topk_ivf_kmeans": q.ann_topk_ivf_kmeans,
-        "ann_topk_ivf_pruned": q.ann_topk_ivf_pruned,
-        "ann_recall": q.ann_recall,
-        "embedding_dup_pairs": q.embedding_dup_pairs,
-        "approx_distinct_users": q.approx_distinct_users,
-        # BPE tokenizer training (iterative greedy argmax — no SQL twin;
-        # pinned in pytest vs an independent naive reference)
-        "bpe_learn_merges": q.bpe_learn_merges,
-        # BPE apply/encode (subword counts under the learned merges)
-        "bpe_encode_tokens": q.bpe_encode_tokens,
     }
+    order = _WINDOW_R4 + _BACKLOG + _VERIFIED + _ROWS_ONLY
+    assert len(order) == len(set(order)), "duplicate registry name"
+    return {n: local.get(n) or getattr(q, n) for n in order}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -1048,14 +1048,10 @@ def q1_pricing_summary(sf_dir: str):
 
 
 def top_customers(sf_dir: str) -> pd.DataFrame:
-    """Broadcast hash join (orders x customer) + grouped sum + top-10:
-    the small side is fetched once driver-side and looked up per batch —
-    no shuffle join."""
-    import pyarrow.parquet as pq
-
-    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]).to_pandas()
-    name_of = dict(zip(cust["c_custkey"].astype(np.int64), cust["c_name"]))
-
+    """Grouped sum + top-10, then name lookup for ONLY the 10 winners via
+    a predicate-pushdown parquet read — the customer dimension never
+    reaches the driver whole (round-3 verdict #2: at 100x scale the
+    dimension is not driver-sized, but 10 winner rows always are)."""
     orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
 
     def _f(t: pa.Table) -> pa.Table:
@@ -1095,6 +1091,19 @@ def top_customers(sf_dir: str) -> pd.DataFrame:
         .limit(10)
         .to_pandas()
     )
+    import pyarrow.dataset as pads
+    import pyarrow.compute as pc
+
+    keys = grouped["c_custkey"].to_numpy(np.int64)
+    cust = (
+        pads.dataset(f"{sf_dir}/customer.parquet")
+        .to_table(
+            columns=["c_custkey", "c_name"],
+            filter=pc.field("c_custkey").isin(pa.array(keys, pa.int64())),
+        )
+        .to_pandas()
+    )
+    name_of = dict(zip(cust["c_custkey"].astype(np.int64), cust["c_name"]))
     grouped["c_name"] = grouped["c_custkey"].map(name_of)
     return grouped[["c_custkey", "c_name", "n_orders", "revenue_cents"]].reset_index(drop=True)
 
@@ -1608,13 +1617,31 @@ def contamination_flags(sf_dir: str):
     one vectorized pass (no shuffle).  Flagged = shared >= threshold."""
     import ray
 
-    import pyarrow.parquet as pq
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
 
     from .stages.dedup import _shingle_strings
 
-    # benchmark shingles from the first N docs (driver-side small read)
-    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    df = t.to_pandas().sort_values("doc_id").head(N_BENCH_DOCS)
+    # benchmark = the N lowest doc_ids.  Resolve the id set with a
+    # distributed single-column sort().limit(N) (only N rows reach the
+    # driver), then fetch just those texts via a predicate-pushdown read
+    # — the documents table is never read whole driver-side (round-3
+    # verdict #2).
+    ids = (
+        _read(sf_dir, "documents", columns=["doc_id"])
+        .sort("doc_id")
+        .limit(N_BENCH_DOCS)
+        .to_pandas()["doc_id"]
+        .to_numpy(np.int64)
+    )
+    df = (
+        pads.dataset(f"{sf_dir}/documents.parquet")
+        .to_table(
+            columns=["doc_id", "text"],
+            filter=pc.field("doc_id").isin(pa.array(ids, pa.int64())),
+        )
+        .to_pandas()
+    )
     bench: set[str] = set()
     for s in df["text"]:
         bench.update(_shingle_strings(s, 3))
