@@ -95,6 +95,7 @@ def _curate_pages_query(sf_dir: str):
 _WINDOW_R4 = [
     "geocode_orders",
     "counters_report",
+    "geocode_orders_highways",
     "minhash_dup_pairs",
     "simhash_dup_pairs",
     "ngram_jaccard_pairs",
@@ -142,13 +143,13 @@ _WINDOW_R4 = [
     "repetition_signals_documents",
     "feature_hash_documents",
     "embedding_centroids",
-    "pages_boilerplate_strip",
 ]
 
 # Remaining never-hash-verified backlog — the round-5 rotation queue
 # (keep these immediately after the window so the next rotation is a
 # simple list swap).
 _BACKLOG = [
+    "pages_boilerplate_strip",
     "token_cms_topk",
     "sequence_packing",
     "sequence_packing_shuffled",
@@ -350,6 +351,7 @@ def oracle_sql() -> dict[str, str]:
         "geocode_orders_wgs84": oracle.geocode_orders_wgs84_sql(),
         "geocode_pobox": oracle.geocode_pobox_sql(),
         "geocode_orders_units": oracle.geocode_orders_units_sql(),
+        "geocode_orders_highways": oracle.geocode_orders_highways_sql(),
         "geocode_join_orders": oracle.geocode_join_orders_sql(),
         "orders_without_lineitems": oracle.orders_without_lineitems_sql(),
         "cell_skew_topk": oracle.cell_skew_topk_sql(),

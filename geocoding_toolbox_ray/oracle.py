@@ -12,7 +12,7 @@ from .functions.cells import X0, Y0, cell_encode_sql
 from .functions.text import WS_SPLIT_PATTERN
 from .functions.cleanse import cleanse_street_sql, cleanse_zone_sql
 from .functions.scoring import score_sql
-from .functions.standardize import standardize_sql, strip_unit_sql
+from .functions.standardize import match_key_sql, standardize_sql
 from .functions.tiles import tile_assign_sql
 from .pipelines.candidates import derive_sql
 from .pipelines.spatial import DX_BY_MOD3, DY_BY_MOD2
@@ -26,6 +26,7 @@ def geocode_orders_sql(
     pobox: str = "false",
     wkid: int = 26912,
     candidates_sql: str | None = None,
+    include_highways: bool = False,
 ) -> str:
     """Full 11-column geocode output over candidates derived from ``orders``,
     parameterized exactly like the engine: locator-tier selection, PO Box
@@ -55,11 +56,12 @@ std0 AS (
     FROM cleansed
 ),
 std AS (
-    -- match key ignores a trailing unit designator; standardizedAddress
-    -- keeps it (same strip_unit constants as the engine)
-    SELECT *, {strip_unit_sql('addr_std_in')} AS addr_key FROM std0
+    -- match key drops a fractional house suffix and a trailing unit
+    -- designator/range; standardizedAddress keeps both (same match_key
+    -- constants as the engine)
+    SELECT *, {match_key_sql('addr_std_in')} AS addr_key FROM std0
 ),
-{address_points_values_sql('ap', include_pobox=(pobox == 'true'))},
+{address_points_values_sql('ap', include_pobox=(pobox == 'true'), include_highways=include_highways)},
 scored AS (
     SELECT s.primary_key, s.addr_std_in,
            ap.point_id, ap.addr_std, ap.match_address, ap.x, ap.y,
@@ -1432,6 +1434,14 @@ def geocode_orders_units_sql() -> str:
     from .pipelines.candidates import derive_units_sql
 
     return geocode_orders_sql(candidates_sql=derive_units_sql())
+
+
+def geocode_orders_highways_sql() -> str:
+    from .pipelines.candidates import derive_highways_sql
+
+    return geocode_orders_sql(
+        candidates_sql=derive_highways_sql(), include_highways=True
+    )
 
 
 def geocode_join_orders_sql() -> str:

@@ -151,6 +151,71 @@ def derive_units_sql() -> str:
     )
 
 
+def derive_highway_candidates(batch: pa.Table) -> pa.Table:
+    """Round-4 grammar-depth candidate rows, cycling four shapes by
+    ``o_orderkey % 4``:
+
+      0: ``{h} {d} US 89``                  (highway alias -> 'us highway 89')
+      1: ``{h} {d} SR-6``                   (hyphenated state route -> 'SR 6')
+      2: ``{h} 1/2 {d} MAIN``               (fractional house number)
+      3: ``{h} {d} HWY 40 STE {u}00-{u}10`` (highway + secondary-unit range)
+
+    Houses 1..12 with the base fixture's direction rule (wrong direction
+    every 5th row -> fuzzy tier), so every shape exercises exact, fuzzy
+    and the match-key strips.  SQL twin: ``derive_highways_sql``."""
+    i = np.asarray(batch["o_orderkey"].to_numpy(zero_copy_only=False), np.int64)
+    house = 1 + i % 12
+    dir_idx = np.where(i % 5 == 0, i % 4, house % 4)
+    dirs = pd.Series(np.array(NSEW, object)[dir_idx])
+    h = pd.Series(house).astype(str)
+    u = pd.Series(1 + i % 9).astype(str)
+    form = i % 4
+    street = pd.Series(np.empty(len(i), object))
+    street[form == 0] = h + " " + dirs + " US 89"
+    street[form == 1] = h + " " + dirs + " SR-6"
+    street[form == 2] = h + " 1/2 " + dirs + " MAIN"
+    street[form == 3] = h + " " + dirs + " HWY 40 STE " + u + "00-" + u + "10"
+    zone = pd.Series(np.array(ZONES6, object)[(i // 3) % 6])
+    return pa.table(
+        {
+            "primary_key": pa.array(i.astype(str), pa.string()),
+            "input_street": pa.array(street, pa.string()),
+            "input_zone": pa.array(zone, pa.string()),
+        }
+    )
+
+
+def derive_highways_sql() -> str:
+    def _case(expr: str, options: tuple[str, ...]) -> str:
+        whens = " ".join(
+            f"WHEN {k} THEN '{v.replace(chr(39), chr(39) * 2)}'" for k, v in enumerate(options)
+        )
+        return f"CASE {expr} {whens} END"
+
+    dir_case = (
+        "CASE WHEN o_orderkey % 5 = 0 THEN "
+        + _case("o_orderkey % 4", NSEW)
+        + " ELSE "
+        + _case("(1 + o_orderkey % 12) % 4", NSEW)
+        + " END"
+    )
+    h = "CAST(1 + o_orderkey % 12 AS VARCHAR)"
+    u = "CAST(1 + o_orderkey % 9 AS VARCHAR)"
+    street = (
+        f"CASE o_orderkey % 4 "
+        f"WHEN 0 THEN {h} || ' ' || ({dir_case}) || ' US 89' "
+        f"WHEN 1 THEN {h} || ' ' || ({dir_case}) || ' SR-6' "
+        f"WHEN 2 THEN {h} || ' 1/2 ' || ({dir_case}) || ' MAIN' "
+        f"ELSE {h} || ' ' || ({dir_case}) || ' HWY 40 STE ' || {u} || '00-' || {u} || '10' "
+        f"END"
+    )
+    zone = _case("(o_orderkey // 3) % 6", ZONES6)
+    return (
+        "SELECT CAST(o_orderkey AS VARCHAR) AS primary_key, "
+        f"{street} AS input_street, {zone} AS input_zone FROM orders"
+    )
+
+
 def derive_pobox_candidates(batch: pa.Table) -> pa.Table:
     """PO Box candidate rows: 'PO Box {1 + i%8}' (reference points hold
     boxes 1..5, so 6..8 exercise the fuzzy tier)."""

@@ -1145,6 +1145,24 @@ def geocode_orders_units(sf_dir: str):
     return geocode_candidates(cands, PipelineConfig())
 
 
+def geocode_orders_highways(sf_dir: str):
+    """Round-4 grammar depth: highway aliases ('US 89' -> 'us highway 89',
+    hyphenated 'SR-6'), fractional house numbers ('39 1/2 N MAIN') and
+    secondary-unit ranges ('STE 100-110').  The locator layer gains the
+    highway centerline tier (include_highways); the match key drops the
+    fraction and the unit range while standardizedAddress keeps both."""
+    from .pipelines.candidates import derive_highway_candidates
+    from .pipelines.geocode import build_index_ref
+    from .sources.synthetic import address_points_table
+
+    index_ref = build_index_ref(
+        "all", address_points=address_points_table(include_highways=True)
+    )
+    orders = _read(sf_dir, "orders", columns=["o_orderkey"])
+    cands = orders.map_batches(derive_highway_candidates, batch_format="pyarrow")
+    return geocode_candidates(cands, PipelineConfig(), index_ref=index_ref)
+
+
 def geocode_join_orders(sf_dir: str):
     """J5 re-join: geocode output x orders on primary_key via the native
     hash-partitioned Dataset.join (both sides large -> shuffle join)."""

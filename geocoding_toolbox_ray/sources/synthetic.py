@@ -73,8 +73,12 @@ ADDRESS_POINTS_SCHEMA = pa.schema(
 
 POBOX_PER_CITY = 5
 
+#: highway-alias streets (round-4 grammar depth): standardized forms
+#: "us highway 89" / "highway 40", served by the centerline tier.
+HIGHWAY_STREETS: tuple[str, ...] = ("US 89", "HWY 40")
 
-def _address_point_rows(include_pobox: bool = False) -> list[dict]:
+
+def _address_point_rows(include_pobox: bool = False, include_highways: bool = False) -> list[dict]:
     rows = []
     pid = 0
     for ci, (city, zip5, cx, cy) in enumerate(CITIES):
@@ -134,20 +138,47 @@ def _address_point_rows(include_pobox: bool = False) -> list[dict]:
                         "locator": "AddressPoints",
                     }
                 )
+    if include_highways:
+        # highway-alias centerline points, appended LAST so point_ids of
+        # every other tier are stable whichever flags are set
+        for ci, (city, zip5, cx, cy) in enumerate(CITIES):
+            for si, street in enumerate(HIGHWAY_STREETS):
+                for h in range(1, HOUSES_PER_STREET + 1):
+                    pid += 1
+                    d = DIRECTIONS_ABBR[h % 4]
+                    raw = f"{h} {d} {street}"
+                    rows.append(
+                        {
+                            "point_id": pid,
+                            "addr_std": standardize(cleanse_street(raw)),
+                            "match_address": raw,
+                            "zone": city,
+                            "zip": zip5,
+                            "x": cx + (8 + si) * 400.0 + float(h * 41 % 200),
+                            "y": cy + (h % 4) * 250.0 + float(h * 26),
+                            "address_grid": city.upper(),
+                            "locator": "RoadCenterlines",
+                        }
+                    )
     return rows
 
 
-def address_points_table(include_pobox: bool = False) -> pa.Table:
+def address_points_table(
+    include_pobox: bool = False, include_highways: bool = False
+) -> pa.Table:
     """The deterministic address-point reference layer (485 rows; +40 PO Box
-    delivery points when ``include_pobox``)."""
-    rows = _address_point_rows(include_pobox)
+    delivery points when ``include_pobox``; +160 highway centerline points
+    when ``include_highways``)."""
+    rows = _address_point_rows(include_pobox, include_highways)
     cols = {name: [r[name] for r in rows] for name in ADDRESS_POINTS_SCHEMA.names}
     return pa.table(cols, schema=ADDRESS_POINTS_SCHEMA)
 
 
-def address_points_values_sql(alias: str = "ap", include_pobox: bool = False) -> str:
+def address_points_values_sql(
+    alias: str = "ap", include_pobox: bool = False, include_highways: bool = False
+) -> str:
     """The same table as a DuckDB VALUES CTE body: ``{alias}(cols...) AS (VALUES ...)``."""
-    rows = _address_point_rows(include_pobox)
+    rows = _address_point_rows(include_pobox, include_highways)
     parts = []
     for r in rows:
         parts.append(

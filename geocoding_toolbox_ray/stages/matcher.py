@@ -31,7 +31,7 @@ import pyarrow.compute as pc
 from ..config import DEFAULT_ACCEPT_SCORE, HEADER
 from ..functions.cleanse import cleanse_street_arrow, cleanse_zone_arrow
 from ..functions.scoring import score_batch
-from ..functions.standardize import standardize_arrow, standardize_arrow_strip_unit
+from ..functions.standardize import match_key_arrow, standardize_arrow
 
 #: reference behavior on a None street: str(ex)[:500] of the AttributeError
 #: raised inside _cleanse_street (geocode.py:46, caught at :253-254)
@@ -238,9 +238,10 @@ class MatcherStage:
         zone_key = pc.take(
             pc.utf8_lower(cleanse_zone_arrow(zone_dict.dictionary)), zone_dict.indices
         )
-        # match key ignores a trailing unit designator ("... apt 3"); the
-        # reported standardizedAddress keeps it (round-3 grammar depth)
-        addr_key = pc.take(standardize_arrow_strip_unit(std_dict), street_dict.indices)
+        # match key ignores a fractional house suffix ("39 1/2 ...") and a
+        # trailing unit designator / range ("... apt 3", "... ste 100-110");
+        # the reported standardizedAddress keeps both (grammar depth r3+r4)
+        addr_key = pc.take(match_key_arrow(std_dict), street_dict.indices)
 
         probe = pa.table(
             {

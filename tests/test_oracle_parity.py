@@ -196,6 +196,7 @@ def test_rows_only_queries_run(ray_session):
         "geocode_orders_wgs84",
         "geocode_pobox",
         "geocode_orders_units",
+        "geocode_orders_highways",
         "geocode_orders_dedup",
         "geocode_join_orders",
         "cell_skew_topk",

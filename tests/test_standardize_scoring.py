@@ -97,6 +97,73 @@ def test_unit_address_matches_and_keeps_unit(ray_session):
     assert out.loc["2", "standardizedAddress"] == "259 west main"
 
 
+def test_match_key_scalar_arrow_sql_parity():
+    """Fraction strip + unit-range strip — three-way parity like strip_unit."""
+    cases = [
+        "39 1 2 north main",             # fractional house -> "39 north main"
+        "5 east highway 40 ste 100 110", # unit RANGE tail strips
+        "259 west main apt 3",           # plain unit still strips
+        "3 north us highway 89",         # identity (no fraction, no unit)
+        "1 2 3",                         # NOT a fraction shape
+        "",
+    ]
+    got_arrow = standardize.match_key_arrow(pa.array(cases)).to_pylist()
+    con = duckdb.connect()
+    for s, ga in zip(cases, got_arrow):
+        expected = standardize.match_key(s)
+        assert ga == expected, s
+        gs = con.execute("SELECT " + standardize.match_key_sql(_lit(s))).fetchone()[0]
+        assert gs == expected, s
+    assert standardize.match_key("39 1 2 north main") == "39 north main"
+    assert standardize.match_key("5 east highway 40 ste 100 110") == "5 east highway 40"
+
+
+def test_highway_aliases_standardize():
+    assert standardize.standardize("3 N US 89") == "3 north us highway 89"
+    # hyphen removed by cleansing upstream; 'sr' expands as before
+    assert standardize.standardize("7 W SR 6") == "7 west state route 6"
+    assert standardize.standardize("9 S HWY 40") == "9 south highway 40"
+
+
+def test_highway_fraction_unit_range_match(ray_session):
+    """Round-4 grammar depth end to end: fractional house and unit range
+    match the base locator row at score 100; standardizedAddress keeps
+    the fraction / range text."""
+    import ray.data as rd
+
+    from geocoding_toolbox_ray.config import PipelineConfig
+    from geocoding_toolbox_ray.pipelines.geocode import build_index_ref, geocode_candidates
+    from geocoding_toolbox_ray.sources.synthetic import address_points_table
+
+    index_ref = build_index_ref(
+        "all", address_points=address_points_table(include_highways=True)
+    )
+    cands = rd.from_items(
+        [
+            {"primary_key": "1", "input_street": "259 1/2 W MAIN", "input_zone": "Delta"},
+            {"primary_key": "2", "input_street": "259 W MAIN", "input_zone": "Delta"},
+            {"primary_key": "3", "input_street": "1 S US 89", "input_zone": "Delta"},
+            {"primary_key": "4", "input_street": "2 E HWY 40 STE 100-110", "input_zone": "Delta"},
+            {"primary_key": "5", "input_street": "39 N SR-6", "input_zone": "Delta"},
+        ]
+    )
+    out = (
+        geocode_candidates(cands, PipelineConfig(concurrency=1), index_ref=index_ref)
+        .to_pandas()
+        .set_index("primary_key")
+    )
+    assert out.loc["1", "score"] == 100
+    assert out.loc["1", "standardizedAddress"] == "259 1 2 west main"
+    assert out.loc["1", "x"] == out.loc["2", "x"]
+    assert out.loc["3", "score"] == 100
+    assert out.loc["3", "matchAddress"] == "1 S US 89"
+    assert out.loc["3", "locator"] == "RoadCenterlines"
+    assert out.loc["4", "score"] == 100
+    assert out.loc["4", "standardizedAddress"] == "2 east highway 40 ste 100 110"
+    assert out.loc["4", "matchAddress"] == "2 E HWY 40"
+    assert out.loc["5", "score"] == 100  # hyphenated SR-6 == existing SR 6 row
+
+
 def test_parse_components():
     c = standardize.parse_components("123 south main street")
     assert c["house"] == "123"
