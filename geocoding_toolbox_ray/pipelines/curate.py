@@ -65,7 +65,7 @@ def _pair_view(hi: np.ndarray, lo: np.ndarray) -> np.ndarray:
     return out
 
 
-def curate_pages(pages, lang: str = "en"):
+def curate_pages(pages, lang: str = "en", hold_gated: bool = True):
     """pages Dataset -> kept (url, n_tokens) after lang + quality + exact
     dedup.  ``pages`` needs (url, text, lang) columns.
 
@@ -79,10 +79,17 @@ def curate_pages(pages, lang: str = "en"):
     output, and only true duplicates go through a tiny resolution
     co-group to pick the lexicographically-smallest url.
 
-    The ``gated`` materialization holds only the COMPACT projection
-    (fp_hi, fp_lo, url, n_tokens) — never text/html — so its object-store
-    footprint is ~1% of the corpus; it feeds three streaming passes
-    (dup count, uniques, dup resolution) without recomputing the gate.
+    ``hold_gated`` (default True) materializes the COMPACT projection
+    (fp_hi, fp_lo, url, n_tokens) — never text/html, ~1% of corpus bytes —
+    to feed the three consumers (dup count, uniques, dup resolution)
+    without recomputing the regex-heavy gate.  The False path recomputes
+    the gate per consumer instead (the ngram r3 trade).  Measured A/B at
+    the bench corpus (720k pages, 32 cpus, paired same-load reps — see
+    BASELINE.md "curate hold-vs-recompute"): hold wins — the gate is
+    ~3x the cost of the projection hold, and the held footprint is
+    bounded at ~1% of corpus bytes.  At 100 TB that is ~1 TB across the
+    cluster's object store; if that ever exceeds aggregate store
+    capacity, flip ``hold_gated=False`` and pay the 2 extra gate passes.
     """
     import ray
 
@@ -109,7 +116,9 @@ def curate_pages(pages, lang: str = "en"):
             }
         )
 
-    gated = filtered.map_batches(_gate, batch_format="pyarrow").materialize()
+    gated = filtered.map_batches(_gate, batch_format="pyarrow")
+    if hold_gated:
+        gated = gated.materialize()
 
     # int-only duplicate detection: per-batch partial counts -> bucketed sum
     def _fp_counts(t: pa.Table) -> pa.Table:

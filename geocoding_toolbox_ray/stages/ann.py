@@ -301,6 +301,55 @@ def ann_recall(sf_dir: str, k: int = TOP_K) -> pd.DataFrame:
 IVF_CENTROIDS = 16
 IVF_NPROBE = 4
 
+EMB_CORPUS_ROOT = "/tmp/graft_embcorpus"
+
+
+def synthetic_embeddings_corpus(
+    sf_dir: str,
+    n_clusters: int = IVF_CENTROIDS,
+    dim: int = 64,
+    force: bool = False,
+) -> str:
+    """Deterministic clustered embedding corpus SIZED OFF ``orders`` (the
+    driver's documents/embeddings tables barely scale with sf), written as
+    ``embeddings.parquet`` under /tmp so every ``ann_*`` operator runs on
+    it unchanged — pass the returned directory as ``sf_dir``.
+
+    Structure: ``n_clusters`` seeded gaussian centers (scale 4) + unit
+    noise; vector ``i`` belongs to cluster ``i % n_clusters``, so the
+    first 16 vec_ids — the deterministic IVF quantizer seeds — land one
+    per cluster and the store's lists recover the true clusters.  This is
+    the recall@k gate fixture for the partition-pruned IVF (round-3
+    verdict #7).  Cached by (row count, dim, clusters)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    n = int(pq.read_metadata(f"{sf_dir}/orders.parquet").num_rows)
+    out = os.path.join(EMB_CORPUS_ROOT, f"n{n}_d{dim}_c{n_clusters}")
+    marker = os.path.join(out, "_SUCCESS")
+    if os.path.exists(marker) and not force:
+        return out
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    rng = np.random.RandomState(42)
+    centers = rng.standard_normal((n_clusters, dim)) * 4.0
+    ids = np.arange(n, dtype=np.int64)
+    vecs = centers[ids % n_clusters] + rng.standard_normal((n, dim))
+    flat = vecs.astype(np.float32).reshape(-1)
+    emb = pa.FixedSizeListArray.from_arrays(pa.array(flat, pa.float32()), dim).cast(
+        pa.list_(pa.float32())
+    )
+    pq.write_table(
+        pa.table({"vec_id": pa.array(ids, pa.int64()), "embedding": emb}),
+        os.path.join(out, "embeddings.parquet"),
+    )
+    with open(marker, "w", encoding="utf-8") as fh:
+        fh.write(str(n))
+    return out
+
 
 def ivf_centroids(sf_dir: str, n_centroids: int = IVF_CENTROIDS) -> np.ndarray:
     """Deterministic coarse quantizer: the first ``n_centroids`` embeddings

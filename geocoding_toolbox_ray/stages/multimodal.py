@@ -49,18 +49,39 @@ class FakeDeterministicDecoder:
 
 
 class PillowImageDecoder:
-    """Real image decode path; available only if PIL is importable."""
+    """Real image decode path (PIL); raises ``NotImplementedError`` at
+    construction when PIL is absent (this sandbox) so callers fall back
+    to ``FakeDeterministicDecoder`` explicitly.
+
+    Features: decode -> grayscale -> 4x4 box-resize -> the 16 cell means
+    scaled to [0, 1] (deterministic, interpolation-free).  Thumbnail:
+    decode -> RGB resize (nearest, deterministic) -> PNG bytes.
+    """
 
     def __init__(self):
         try:
-            from PIL import Image  # noqa: F401
+            from PIL import Image
         except ImportError as exc:  # pragma: no cover - PIL absent in sandbox
             raise NotImplementedError(
                 "PillowImageDecoder requires PIL; use FakeDeterministicDecoder"
             ) from exc
+        self._Image = Image
 
-    def decode_features(self, payload: bytes) -> np.ndarray:  # pragma: no cover
-        raise NotImplementedError("real decode implemented when PIL is present")
+    def decode_features(self, payload: bytes) -> np.ndarray:  # pragma: no cover - needs PIL
+        import io
+
+        side = int(FEATURE_DIM**0.5)  # 16 -> 4x4 grid
+        img = self._Image.open(io.BytesIO(payload)).convert("L")
+        small = img.resize((side, side), self._Image.BOX)
+        return (np.asarray(small, np.float32) / 255.0).reshape(FEATURE_DIM)
+
+    def thumbnail(self, payload: bytes, w: int, h: int) -> bytes:  # pragma: no cover - needs PIL
+        import io
+
+        img = self._Image.open(io.BytesIO(payload)).convert("RGB")
+        out = io.BytesIO()
+        img.resize((w, h), self._Image.NEAREST).save(out, format="PNG")
+        return out.getvalue()
 
 
 class MediaFeatureStage:

@@ -197,6 +197,29 @@ def test_pillow_decoder_is_gated():
             PillowImageDecoder()
 
 
+def test_pillow_decoder_real_decode():
+    """Exercises the REAL decode path — skipped where PIL is absent (this
+    sandbox); runs green on any deployment with Pillow installed."""
+    pytest.importorskip("PIL")
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    from geocoding_toolbox_ray.stages.multimodal import FEATURE_DIM, PillowImageDecoder
+
+    buf = io.BytesIO()
+    Image.new("RGB", (8, 8), (255, 0, 0)).save(buf, format="PNG")
+    payload = buf.getvalue()
+    dec = PillowImageDecoder()
+    feats = dec.decode_features(payload)
+    assert feats.shape == (FEATURE_DIM,) and feats.dtype == np.float32
+    # red converts to a constant gray level; all 16 cell means equal
+    assert np.allclose(feats, feats[0])
+    thumb = dec.thumbnail(payload, 4, 4)
+    assert Image.open(io.BytesIO(thumb)).size == (4, 4)
+
+
 def test_lineage_sidecar_contents(ray_session, tmp_path):
     import ray.data as rd
 
