@@ -149,6 +149,17 @@ _WINDOW_R4 = [
 # (keep these immediately after the window so the next rotation is a
 # simple list swap).
 _BACKLOG = [
+    # round-4 TPC-H-shaped wave (new, oracle-checked; first in line for
+    # the round-5 window)
+    "q4_order_priority",
+    "q10_returned_revenue",
+    "q12_late_lines",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q16_brand_supplier_count",
+    "q18_large_orders",
+    "q19_disjunctive_revenue",
+    "q22_idle_customers",
     "pages_boilerplate_strip",
     "token_cms_topk",
     "sequence_packing",
@@ -352,6 +363,15 @@ def oracle_sql() -> dict[str, str]:
         "geocode_pobox": oracle.geocode_pobox_sql(),
         "geocode_orders_units": oracle.geocode_orders_units_sql(),
         "geocode_orders_highways": oracle.geocode_orders_highways_sql(),
+        "q4_order_priority": oracle.q4_order_priority_sql(),
+        "q10_returned_revenue": oracle.q10_returned_revenue_sql(),
+        "q12_late_lines": oracle.q12_late_lines_sql(),
+        "q13_customer_distribution": oracle.q13_customer_distribution_sql(),
+        "q14_promo_revenue": oracle.q14_promo_revenue_sql(),
+        "q16_brand_supplier_count": oracle.q16_brand_supplier_count_sql(),
+        "q18_large_orders": oracle.q18_large_orders_sql(),
+        "q19_disjunctive_revenue": oracle.q19_disjunctive_revenue_sql(),
+        "q22_idle_customers": oracle.q22_idle_customers_sql(),
         "geocode_join_orders": oracle.geocode_join_orders_sql(),
         "orders_without_lineitems": oracle.orders_without_lineitems_sql(),
         "cell_skew_topk": oracle.cell_skew_topk_sql(),

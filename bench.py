@@ -102,19 +102,71 @@ def run_bench() -> dict:
         rows[name] = _consume(fn())
         timings[name] = round(time.perf_counter() - t0, 3)
 
-    cfg = PipelineConfig(batch_size=8192)
-    if os.environ.get("GRAFT_HEADLINE_ONLY") == "1":
-        # scaling mode: best-of-3 to damp noisy-neighbor variance on this VM
+    def timed_best(name, fn, reps):
         best = None
-        for _ in range(3):
+        for _ in range(reps):
             t0 = time.perf_counter()
-            rows["geocode_pages"] = _consume(geocode_pages(read_pages(pages_dir), cfg))
+            rows[name] = _consume(fn())
             dt = time.perf_counter() - t0
             best = dt if best is None or dt < best else best
-        timings["geocode_pages"] = round(best, 3)
+        timings[name] = round(best, 3)
+
+    cfg = PipelineConfig(batch_size=8192)
+    if os.environ.get("GRAFT_SCALING_QUERIES") == "1":
+        # per-query scaling mode (VERDICT r3 #4): the headline plus the
+        # three most expensive shuffle-bearing pipelines, best-of-2 each.
+        # dedup_clusters and spatial_cell_join get COMPUTE-BOUND inputs
+        # (pages-corpus near-dup graph; 8x B-side point derivation) — at
+        # the oracle-checked sf0.1 defaults both finish in seconds, so a
+        # 4v16 ratio measures fixed shuffle latency, not scaling.
+        import pyarrow.compute as _pc
+
+        from geocoding_toolbox_ray.pipelines.curate import curate_pages
+        from geocoding_toolbox_ray.pipelines.spatial import spatial_cell_join
+        from geocoding_toolbox_ray.sources.pages import materialize_pages_parquet as _mat
+        from geocoding_toolbox_ray.stages.dedup import (
+            dedup_clusters as _cc,
+            minhash_dup_pairs as _mh,
+        )
+
+        n_cc_pages = _pages_count() // 4  # mult 12: signature compute dominates
+        cc_dir = os.path.join(PAGES_CACHE_ROOT, f"n{n_cc_pages}")
+        _mat(n_cc_pages, cc_dir)
+
+        def _pages_docs():
+            import pyarrow as _pa
+            import ray.data as rd
+
+            def _to_docs(t):
+                ids = _pc.cast(
+                    _pc.struct_field(
+                        _pc.extract_regex(t["url"], r"/page/(?P<i>\d+)$"), "i"
+                    ),
+                    _pa.int64(),
+                )
+                return _pa.table({"doc_id": ids, "text": t["text"]})
+
+            return rd.read_parquet(cc_dir, columns=["url", "text"]).map_batches(
+                _to_docs, batch_format="pyarrow"
+            )
+
+        def _cc_pages():
+            pairs = _mh(_pages_docs(), n_docs=n_cc_pages)
+            return _cc(pairs.drop_columns(["est_jaccard_permille"]))
+
+        timed_best("geocode_pages", lambda: geocode_pages(read_pages(pages_dir), cfg), 2)
+        timed_best("curate_pages", lambda: curate_pages(read_pages(pages_dir)), 2)
+        timed_best("dedup_clusters_pages", _cc_pages, 2)
+        timed_best("spatial_cell_join_x8", lambda: spatial_cell_join(SF_DIR, mult=8), 2)
+    elif os.environ.get("GRAFT_HEADLINE_ONLY") == "1":
+        # scaling mode: best-of-3 to damp noisy-neighbor variance on this VM
+        timed_best("geocode_pages", lambda: geocode_pages(read_pages(pages_dir), cfg), 3)
     else:
         timed("geocode_pages", lambda: geocode_pages(read_pages(pages_dir), cfg))
-    if os.environ.get("GRAFT_HEADLINE_ONLY") != "1":
+    if (
+        os.environ.get("GRAFT_HEADLINE_ONLY") != "1"
+        and os.environ.get("GRAFT_SCALING_QUERIES") != "1"
+    ):
         timed("geocode_orders", lambda: q.geocode_orders(SF_DIR))
         timed("knn_join", lambda: q.knn_join(SF_DIR))
         timed("pip_join", lambda: q.pip_join(SF_DIR))
@@ -189,7 +241,10 @@ def run_scaling() -> dict:
     import subprocess
 
     def one(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_HEADLINE_ONLY="1")
+        # per-query scaling mode: headline + curate_pages + dedup_clusters
+        # + spatial_cell_join (VERDICT r3 #4 — the three most expensive
+        # shuffle-bearing pipelines get their own 4v16 efficiency)
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SCALING_QUERIES="1")
         # pin the whole process tree to ncpu physical cores: Ray's raylet /
         # object-store / serialization threads otherwise spill onto idle
         # cores beyond num_cpus, inflating the small-cluster baseline (an
@@ -214,6 +269,12 @@ def run_scaling() -> dict:
     tp_lo = r_lo["geocode_pages_rows_per_s"]
     tp_hi = r_hi["geocode_pages_rows_per_s"]
     eff = round((tp_hi / tp_lo) / (hi / lo), 3)
+    # same input both legs, so per-query efficiency = speedup / cpu ratio
+    per_query = {
+        name: round((r_lo["queries"][name] / r_hi["queries"][name]) / (hi / lo), 3)
+        for name in r_lo["queries"]
+        if name in r_hi.get("queries", {}) and r_hi["queries"][name] > 0
+    }
     return {
         "metric": "scaling_efficiency",
         "value": eff,
@@ -224,6 +285,9 @@ def run_scaling() -> dict:
         "rows_per_s_hi": tp_hi,
         "total_sec_lo": r_lo["value"],
         "total_sec_hi": r_hi["value"],
+        "per_query_efficiency": per_query,
+        "queries_sec_lo": r_lo["queries"],
+        "queries_sec_hi": r_hi["queries"],
         "loadavg_lo": r_lo.get("loadavg_before_others"),
         "loadavg_hi": r_hi.get("loadavg_before_others"),
         "sf": SF_DIR,

@@ -3315,3 +3315,174 @@ SELECT CAST((date_diff('day', date_trunc('day', o.o_orderdate),
 FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
 GROUP BY 1 ORDER BY 1
 """
+
+
+# ------------------- TPC-H-shaped wave (round 4) — constants imported
+# from queries.py so engine and oracle can never drift.
+
+def q4_order_priority_sql() -> str:
+    from .queries import Q4_END, Q4_START
+
+    return f"""
+SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '{Q4_START}'
+  AND o.o_orderdate < TIMESTAMP '{Q4_END}'
+  AND EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+  )
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q10_returned_revenue_sql() -> str:
+    from .queries import Q10_END, Q10_START, Q10_TOPK
+
+    return f"""
+SELECT c.c_custkey, c.c_name, n.n_name,
+       CAST(SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '{Q10_START}'
+  AND o.o_orderdate < TIMESTAMP '{Q10_END}'
+GROUP BY 1, 2, 3
+ORDER BY revenue_cents DESC, c.c_custkey ASC
+LIMIT {Q10_TOPK}
+"""
+
+
+def q12_late_lines_sql() -> str:
+    from .queries import Q12_DELAY_DAYS, Q12_HIGH_PRIORITIES
+
+    high = ", ".join(f"'{p}'" for p in Q12_HIGH_PRIORITIES)
+    return f"""
+SELECT l.l_linestatus,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ({high}) THEN 1 ELSE 0 END)
+            AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ({high}) THEN 0 ELSE 1 END)
+            AS BIGINT) AS low_line_count
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= o.o_orderdate + INTERVAL {Q12_DELAY_DAYS} DAY
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q13_customer_distribution_sql() -> str:
+    return """
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (
+    SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+    FROM customer c
+    LEFT JOIN orders o
+      ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '4-NOT SPECIFIED'
+    GROUP BY 1
+)
+GROUP BY 1 ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q14_promo_revenue_sql() -> str:
+    from .queries import Q14_END, Q14_START
+
+    return f"""
+WITH j AS (
+    SELECT CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
+                AS BIGINT) AS cents,
+           (p.p_type = 'PROMO') AS is_promo
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '{Q14_START}'
+      AND l.l_shipdate < TIMESTAMP '{Q14_END}'
+)
+SELECT CAST(SUM(CASE WHEN is_promo THEN cents ELSE 0 END) AS BIGINT) AS promo_cents,
+       CAST(SUM(cents) AS BIGINT) AS total_cents,
+       CAST(SUM(CASE WHEN is_promo THEN cents ELSE 0 END) * 1000
+            // SUM(cents) AS BIGINT) AS promo_permille
+FROM j
+"""
+
+
+def q16_brand_supplier_count_sql() -> str:
+    from .queries import Q16_EXCLUDED_BRAND, Q16_SIZES
+
+    sizes = ", ".join(str(s) for s in Q16_SIZES)
+    return f"""
+SELECT p.p_brand, CAST(p.p_size AS BIGINT) AS p_size,
+       CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> '{Q16_EXCLUDED_BRAND}'
+  AND p.p_size IN ({sizes})
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2
+ORDER BY supplier_cnt DESC, p_brand ASC, p_size ASC
+"""
+
+
+def q18_large_orders_sql() -> str:
+    from .queries import Q18_MIN_QTY
+
+    return f"""
+WITH big AS (
+    SELECT l_orderkey, CAST(SUM(CAST(floor(l_quantity + 0.5) AS BIGINT))
+                            AS BIGINT) AS sum_qty
+    FROM lineitem GROUP BY 1
+    HAVING SUM(CAST(floor(l_quantity + 0.5) AS BIGINT)) >= {Q18_MIN_QTY}
+)
+SELECT o.o_custkey AS c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+       CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS o_totalprice_cents,
+       b.sum_qty
+FROM big b
+JOIN orders o ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY o_totalprice_cents DESC, o.o_orderkey ASC
+LIMIT 100
+"""
+
+
+def q19_disjunctive_revenue_sql() -> str:
+    from .queries import Q19_DISJUNCTS
+
+    clauses = " OR ".join(
+        f"(p.p_brand = '{b}' AND p.p_size BETWEEN {slo} AND {shi} "
+        f"AND CAST(floor(l.l_quantity + 0.5) AS BIGINT) BETWEEN {qlo} AND {qhi})"
+        for b, slo, shi, qlo, qhi in Q19_DISJUNCTS
+    )
+    return f"""
+SELECT CAST(COALESCE(SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100
+                                    + 0.5) AS BIGINT)), 0) AS BIGINT) AS revenue_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE {clauses}
+"""
+
+
+def q22_idle_customers_sql() -> str:
+    from .queries import Q22_ACTIVE_SINCE, Q22_CODE_MOD, Q22_CODES
+
+    codes = ", ".join(str(c) for c in Q22_CODES)
+    return f"""
+WITH base AS (
+    SELECT c_custkey, c_custkey % {Q22_CODE_MOD} AS cntrycode,
+           CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal
+    FROM customer WHERE c_custkey % {Q22_CODE_MOD} IN ({codes})
+),
+st AS (
+    SELECT CAST(SUM(bal) AS BIGINT) AS s, COUNT(*) AS n FROM base WHERE bal > 0
+)
+SELECT CAST(b.cntrycode AS BIGINT) AS cntrycode,
+       CAST(COUNT(*) AS BIGINT) AS numcust,
+       CAST(SUM(b.bal) AS BIGINT) AS totacctbal_cents
+FROM base b, st
+WHERE b.bal * st.n > st.s
+  AND NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = b.c_custkey
+        AND o.o_orderdate >= TIMESTAMP '{Q22_ACTIVE_SINCE}'
+  )
+GROUP BY 1 ORDER BY 1
+"""

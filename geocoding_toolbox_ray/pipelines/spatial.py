@@ -429,7 +429,7 @@ CELL_JOIN_RADIUS_M = 800.0
 CELL_JOIN_RES = 9  # 1 km cells: cell_size >= radius so ONE ring suffices
 
 
-def spatial_cell_join(sf_dir: str, radius: float = CELL_JOIN_RADIUS_M):
+def spatial_cell_join(sf_dir: str, radius: float = CELL_JOIN_RADIUS_M, mult: int = 1):
     """Big-big distance join via the explicit cell shuffle (the north
     star's ``groupby(h3_cell)`` exchange): BOTH sides are
     input-proportional — anchored points (A) and uniform lattice points
@@ -443,6 +443,12 @@ def spatial_cell_join(sf_dir: str, radius: float = CELL_JOIN_RADIUS_M):
     The DuckDB oracle replicates B to the same 9 offsets and
     equality-joins on the packed cell — identical replication plan, so
     the float d2 column hashes bit-for-bit.
+
+    ``mult`` (bench-only, default 1 = the oracle-checked shape) derives
+    ``mult`` B points per lineitem row at shifted lattice positions with
+    distinct qids — the scaling-run knob that makes the exchange
+    compute-bound at small sf (at sf0.1 the default input finishes in
+    ~4 s, so fixed shuffle latency dominates any efficiency measurement).
     """
     from ..functions.cells import EXTENT, X0, Y0
     from ..stages.dedup import TARGET_BUCKET_ROWS, _mix_bucket
@@ -450,7 +456,7 @@ def spatial_cell_join(sf_dir: str, radius: float = CELL_JOIN_RADIUS_M):
     import pyarrow.parquet as pq
 
     n_li = int(pq.read_metadata(f"{sf_dir}/lineitem.parquet").num_rows)
-    nbuckets = max(16, n_li * 2 // TARGET_BUCKET_ROWS + 1)
+    nbuckets = max(16, n_li * (1 + int(mult)) // TARGET_BUCKET_ROWS + 1)
     ncell = 1 << CELL_JOIN_RES
     s = EXTENT / ncell
     r2 = float(radius) * float(radius)
@@ -493,11 +499,27 @@ def spatial_cell_join(sf_dir: str, radius: float = CELL_JOIN_RADIUS_M):
             }
         )
 
+    def _uniform_mult(batch: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """mult B points per row: lattice shifts (j*29, j*53) per copy j,
+        qids disjoint per copy (base*mult + j)."""
+        ok = np.asarray(batch["l_orderkey"].to_numpy(zero_copy_only=False), np.int64)
+        ln = np.asarray(batch["l_linenumber"].to_numpy(zero_copy_only=False), np.int64)
+        pk = np.asarray(batch["l_partkey"].to_numpy(zero_copy_only=False), np.int64)
+        xs, ys, qs = [], [], []
+        for j in range(int(mult)):
+            xs.append(X0 + ((ok * 131 + ln * 17 + j * 29) % 4096).astype(np.float64) * 125.0)
+            ys.append(Y0 + ((ok * 241 + pk * 13 + j * 53) % 4096).astype(np.float64) * 125.0)
+            qs.append((ok * 10 + ln) * int(mult) + j)
+        return np.concatenate(xs), np.concatenate(ys), np.concatenate(qs)
+
     def _tag_b9(batch: pa.Table) -> pa.Table:
-        pts = derive_uniform_points(batch)
-        x = np.asarray(pts["qx"].to_numpy(zero_copy_only=False), np.float64)
-        y = np.asarray(pts["qy"].to_numpy(zero_copy_only=False), np.float64)
-        qid = np.asarray(pts["query_id"].to_numpy(zero_copy_only=False), np.int64)
+        if int(mult) > 1:
+            x, y, qid = _uniform_mult(batch)
+        else:
+            pts = derive_uniform_points(batch)
+            x = np.asarray(pts["qx"].to_numpy(zero_copy_only=False), np.float64)
+            y = np.asarray(pts["qy"].to_numpy(zero_copy_only=False), np.float64)
+            qid = np.asarray(pts["query_id"].to_numpy(zero_copy_only=False), np.int64)
         ix, iy = _cells(x, y)
         n = len(x)
         reps = 9

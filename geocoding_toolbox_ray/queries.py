@@ -7223,3 +7223,748 @@ def lineitem_ship_delay_histogram(sf_dir: str):
         .groupby("bin")
         .aggregate(Sum("part_n", alias_name="n"))
     )
+
+
+# ------------------- TPC-H-shaped wave (round 4): the classic decision-
+# support operator compositions the reference's users would expect from
+# any engine claiming "query capabilities", each adapted to the synthetic
+# schema (no partsupp/shipmode/phone columns) while keeping the SHAPE:
+# EXISTS semi-join (q4), multi-join top-k (q10), CASE-bucketed dual
+# aggregate (q12), left-join count histogram (q13), exact rational ratio
+# (q14), NOT-IN anti + grouped distinct count (q16), HAVING over a big
+# groupby (q18), OR-of-ANDs disjunctive predicate (q19), correlated
+# scalar aggregate + recency anti-join (q22).  All money in cents, all
+# constants shared with oracle.py.
+
+Q4_START, Q4_END = "1996-01-01", "1996-07-01"
+Q10_START, Q10_END = "1996-01-01", "1996-04-01"
+Q10_TOPK = 20
+Q12_DELAY_DAYS = 30
+Q12_HIGH_PRIORITIES = ("1-URGENT", "2-HIGH")
+Q14_START, Q14_END = "1996-03-01", "1996-04-01"
+Q16_EXCLUDED_BRAND = "Brand#5"
+Q16_SIZES = (1, 5, 10, 15, 20, 25)
+Q18_MIN_QTY = 240
+Q19_DISJUNCTS = (  # (brand, size_lo, size_hi, qty_lo, qty_hi)
+    ("Brand#1", 1, 5, 1, 11),
+    ("Brand#2", 1, 10, 10, 20),
+    ("Brand#3", 1, 15, 20, 30),
+)
+Q22_CODES = (1, 3, 5)
+Q22_CODE_MOD = 7
+Q22_ACTIVE_SINCE = "1999-01-01"
+
+
+def _ts(s: str):
+    import datetime as _dt
+
+    return _dt.datetime.fromisoformat(s)
+
+
+def q4_order_priority(sf_dir: str):
+    """EXISTS-shaped semi-join aggregate (TPC-H Q4 shape): orders in a
+    date window that have at least one lineitem shipped AFTER the order
+    date, counted per priority.  The correlated EXISTS becomes a
+    per-order MAX(l_shipdate) (order-cardinality bucketed reduce) joined
+    back through the generic hash_join — never a per-row subquery."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+
+    def _maxship(t: pa.Table) -> pd.DataFrame:
+        ok = np.asarray(t["l_orderkey"].to_numpy(zero_copy_only=False), np.int64)
+        us = t["l_shipdate"].to_pandas().astype("datetime64[us]").astype(np.int64)
+        df = pd.DataFrame({"o_orderkey": ok, "ship_us": us})
+        agg = df.groupby("o_orderkey", sort=False)["ship_us"].max()
+        out = pd.DataFrame(
+            {"o_orderkey": agg.index.to_numpy(np.int64), "part_max": agg.to_numpy(np.int64)}
+        )
+        out["bucket"] = (out["o_orderkey"].to_numpy(np.int64) * 2654435761 % 2**32) % SESSION_BUCKETS
+        return out
+
+    def _maxreduce(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("o_orderkey", sort=False)["part_max"].max()
+        return pd.DataFrame(
+            {"o_orderkey": agg.index.to_numpy(np.int64), "max_ship_us": agg.to_numpy(np.int64)}
+        )
+
+    maxship = (
+        li.map_batches(_maxship, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_maxreduce, batch_format="pandas")
+    )
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+        filter=(pc.field("o_orderdate") >= _ts(Q4_START))
+        & (pc.field("o_orderdate") < _ts(Q4_END)),
+    )
+    from .stages.join import hash_join
+
+    joined = hash_join(
+        orders,
+        maxship,
+        "o_orderkey",
+        ["max_ship_us"],
+        right_rows=_nrows(sf_dir, "orders"),
+    )
+
+    def _late(t: pa.Table) -> pd.DataFrame:
+        od = t["o_orderdate"].to_pandas().astype("datetime64[us]").astype(np.int64)
+        ms = np.asarray(t["max_ship_us"].to_numpy(zero_copy_only=False), np.int64)
+        pr = t["o_orderpriority"].to_pandas().to_numpy(object)[ms > od]
+        u, c = np.unique(pr, return_counts=True)
+        return pd.DataFrame({"o_orderpriority": u, "part_n": c.astype(np.int64)})
+
+    return (
+        joined.map_batches(_late, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("part_n", alias_name="order_count"))
+        .sort("o_orderpriority")
+    )
+
+
+def q10_returned_revenue(sf_dir: str) -> pd.DataFrame:
+    """Returned-item revenue top-k (TPC-H Q10 shape): lineitem filtered
+    to returnflag='R' at the read -> per-order partial cents -> join to
+    date-windowed orders -> per-customer bucketed reduce -> distributed
+    top-20 -> names for ONLY the 20 winners via predicate-pushdown dim
+    reads (the top_customers de-driver pattern)."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from .stages.join import hash_join
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"],
+        filter=pc.field("l_returnflag") == "R",
+    )
+
+    def _cents(t: pa.Table) -> pa.Table:
+        price = np.asarray(t["l_extendedprice"].to_numpy(zero_copy_only=False), np.float64)
+        disc = np.asarray(t["l_discount"].to_numpy(zero_copy_only=False), np.float64)
+        c = np.floor(price * (1.0 - disc) * 100.0 + 0.5).astype(np.int64)
+        df = pd.DataFrame({"o_orderkey": t["l_orderkey"].to_numpy(zero_copy_only=False), "cents": c})
+        agg = df.groupby("o_orderkey", sort=False)["cents"].sum()
+        return pa.table(
+            {
+                "o_orderkey": pa.array(agg.index.to_numpy(np.int64), pa.int64()),
+                "cents": pa.array(agg.to_numpy(np.int64), pa.int64()),
+            }
+        )
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=(pc.field("o_orderdate") >= _ts(Q10_START))
+        & (pc.field("o_orderdate") < _ts(Q10_END)),
+    ).map_batches(lambda t: t.select(["o_orderkey", "o_custkey"]), batch_format="pyarrow")
+
+    joined = hash_join(
+        li.map_batches(_cents, batch_format="pyarrow"),
+        orders,
+        "o_orderkey",
+        ["o_custkey"],
+        right_rows=_nrows(sf_dir, "orders"),
+    )
+
+    def _percust(t: pa.Table) -> pd.DataFrame:
+        ck = np.asarray(t["o_custkey"].to_numpy(zero_copy_only=False), np.int64)
+        cents = np.asarray(t["cents"].to_numpy(zero_copy_only=False), np.int64)
+        uniq, inv = np.unique(ck, return_inverse=True)
+        out = pd.DataFrame(
+            {
+                "c_custkey": uniq,
+                "part_cents": np.bincount(inv, weights=cents).astype(np.int64),
+            }
+        )
+        out["bucket"] = (uniq * 2654435761 % 2**32) % SESSION_BUCKETS
+        return out
+
+    def _reduce(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("c_custkey", sort=False)["part_cents"].sum()
+        return pd.DataFrame(
+            {
+                "c_custkey": agg.index.to_numpy(np.int64),
+                "revenue_cents": agg.to_numpy(np.int64),
+            }
+        )
+
+    top = (
+        joined.map_batches(_percust, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_reduce, batch_format="pandas")
+        .sort(["revenue_cents", "c_custkey"], descending=[True, False])
+        .limit(Q10_TOPK)
+        .to_pandas()
+    )
+    keys = top["c_custkey"].to_numpy(np.int64)
+    cust = (
+        pads.dataset(f"{sf_dir}/customer.parquet")
+        .to_table(
+            columns=["c_custkey", "c_name", "c_nationkey"],
+            filter=pc.field("c_custkey").isin(pa.array(keys, pa.int64())),
+        )
+        .to_pandas()
+    )
+    nat = (
+        pads.dataset(f"{sf_dir}/nation.parquet")
+        .to_table(columns=["n_nationkey", "n_name"])
+        .to_pandas()
+    )
+    cust["c_custkey"] = cust["c_custkey"].astype(np.int64)
+    name_of = dict(zip(cust["c_custkey"], cust["c_name"]))
+    nk_of = dict(zip(cust["c_custkey"], cust["c_nationkey"].astype(np.int64)))
+    nname = dict(zip(nat["n_nationkey"].astype(np.int64), nat["n_name"]))
+    top["c_name"] = top["c_custkey"].map(name_of)
+    top["n_name"] = top["c_custkey"].map(nk_of).map(nname)
+    return top[["c_custkey", "c_name", "n_name", "revenue_cents"]].reset_index(drop=True)
+
+
+def q12_late_lines(sf_dir: str):
+    """CASE-bucketed dual aggregate over a big-big join (TPC-H Q12 shape,
+    linestatus standing in for shipmode): lines shipped >= 30 days after
+    the order date, split into high- vs low-priority counts per
+    linestatus.  Timestamps compare as exact epoch-us integers."""
+    from ray.data.aggregate import Sum
+
+    from .stages.join import hash_join
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate", "l_linestatus"])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    joined = hash_join(
+        li.map_batches(
+            lambda t: t.rename_columns(["o_orderkey", "l_shipdate", "l_linestatus"]),
+            batch_format="pyarrow",
+        ),
+        orders,
+        "o_orderkey",
+        ["o_orderdate", "o_orderpriority"],
+        right_rows=_nrows(sf_dir, "orders"),
+    )
+    delay_us = Q12_DELAY_DAYS * 86_400_000_000
+
+    def _partial(t: pa.Table) -> pd.DataFrame:
+        ship = t["l_shipdate"].to_pandas().astype("datetime64[us]").astype(np.int64)
+        od = t["o_orderdate"].to_pandas().astype("datetime64[us]").astype(np.int64)
+        late = (ship - od) >= delay_us
+        pr = t["o_orderpriority"].to_pandas().to_numpy(object)
+        st = t["l_linestatus"].to_pandas().to_numpy(object)
+        high = np.isin(pr, Q12_HIGH_PRIORITIES)
+        df = pd.DataFrame(
+            {
+                "l_linestatus": st[late],
+                "part_high": high[late].astype(np.int64),
+                "part_low": (~high[late]).astype(np.int64),
+            }
+        )
+        agg = df.groupby("l_linestatus", sort=False)[["part_high", "part_low"]].sum()
+        out = agg.reset_index()
+        out["part_high"] = out["part_high"].astype(np.int64)
+        out["part_low"] = out["part_low"].astype(np.int64)
+        return out
+
+    return (
+        joined.map_batches(_partial, batch_format="pyarrow")
+        .groupby("l_linestatus")
+        .aggregate(
+            Sum("part_high", alias_name="high_line_count"),
+            Sum("part_low", alias_name="low_line_count"),
+        )
+        .sort("l_linestatus")
+    )
+
+
+def q13_customer_distribution(sf_dir: str):
+    """Left-join count histogram (TPC-H Q13 shape): orders per customer
+    (a deterministic priority class excluded), then the distribution of
+    customers per order count — INCLUDING the zero bucket, derived from
+    the customer row count (parquet metadata) minus customers seen, so
+    the customer dimension itself never joins."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderpriority"],
+        filter=pc.field("o_orderpriority") != "4-NOT SPECIFIED",
+    )
+
+    def _percust(t: pa.Table) -> pd.DataFrame:
+        ck = np.asarray(t["o_custkey"].to_numpy(zero_copy_only=False), np.int64)
+        uniq, inv = np.unique(ck, return_inverse=True)
+        out = pd.DataFrame(
+            {"c_custkey": uniq, "part_n": np.bincount(inv).astype(np.int64)}
+        )
+        out["bucket"] = (uniq * 2654435761 % 2**32) % SESSION_BUCKETS
+        return out
+
+    def _reduce(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("c_custkey", sort=False)["part_n"].sum()
+        cnt = agg.to_numpy(np.int64)
+        u, c = np.unique(cnt, return_counts=True)
+        return pd.DataFrame({"c_count": u.astype(np.int64), "part_dist": c.astype(np.int64)})
+
+    hist = (
+        orders.map_batches(_percust, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_reduce, batch_format="pandas")
+        .groupby("c_count")
+        .aggregate(Sum("part_dist", alias_name="custdist"))
+        .to_pandas()
+    )
+    n_cust = _nrows(sf_dir, "customer")
+    seen = int(hist["custdist"].sum())
+    if n_cust > seen:
+        hist = pd.concat(
+            [hist, pd.DataFrame({"c_count": [0], "custdist": [n_cust - seen]})],
+            ignore_index=True,
+        )
+    hist["c_count"] = hist["c_count"].astype(np.int64)
+    hist["custdist"] = hist["custdist"].astype(np.int64)
+    return hist.sort_values(
+        ["custdist", "c_count"], ascending=[False, False]
+    ).reset_index(drop=True)
+
+
+def q14_promo_revenue(sf_dir: str):
+    """Exact rational ratio aggregate (TPC-H Q14 shape): share of revenue
+    from PROMO-type parts in one month, as integer permille (cross-
+    multiplied — no float division anywhere).  Part attributes broadcast
+    as a sorted kv array built remotely from block refs."""
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .stages.dedup import _sorted_kv_task
+
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_type"]).map_batches(
+        lambda t: pa.table(
+            {
+                "k": t["p_partkey"],
+                "v": pa.array(
+                    np.asarray(pc.equal(t["p_type"], "PROMO").to_numpy(zero_copy_only=False), np.int64),
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    kv_ref = _sorted_kv_task.remote(
+        [br for bd in part.iter_internal_ref_bundles() for br in bd.block_refs], "k", "v"
+    )
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        filter=(pc.field("l_shipdate") >= _ts(Q14_START))
+        & (pc.field("l_shipdate") < _ts(Q14_END)),
+    )
+
+    def _partial(t: pa.Table) -> pd.DataFrame:
+        ks, vs = ray.get(kv_ref)
+        pk = np.asarray(t["l_partkey"].to_numpy(zero_copy_only=False), np.int64)
+        promo = vs[np.searchsorted(ks, pk)] == 1
+        price = np.asarray(t["l_extendedprice"].to_numpy(zero_copy_only=False), np.float64)
+        disc = np.asarray(t["l_discount"].to_numpy(zero_copy_only=False), np.float64)
+        cents = np.floor(price * (1.0 - disc) * 100.0 + 0.5).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "g": np.zeros(1, np.int64),
+                "part_promo": [int(cents[promo].sum())],
+                "part_total": [int(cents.sum())],
+            }
+        )
+
+    agg = (
+        li.map_batches(_partial, batch_format="pyarrow")
+        .groupby("g")
+        .aggregate(
+            Sum("part_promo", alias_name="promo_cents"),
+            Sum("part_total", alias_name="total_cents"),
+        )
+        .to_pandas()
+    )
+    promo = int(agg["promo_cents"].iloc[0])
+    total = int(agg["total_cents"].iloc[0])
+    return pd.DataFrame(
+        {
+            "promo_cents": pd.array([promo], "int64"),
+            "total_cents": pd.array([total], "int64"),
+            "promo_permille": pd.array([promo * 1000 // total], "int64"),
+        }
+    )
+
+
+def q16_brand_supplier_count(sf_dir: str):
+    """Grouped distinct-supplier count with a NOT-IN anti-filter (TPC-H
+    Q16 shape; the part-supplier incidence derives from lineitem since
+    the schema has no partsupp).  Two bounded bucketed reduces: global
+    (partkey, suppkey) pair dedup, then (brand, size, suppkey) dedup —
+    never a Ray groupby on a pair key.  'Complaint' suppliers (negative
+    account balance) broadcast as a sorted array and anti-probed with
+    searchsorted."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+    import ray
+    from ray.data.aggregate import Sum
+
+    # small-side: excluded suppliers + part attribute kv, driver reads
+    # are bounded by the filters (suppliers with s_acctbal < 0)
+    bad = (
+        pads.dataset(f"{sf_dir}/supplier.parquet")
+        .to_table(columns=["s_suppkey", "s_acctbal"], filter=pc.field("s_acctbal") < 0.0)
+        .to_pandas()
+    )
+    bad_arr = np.sort(bad["s_suppkey"].to_numpy(np.int64))
+    bad_ref = ray.put(bad_arr)
+
+    from .stages.dedup import _sorted_kv_task
+
+    sizes = np.asarray(Q16_SIZES, np.int64)
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_brand", "p_size"]).map_batches(
+        lambda t: pa.table(
+            {
+                "k": t["p_partkey"],
+                # encode (brand_idx, size) as one int64; -1 = filtered out
+                "v": pa.array(
+                    np.where(
+                        np.isin(np.asarray(t["p_size"].to_numpy(zero_copy_only=False), np.int64), sizes)
+                        & ~np.asarray(pc.equal(t["p_brand"], Q16_EXCLUDED_BRAND).to_numpy(zero_copy_only=False), bool),
+                        np.char.partition(
+                            t["p_brand"].to_pandas().to_numpy("U16"), "#"
+                        )[:, 2].astype(np.int64)
+                        * 64
+                        + np.asarray(t["p_size"].to_numpy(zero_copy_only=False), np.int64),
+                        -1,
+                    ),
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    kv_ref = _sorted_kv_task.remote(
+        [br for bd in part.iter_internal_ref_bundles() for br in bd.block_refs], "k", "v"
+    )
+
+    li = _read(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+
+    def _pairs(t: pa.Table) -> pd.DataFrame:
+        pk = np.asarray(t["l_partkey"].to_numpy(zero_copy_only=False), np.int64)
+        sk = np.asarray(t["l_suppkey"].to_numpy(zero_copy_only=False), np.int64)
+        assert len(sk) == 0 or sk.max() < SUPP_PACK, "widen SUPP_PACK"
+        key = np.unique(pk * SUPP_PACK + sk)
+        return pd.DataFrame(
+            {
+                "bucket": ((key // SUPP_PACK * 2654435761) % 4294967296) % SESSION_BUCKETS,
+                "key": key,
+            }
+        )
+
+    def _dedup_attach(g: pd.DataFrame) -> pd.DataFrame:
+        ks, vs = ray.get(kv_ref)
+        bad_sorted = ray.get(bad_ref)
+        key = np.unique(g["key"].to_numpy(np.int64))
+        pk, sk = key // SUPP_PACK, key % SUPP_PACK
+        code = vs[np.searchsorted(ks, pk)]
+        keep = code >= 0
+        if len(bad_sorted):
+            pos = np.searchsorted(bad_sorted, sk)
+            ok = pos < len(bad_sorted)
+            is_bad = np.zeros(len(sk), bool)
+            is_bad[ok] = bad_sorted[pos[ok]] == sk[ok]
+            keep &= ~is_bad
+        gs = np.unique(code[keep] * SUPP_PACK + sk[keep])  # (brand,size,supp) in-bucket
+        return pd.DataFrame(
+            {
+                "bucket2": ((gs * 2654435761) % 4294967296) % SESSION_BUCKETS,
+                "gskey": gs,
+            }
+        )
+
+    def _count(g: pd.DataFrame) -> pd.DataFrame:
+        gs = np.unique(g["gskey"].to_numpy(np.int64))
+        code = gs // SUPP_PACK
+        u, c = np.unique(code, return_counts=True)
+        return pd.DataFrame({"code": u.astype(np.int64), "part_cnt": c.astype(np.int64)})
+
+    agg = (
+        li.map_batches(_pairs, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_dedup_attach, batch_format="pandas")
+        .groupby("bucket2")
+        .map_groups(_count, batch_format="pandas")
+        .groupby("code")
+        .aggregate(Sum("part_cnt", alias_name="supplier_cnt"))
+        .to_pandas()
+    )
+    code = agg["code"].to_numpy(np.int64)
+    agg["p_brand"] = pd.array(["Brand#" + str(b) for b in code // 64], "object")
+    agg["p_size"] = (code % 64).astype(np.int64)
+    agg["supplier_cnt"] = agg["supplier_cnt"].astype(np.int64)
+    return (
+        agg[["p_brand", "p_size", "supplier_cnt"]]
+        .sort_values(
+            ["supplier_cnt", "p_brand", "p_size"], ascending=[False, True, True]
+        )
+        .reset_index(drop=True)
+    )
+
+
+def q18_large_orders(sf_dir: str) -> pd.DataFrame:
+    """HAVING over a big groupby (TPC-H Q18 shape): orders whose total
+    quantity is >= Q18_MIN_QTY (order-cardinality bucketed reduce with a
+    per-batch partial), joined back to orders and top-100 by price; the
+    winners' customer names come from a predicate-pushdown dim read.
+    Quantities are integral in the data — summed as exact int64."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    from .stages.join import hash_join
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+
+    def _partial(t: pa.Table) -> pd.DataFrame:
+        ok = np.asarray(t["l_orderkey"].to_numpy(zero_copy_only=False), np.int64)
+        q = np.asarray(t["l_quantity"].to_numpy(zero_copy_only=False), np.float64)
+        qi = np.floor(q + 0.5).astype(np.int64)
+        uniq, inv = np.unique(ok, return_inverse=True)
+        out = pd.DataFrame(
+            {"o_orderkey": uniq, "part_q": np.bincount(inv, weights=qi).astype(np.int64)}
+        )
+        out["bucket"] = (uniq * 2654435761 % 2**32) % SESSION_BUCKETS
+        return out
+
+    def _having(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("o_orderkey", sort=False)["part_q"].sum()
+        agg = agg[agg >= Q18_MIN_QTY]
+        return pd.DataFrame(
+            {
+                "o_orderkey": agg.index.to_numpy(np.int64),
+                "sum_qty": agg.to_numpy(np.int64),
+            }
+        )
+
+    big = (
+        li.map_batches(_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_having, batch_format="pandas")
+    )
+    orders = _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"]
+    )
+    joined = hash_join(
+        big, orders, "o_orderkey",
+        ["o_custkey", "o_totalprice", "o_orderdate"],
+        right_rows=_nrows(sf_dir, "orders"),
+    )
+
+    def _cents(t: pa.Table) -> pa.Table:
+        p = np.asarray(t["o_totalprice"].to_numpy(zero_copy_only=False), np.float64)
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "o_custkey": t["o_custkey"],
+                "o_orderdate": t["o_orderdate"],
+                "o_totalprice_cents": pa.array(np.floor(p * 100.0 + 0.5).astype(np.int64)),
+                "sum_qty": t["sum_qty"],
+            }
+        )
+
+    top = (
+        joined.map_batches(_cents, batch_format="pyarrow")
+        .sort(["o_totalprice_cents", "o_orderkey"], descending=[True, False])
+        .limit(100)
+        .to_pandas()
+    )
+    keys = top["o_custkey"].to_numpy(np.int64)
+    cust = (
+        pads.dataset(f"{sf_dir}/customer.parquet")
+        .to_table(
+            columns=["c_custkey", "c_name"],
+            filter=pc.field("c_custkey").isin(pa.array(np.unique(keys), pa.int64())),
+        )
+        .to_pandas()
+    )
+    name_of = dict(zip(cust["c_custkey"].astype(np.int64), cust["c_name"]))
+    top["c_name"] = top["o_custkey"].map(name_of)
+    out = top.rename(columns={"o_custkey": "c_custkey"})
+    return out[
+        ["c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice_cents", "sum_qty"]
+    ].reset_index(drop=True)
+
+
+def q19_disjunctive_revenue(sf_dir: str):
+    """Disjunctive multi-predicate revenue (TPC-H Q19 shape): three
+    (brand, size-range, quantity-range) AND-clauses OR-ed together,
+    evaluated as one vectorized boolean expression per batch against the
+    broadcast part attributes.  Single-row exact cents output."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .stages.dedup import _sorted_kv_task
+
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_brand", "p_size"]).map_batches(
+        lambda t: pa.table(
+            {
+                "k": t["p_partkey"],
+                # brand_idx * 64 + size in one int64
+                "v": pa.array(
+                    np.char.partition(t["p_brand"].to_pandas().to_numpy("U16"), "#")[:, 2].astype(np.int64) * 64
+                    + np.asarray(t["p_size"].to_numpy(zero_copy_only=False), np.int64),
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    kv_ref = _sorted_kv_task.remote(
+        [br for bd in part.iter_internal_ref_bundles() for br in bd.block_refs], "k", "v"
+    )
+    disjuncts = tuple(
+        (int(b.split("#")[1]), slo, shi, qlo, qhi) for b, slo, shi, qlo, qhi in Q19_DISJUNCTS
+    )
+
+    li = _read(
+        sf_dir, "lineitem", columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"]
+    )
+
+    def _partial(t: pa.Table) -> pd.DataFrame:
+        ks, vs = ray.get(kv_ref)
+        pk = np.asarray(t["l_partkey"].to_numpy(zero_copy_only=False), np.int64)
+        code = vs[np.searchsorted(ks, pk)]
+        brand, size = code // 64, code % 64
+        qty = np.floor(
+            np.asarray(t["l_quantity"].to_numpy(zero_copy_only=False), np.float64) + 0.5
+        ).astype(np.int64)
+        mask = np.zeros(len(pk), bool)
+        for bi, slo, shi, qlo, qhi in disjuncts:
+            mask |= (brand == bi) & (size >= slo) & (size <= shi) & (qty >= qlo) & (qty <= qhi)
+        price = np.asarray(t["l_extendedprice"].to_numpy(zero_copy_only=False), np.float64)
+        disc = np.asarray(t["l_discount"].to_numpy(zero_copy_only=False), np.float64)
+        cents = np.floor(price * (1.0 - disc) * 100.0 + 0.5).astype(np.int64)
+        return pd.DataFrame(
+            {"g": np.zeros(1, np.int64), "part_cents": [int(cents[mask].sum())],
+             "part_n": [int(mask.sum())]}
+        )
+
+    return (
+        li.map_batches(_partial, batch_format="pyarrow")
+        .groupby("g")
+        .aggregate(
+            Sum("part_cents", alias_name="revenue_cents"),
+            Sum("part_n", alias_name="n_lines"),
+        )
+        .map_batches(
+            lambda t: t.select(["revenue_cents", "n_lines"]), batch_format="pyarrow"
+        )
+    )
+
+
+def q22_idle_customers(sf_dir: str):
+    """Correlated scalar aggregate + recency anti-join (TPC-H Q22 shape):
+    customers in a deterministic 'country code' set (custkey mod), with
+    balance above the positive-balance average of that set, and NO order
+    since Q22_ACTIVE_SINCE — grouped by code.  The average comparison is
+    exact integer cross-multiplication (bal * n > sum); recent-buyer keys
+    broadcast as a remote-built sorted array, probed with searchsorted."""
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from .stages.dedup import _remote_sorted_column
+
+    codes = np.asarray(Q22_CODES, np.int64)
+
+    def _base(t: pa.Table) -> pa.Table:
+        ck = np.asarray(t["c_custkey"].to_numpy(zero_copy_only=False), np.int64)
+        bal = np.floor(
+            np.asarray(t["c_acctbal"].to_numpy(zero_copy_only=False), np.float64) * 100.0 + 0.5
+        ).astype(np.int64)
+        keep = np.isin(ck % Q22_CODE_MOD, codes)
+        return pa.table(
+            {
+                "c_custkey": pa.array(ck[keep], pa.int64()),
+                "code": pa.array(ck[keep] % Q22_CODE_MOD, pa.int64()),
+                "bal_cents": pa.array(bal[keep], pa.int64()),
+            }
+        )
+
+    base = _read(sf_dir, "customer", columns=["c_custkey", "c_acctbal"]).map_batches(
+        _base, batch_format="pyarrow"
+    )
+
+    stats = (
+        base.map_batches(
+            lambda t: pa.table(
+                {
+                    "g": pa.array(np.zeros(1, np.int64)),
+                    "part_s": pa.array(
+                        [int(np.asarray(t["bal_cents"].to_numpy(zero_copy_only=False), np.int64)[
+                            np.asarray(t["bal_cents"].to_numpy(zero_copy_only=False), np.int64) > 0
+                        ].sum())], pa.int64()
+                    ),
+                    "part_n": pa.array(
+                        [int((np.asarray(t["bal_cents"].to_numpy(zero_copy_only=False), np.int64) > 0).sum())],
+                        pa.int64(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("g")
+        .aggregate(Sum("part_s", alias_name="s"), Sum("part_n", alias_name="n"))
+        .to_pandas()
+    )
+    s, n = int(stats["s"].iloc[0]), int(stats["n"].iloc[0])
+
+    recent = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate"],
+        filter=pc.field("o_orderdate") >= _ts(Q22_ACTIVE_SINCE),
+    ).map_batches(
+        lambda t: pa.table({"o_custkey": pc.unique(t["o_custkey"])}),
+        batch_format="pyarrow",
+    )
+    recent_ref = _remote_sorted_column(recent, "o_custkey")
+
+    def _sel(t: pa.Table) -> pd.DataFrame:
+        buyers = ray.get(recent_ref)
+        ck = np.asarray(t["c_custkey"].to_numpy(zero_copy_only=False), np.int64)
+        bal = np.asarray(t["bal_cents"].to_numpy(zero_copy_only=False), np.int64)
+        code = np.asarray(t["code"].to_numpy(zero_copy_only=False), np.int64)
+        keep = bal * n > s
+        if len(buyers):
+            pos = np.searchsorted(buyers, ck)
+            ok = pos < len(buyers)
+            has = np.zeros(len(ck), bool)
+            has[ok] = buyers[pos[ok]] == ck[ok]
+            keep &= ~has
+        u, inv = np.unique(code[keep], return_inverse=True)
+        return pd.DataFrame(
+            {
+                "cntrycode": u.astype(np.int64),
+                "part_n": np.bincount(inv).astype(np.int64),
+                "part_bal": np.bincount(inv, weights=bal[keep]).astype(np.int64),
+            }
+        )
+
+    return (
+        base.map_batches(_sel, batch_format="pyarrow")
+        .groupby("cntrycode")
+        .aggregate(
+            Sum("part_n", alias_name="numcust"),
+            Sum("part_bal", alias_name="totacctbal_cents"),
+        )
+        .sort("cntrycode")
+    )

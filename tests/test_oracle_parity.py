@@ -781,3 +781,27 @@ def test_wave14_additions_parity(name, ray_session, con):
     import __ray_entry__ as entrymod
 
     compare(entrymod.queries()[name](SF_DIR), entrymod.oracle_sql()[name], con)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q4_order_priority",
+        "q10_returned_revenue",
+        "q12_late_lines",
+        "q13_customer_distribution",
+        "q14_promo_revenue",
+        "q16_brand_supplier_count",
+        "q18_large_orders",
+        "q19_disjunctive_revenue",
+        "q22_idle_customers",
+    ],
+)
+def test_tpch_wave_parity(name, ray_session, con):
+    """Round-4 TPC-H-shaped wave: EXISTS semi-join, multi-join top-k,
+    CASE-bucketed dual aggregate, left-join count histogram, exact
+    rational ratio, NOT-IN anti + grouped distinct, HAVING over a big
+    groupby, disjunctive predicates, correlated scalar + recency anti."""
+    import __ray_entry__ as entrymod
+
+    compare(entrymod.queries()[name](SF_DIR), entrymod.oracle_sql()[name], con)
