@@ -160,6 +160,10 @@ _BACKLOG = [
     "q18_large_orders",
     "q19_disjunctive_revenue",
     "q22_idle_customers",
+    # round-4 spatial geometry wave (new, oracle-checked)
+    "parcel_area_by_grid",
+    "points_outside_parcels",
+    "parcel_cell_coverage",
     "pages_boilerplate_strip",
     "token_cms_topk",
     "sequence_packing",
@@ -372,6 +376,9 @@ def oracle_sql() -> dict[str, str]:
         "q18_large_orders": oracle.q18_large_orders_sql(),
         "q19_disjunctive_revenue": oracle.q19_disjunctive_revenue_sql(),
         "q22_idle_customers": oracle.q22_idle_customers_sql(),
+        "parcel_area_by_grid": oracle.parcel_area_by_grid_sql(),
+        "points_outside_parcels": oracle.points_outside_parcels_sql(),
+        "parcel_cell_coverage": oracle.parcel_cell_coverage_sql(),
         "geocode_join_orders": oracle.geocode_join_orders_sql(),
         "orders_without_lineitems": oracle.orders_without_lineitems_sql(),
         "cell_skew_topk": oracle.cell_skew_topk_sql(),

@@ -3486,3 +3486,80 @@ WHERE b.bal * st.n > st.s
   )
 GROUP BY 1 ORDER BY 1
 """
+
+
+# ---------------- round-4 spatial geometry wave
+
+def parcel_area_by_grid_sql() -> str:
+    """Shoelace area == (xmax-xmin)*(ymax-ymin) for the rectangle layer;
+    bbox centroid == the anchor point.  All integral meters — exact."""
+    return f"""
+WITH {address_points_values_sql('ap')},
+{parcels_bbox_values_sql('parcels')},
+j AS (
+    SELECT p.*, a.address_grid
+    FROM parcels p
+    JOIN ap a ON a.point_id = CAST(substr(p.parcel_id, 2) AS BIGINT)
+)
+SELECT address_grid,
+       CAST(COUNT(*) AS BIGINT) AS n_parcels,
+       SUM((xmax - xmin) * (ymax - ymin)) AS total_area_m2,
+       SUM((xmin + xmax) / 2) AS sum_cx,
+       SUM((ymin + ymax) / 2) AS sum_cy
+FROM j GROUP BY 1 ORDER BY 1
+"""
+
+
+def points_outside_parcels_sql() -> str:
+    return f"""
+WITH {address_points_values_sql('ap')},
+{parcels_bbox_values_sql('parcels')},
+{_anchored_points_cte()}
+SELECT q.query_id
+FROM qpts q
+WHERE NOT EXISTS (
+    SELECT 1 FROM parcels p
+    WHERE q.qx > p.xmin AND q.qx < p.xmax AND q.qy > p.ymin AND q.qy < p.ymax
+)
+"""
+
+
+def parcel_cell_coverage_sql() -> str:
+    """Exact clipped-intersection replica: same floor cell arithmetic,
+    LEAST/GREATEST clipping, integral meters throughout; the lateral
+    expansion uses the 2-step UNNEST(generate_series) pattern (DuckDB
+    lacks lateral generate_series)."""
+    from .functions.cells import EXTENT, X0, Y0
+    from .queries import COVERAGE_RES
+    from .sources.synthetic import PARCEL_HALF
+
+    n = 1 << COVERAGE_RES
+    s = EXTENT / n
+    return f"""
+WITH {address_points_values_sql('ap')},
+pb AS (
+    SELECT x - {PARCEL_HALF!r} AS x0, x + {PARCEL_HALF!r} AS x1,
+           y - {PARCEL_HALF!r} AS y0, y + {PARCEL_HALF!r} AS y1
+    FROM ap
+),
+rng AS (
+    SELECT *,
+           CAST(floor((x0 - {X0!r}) / {s!r}) AS BIGINT) AS ix0,
+           CAST(floor((x1 - {X0!r}) / {s!r}) AS BIGINT) AS ix1,
+           CAST(floor((y0 - {Y0!r}) / {s!r}) AS BIGINT) AS iy0,
+           CAST(floor((y1 - {Y0!r}) / {s!r}) AS BIGINT) AS iy1
+    FROM pb
+),
+ex AS (
+    SELECT *, UNNEST(generate_series(ix0, ix1)) AS tix FROM rng
+),
+cells AS (
+    SELECT *, UNNEST(generate_series(iy0, iy1)) AS tiy FROM ex
+)
+SELECT tiy * {n} + tix AS cell,
+       CAST(COUNT(*) AS BIGINT) AS n_parcels,
+       SUM((LEAST(x1, {X0!r} + tix * {s!r} + {s!r}) - GREATEST(x0, {X0!r} + tix * {s!r}))
+         * (LEAST(y1, {Y0!r} + tiy * {s!r} + {s!r}) - GREATEST(y0, {Y0!r} + tiy * {s!r})))
+           AS covered_area_m2
+FROM cells GROUP BY 1 ORDER BY 1
+"""

@@ -7968,3 +7968,127 @@ def q22_idle_customers(sf_dir: str):
         )
         .sort("cntrycode")
     )
+
+
+# -------------------- round-4 spatial geometry wave: polygon area
+# aggregate (ST_Area), spatial anti-join, area-weighted vector->raster
+# cell coverage.  Parcel coordinates are integral meters, so every
+# shoelace cross product and clip difference is exact in float64.
+
+COVERAGE_RES = 9  # 1 km cells (functions/cells DEFAULT_RES)
+
+
+def parcel_area_by_grid(sf_dir: str):
+    """Polygon geometry aggregate: shoelace area + bbox centroid of every
+    parcel (general packed-ring kernel, vectorized), rolled up per
+    address grid.  The parcel layer is the broadcast-small reference
+    side by design; the kernel is the operator under test."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from .functions.pip import PackedPolygons, polygon_areas
+    from .sources.synthetic import address_points_table, parcels_table
+
+    ap = address_points_table()
+    grid_of = dict(
+        zip(ap["point_id"].to_pylist(), ap["address_grid"].to_pylist())
+    )
+
+    def _area(t: pa.Table) -> pd.DataFrame:
+        pid = t["parcel_id"].to_pylist()
+        rings = t["rings"].to_pylist()
+        pp = PackedPolygons(rings)
+        area = polygon_areas(pp)
+        cx = (pp.bbox_min_x + pp.bbox_max_x) * 0.5
+        cy = (pp.bbox_min_y + pp.bbox_max_y) * 0.5
+        grids = np.array([grid_of[int(p[1:])] for p in pid], object)
+        return pd.DataFrame(
+            {"address_grid": grids, "area_m2": area, "cx": cx, "cy": cy}
+        )
+
+    return (
+        rd.from_arrow(parcels_table())
+        .map_batches(_area, batch_format="pyarrow")
+        .groupby("address_grid")
+        .aggregate(
+            Count(alias_name="n_parcels"),
+            Sum("area_m2", alias_name="total_area_m2"),
+            Sum("cx", alias_name="sum_cx"),
+            Sum("cy", alias_name="sum_cy"),
+        )
+        .sort("address_grid")
+    )
+
+
+def points_outside_parcels(sf_dir: str):
+    """Spatial ANTI-join: anchored query points contained by NO parcel
+    (left-outer PIP + null filter — NOT EXISTS as a composition of the
+    existing containment operator).  Output is the uncovered query_id
+    stream, input-proportional."""
+    import pyarrow.compute as pc
+
+    from .pipelines.spatial import pip_join as _pip
+
+    out = _pip(sf_dir)
+    return out.map_batches(
+        lambda t: t.filter(pc.is_null(t["parcel_id"])).select(["query_id"]),
+        batch_format="pyarrow",
+    )
+
+
+def parcel_cell_coverage(sf_dir: str):
+    """Area-weighted vector->raster: each parcel's EXACT intersection
+    area with every 1 km grid cell it touches (np.repeat flat-map +
+    LEAST/GREATEST clipping — all integral meters, exact in float64),
+    summed per cell.  The coverage-fraction raster every impervious-
+    surface / land-use pipeline computes."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from .functions.cells import EXTENT, X0, Y0
+    from .sources.synthetic import PARCEL_HALF, address_points_table
+
+    n = 1 << COVERAGE_RES
+    s = EXTENT / n
+    ap = address_points_table().select(["point_id", "x", "y"])
+
+    def _cover(t: pa.Table) -> pd.DataFrame:
+        x = np.asarray(t["x"].to_numpy(zero_copy_only=False), np.float64)
+        y = np.asarray(t["y"].to_numpy(zero_copy_only=False), np.float64)
+        h = PARCEL_HALF
+        x0, x1, y0, y1 = x - h, x + h, y - h, y + h
+        ix0 = np.floor((x0 - X0) / s).astype(np.int64)
+        ix1 = np.floor((x1 - X0) / s).astype(np.int64)  # inclusive
+        iy0 = np.floor((y0 - Y0) / s).astype(np.int64)
+        iy1 = np.floor((y1 - Y0) / s).astype(np.int64)
+        cxn = ix1 - ix0 + 1
+        cyn = iy1 - iy0 + 1
+        reps = cxn * cyn
+        idx = np.repeat(np.arange(len(x)), reps)
+        start = np.cumsum(reps) - reps
+        o = np.arange(int(reps.sum()), dtype=np.int64) - np.repeat(start, reps)
+        tix = ix0[idx] + o // cyn[idx]
+        tiy = iy0[idx] + o % cyn[idx]
+        cell_x0 = X0 + tix * s
+        cell_y0 = Y0 + tiy * s
+        w = np.minimum(x1[idx], cell_x0 + s) - np.maximum(x0[idx], cell_x0)
+        hgt = np.minimum(y1[idx], cell_y0 + s) - np.maximum(y0[idx], cell_y0)
+        area = w * hgt
+        df = pd.DataFrame({"cell": tiy * n + tix, "area_m2": area})
+        agg = df.groupby("cell", sort=False).agg(
+            part_n=("area_m2", "size"), part_area=("area_m2", "sum")
+        )
+        out = agg.reset_index()
+        out["part_n"] = out["part_n"].astype(np.int64)
+        return out
+
+    return (
+        rd.from_arrow(ap)
+        .map_batches(_cover, batch_format="pyarrow")
+        .groupby("cell")
+        .aggregate(
+            Sum("part_n", alias_name="n_parcels"),
+            Sum("part_area", alias_name="covered_area_m2"),
+        )
+        .sort("cell")
+    )

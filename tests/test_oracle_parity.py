@@ -805,3 +805,19 @@ def test_tpch_wave_parity(name, ray_session, con):
     import __ray_entry__ as entrymod
 
     compare(entrymod.queries()[name](SF_DIR), entrymod.oracle_sql()[name], con)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "parcel_area_by_grid",
+        "points_outside_parcels",
+        "parcel_cell_coverage",
+    ],
+)
+def test_spatial_geometry_wave_parity(name, ray_session, con):
+    """Round-4 spatial geometry wave: shoelace area aggregate, spatial
+    anti-join, area-weighted vector->raster cell coverage."""
+    import __ray_entry__ as entrymod
+
+    compare(entrymod.queries()[name](SF_DIR), entrymod.oracle_sql()[name], con)
