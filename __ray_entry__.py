@@ -164,6 +164,7 @@ _BACKLOG = [
     "parcel_area_by_grid",
     "points_outside_parcels",
     "parcel_cell_coverage",
+    "events_moving_sum",
     "pages_boilerplate_strip",
     "token_cms_topk",
     "sequence_packing",
@@ -379,6 +380,7 @@ def oracle_sql() -> dict[str, str]:
         "parcel_area_by_grid": oracle.parcel_area_by_grid_sql(),
         "points_outside_parcels": oracle.points_outside_parcels_sql(),
         "parcel_cell_coverage": oracle.parcel_cell_coverage_sql(),
+        "events_moving_sum": oracle.events_moving_sum_sql(),
         "geocode_join_orders": oracle.geocode_join_orders_sql(),
         "orders_without_lineitems": oracle.orders_without_lineitems_sql(),
         "cell_skew_topk": oracle.cell_skew_topk_sql(),

@@ -3563,3 +3563,16 @@ SELECT tiy * {n} + tix AS cell,
            AS covered_area_m2
 FROM cells GROUP BY 1 ORDER BY 1
 """
+
+
+def events_moving_sum_sql() -> str:
+    from .queries import MOVING_WINDOW_ROWS
+
+    return f"""
+SELECT event_id,
+       CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN {MOVING_WINDOW_ROWS - 1} PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS w3_cents
+FROM events
+"""

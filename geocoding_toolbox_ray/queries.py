@@ -8092,3 +8092,58 @@ def parcel_cell_coverage(sf_dir: str):
         )
         .sort("cell")
     )
+
+
+MOVING_WINDOW_ROWS = 3
+
+
+def events_moving_sum(sf_dir: str):
+    """Trailing ROWS-window aggregate (SUM OVER ... ROWS BETWEEN 2
+    PRECEDING AND CURRENT ROW): per-user 3-event moving sum of cents in
+    (ts, event_id) order.  One user-bucket shuffle; inside each bucket
+    the window is a vectorized shifted-cumsum difference with an exact
+    per-segment base (no maximum.accumulate — the round-3 cusum
+    lesson)."""
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
+
+    def _bucket(t: pa.Table) -> pd.DataFrame:
+        uid = np.asarray(t["user_id"].to_numpy(zero_copy_only=False), np.int64)
+        return pd.DataFrame(
+            {
+                "user_id": uid,
+                "event_id": np.asarray(t["event_id"].to_numpy(zero_copy_only=False), np.int64),
+                "us": t["ts"].to_pandas().astype("datetime64[us]").astype(np.int64),
+                "cents": np.floor(
+                    np.asarray(t["value"].to_numpy(zero_copy_only=False), np.float64) * 100.0 + 0.5
+                ).astype(np.int64),
+                "bucket": ((uid * 2654435761) % 4294967296) % SESSION_BUCKETS,
+            }
+        )
+
+    w = MOVING_WINDOW_ROWS
+
+    def _window(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "us", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy(np.int64)
+        cents = g["cents"].to_numpy(np.int64)
+        new = np.zeros(len(g), bool)
+        new[0] = True
+        new[1:] = uid[1:] != uid[:-1]
+        grp = np.cumsum(new) - 1
+        starts = np.flatnonzero(new)
+        cum = np.cumsum(cents)
+        seg_base = (cum[starts] - cents[starts])[grp]  # exact, sign-independent
+        pos = np.arange(len(g)) - starts[grp]  # 0-based position in segment
+        # rows with pos >= w subtract cum[i-w]; earlier rows subtract the
+        # segment base (window clipped at the partition start)
+        shifted = np.concatenate([np.zeros(w, np.int64), cum[:-w]]) if len(g) >= w else np.zeros(len(g), np.int64)
+        w3 = np.where(pos >= w, cum - shifted, cum - seg_base)
+        return pd.DataFrame(
+            {"event_id": g["event_id"].to_numpy(np.int64), "w3_cents": w3.astype(np.int64)}
+        )
+
+    return (
+        ev.map_batches(_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_window, batch_format="pandas")
+    )

@@ -821,3 +821,13 @@ def test_spatial_geometry_wave_parity(name, ray_session, con):
     import __ray_entry__ as entrymod
 
     compare(entrymod.queries()[name](SF_DIR), entrymod.oracle_sql()[name], con)
+
+
+def test_events_moving_sum_parity(ray_session, con):
+    import __ray_entry__ as entrymod
+
+    compare(
+        entrymod.queries()["events_moving_sum"](SF_DIR),
+        entrymod.oracle_sql()["events_moving_sum"],
+        con,
+    )
