@@ -165,6 +165,7 @@ _BACKLOG = [
     "points_outside_parcels",
     "parcel_cell_coverage",
     "events_moving_sum",
+    "media_dedup_report",
     "pages_boilerplate_strip",
     "token_cms_topk",
     "sequence_packing",
@@ -381,6 +382,7 @@ def oracle_sql() -> dict[str, str]:
         "points_outside_parcels": oracle.points_outside_parcels_sql(),
         "parcel_cell_coverage": oracle.parcel_cell_coverage_sql(),
         "events_moving_sum": oracle.events_moving_sum_sql(),
+        "media_dedup_report": oracle.media_dedup_report_sql(),
         "geocode_join_orders": oracle.geocode_join_orders_sql(),
         "orders_without_lineitems": oracle.orders_without_lineitems_sql(),
         "cell_skew_topk": oracle.cell_skew_topk_sql(),

@@ -3576,3 +3576,27 @@ SELECT event_id,
        ) AS BIGINT) AS w3_cents
 FROM events
 """
+
+
+def media_dedup_report_sql() -> str:
+    """Content identity needs no SQL-replicable hash: DISTINCT text per
+    type replicates the 128-bit-hash dedup exactly (md5 collisions are
+    out of model on both sides)."""
+    return """
+WITH m AS (
+    SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END
+               AS media_type,
+           text,
+           CAST(octet_length(encode(text)) AS BIGINT) AS nb
+    FROM documents
+),
+u AS (SELECT media_type, text, MAX(nb) AS nb FROM m GROUP BY 1, 2)
+SELECT m.media_type,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM u WHERE u.media_type = m.media_type)
+           AS n_unique,
+       CAST(SUM(m.nb) AS BIGINT) AS total_bytes,
+       (SELECT CAST(SUM(u.nb) AS BIGINT) FROM u WHERE u.media_type = m.media_type)
+           AS unique_bytes
+FROM m GROUP BY 1 ORDER BY 1
+"""

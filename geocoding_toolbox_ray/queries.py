@@ -8147,3 +8147,96 @@ def events_moving_sum(sf_dir: str):
         .groupby("bucket")
         .map_groups(_window, batch_format="pandas")
     )
+
+
+def media_dedup_report(sf_dir: str) -> pd.DataFrame:
+    """Multimodal exact dedup: identical binary payloads (the docs-derived
+    media fixture, payload = utf-8 bytes of text) collapsed by 128-bit
+    content hash per media type.  Same int-only shuffle discipline as
+    curate_pages: md5 pairs per batch, coarse-bucket in-bucket dedup,
+    3-row final aggregate.  Output: totals vs unique counts and bytes per
+    type — the storage-savings report a media-ingest pipeline prints."""
+    from ray.data.aggregate import Sum
+
+    from .pipelines.curate import _md5_pair
+
+    docs = _docs(sf_dir)
+
+    def _partial(t: pa.Table) -> pd.DataFrame:
+        ids = np.asarray(t["doc_id"].to_numpy(zero_copy_only=False), np.int64)
+        texts = t["text"].to_pylist()
+        nb = np.asarray([len(s.encode("utf-8")) for s in texts], np.int64)
+        ty = ids % 3
+        hi, lo = _md5_pair(texts)
+        df = pd.DataFrame({"ty": ty, "hi": hi, "lo": lo, "nb": nb})
+        u = df.drop_duplicates(["ty", "hi", "lo"])
+        out = pd.DataFrame(
+            {
+                "bucket": (u["hi"].to_numpy(np.int64).astype(np.uint64) % np.uint64(CURATE_BUCKETS_MEDIA)).astype(np.int64),
+                "ty": u["ty"].to_numpy(np.int64),
+                "hi": u["hi"].to_numpy(np.int64),
+                "lo": u["lo"].to_numpy(np.int64),
+                "nb": u["nb"].to_numpy(np.int64),
+            }
+        )
+        # ride the totals along as per-batch partial rows (ty-keyed)
+        tot = df.groupby("ty", sort=False)["nb"].agg(["size", "sum"]).reset_index()
+        out2 = pd.DataFrame(
+            {
+                "bucket": np.full(len(tot), -1, np.int64),
+                "ty": tot["ty"].to_numpy(np.int64),
+                "hi": tot["size"].to_numpy(np.int64),   # part_n in the totals rows
+                "lo": tot["sum"].to_numpy(np.int64),    # part_bytes
+                "nb": np.zeros(len(tot), np.int64),
+            }
+        )
+        return pd.concat([out, out2], ignore_index=True)
+
+    def _reduce(g: pd.DataFrame) -> pd.DataFrame:
+        if (g["bucket"] == -1).all():  # totals bucket
+            agg = g.groupby("ty", sort=False)[["hi", "lo"]].sum()
+            return pd.DataFrame(
+                {
+                    "ty": agg.index.to_numpy(np.int64),
+                    "n_total": agg["hi"].to_numpy(np.int64),
+                    "total_bytes": agg["lo"].to_numpy(np.int64),
+                    "n_unique": np.zeros(len(agg), np.int64),
+                    "unique_bytes": np.zeros(len(agg), np.int64),
+                }
+            )
+        u = g.drop_duplicates(["ty", "hi", "lo"])
+        agg = u.groupby("ty", sort=False)["nb"].agg(["size", "sum"])
+        return pd.DataFrame(
+            {
+                "ty": agg.index.to_numpy(np.int64),
+                "n_total": np.zeros(len(agg), np.int64),
+                "total_bytes": np.zeros(len(agg), np.int64),
+                "n_unique": agg["size"].to_numpy(np.int64),
+                "unique_bytes": agg["sum"].to_numpy(np.int64),
+            }
+        )
+
+    from ray.data.aggregate import Sum as _S
+
+    out = (
+        docs.map_batches(_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_reduce, batch_format="pandas")
+        .groupby("ty")
+        .aggregate(
+            _S("n_total", alias_name="n_total"),
+            _S("total_bytes", alias_name="total_bytes"),
+            _S("n_unique", alias_name="n_unique"),
+            _S("unique_bytes", alias_name="unique_bytes"),
+        )
+        .to_pandas()
+    )
+    types = np.array(["image", "audio", "video"], object)
+    out["media_type"] = types[out["ty"].to_numpy(np.int64)]
+    cols = ["media_type", "n_total", "n_unique", "total_bytes", "unique_bytes"]
+    for c in cols[1:]:
+        out[c] = out[c].astype(np.int64)
+    return out[cols].sort_values("media_type").reset_index(drop=True)
+
+
+CURATE_BUCKETS_MEDIA = 64

@@ -831,3 +831,13 @@ def test_events_moving_sum_parity(ray_session, con):
         entrymod.oracle_sql()["events_moving_sum"],
         con,
     )
+
+
+def test_media_dedup_report_parity(ray_session, con):
+    import __ray_entry__ as entrymod
+
+    compare(
+        entrymod.queries()["media_dedup_report"](SF_DIR),
+        entrymod.oracle_sql()["media_dedup_report"],
+        con,
+    )
