@@ -134,3 +134,21 @@ def test_knn_stage_exact_vs_bruteforce():
     d2 = (qx[:, None] - stage.px[None, :]) ** 2 + (qy[:, None] - stage.py[None, :]) ** 2
     brute = stage.pid[np.argmin(d2, axis=1)]
     assert out["nn_point_id"].to_numpy().tolist() == brute.tolist()
+
+
+def test_polygon_areas_shoelace():
+    """Shoelace kernel: rectangles, triangles, and a holed polygon
+    (opposite-winding hole subtracts through the signed sum)."""
+    import numpy as np
+
+    from geocoding_toolbox_ray.functions.pip import PackedPolygons, polygon_areas
+
+    rect = [[0.0, 0.0, 4.0, 0.0, 4.0, 3.0, 0.0, 3.0, 0.0, 0.0]]
+    tri = [[0.0, 0.0, 6.0, 0.0, 0.0, 6.0, 0.0, 0.0]]
+    # 10x10 exterior CCW with a 2x2 hole wound CW
+    holed = [
+        [0.0, 0.0, 10.0, 0.0, 10.0, 10.0, 0.0, 10.0, 0.0, 0.0],
+        [4.0, 4.0, 4.0, 6.0, 6.0, 6.0, 6.0, 4.0, 4.0, 4.0],
+    ]
+    areas = polygon_areas(PackedPolygons([rect, tri, holed]))
+    assert areas.tolist() == [12.0, 18.0, 96.0]
