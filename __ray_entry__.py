@@ -166,6 +166,7 @@ _BACKLOG = [
     "parcel_cell_coverage",
     "events_moving_sum",
     "media_dedup_report",
+    "orders_skyline",
     "pages_boilerplate_strip",
     "token_cms_topk",
     "sequence_packing",
@@ -383,6 +384,7 @@ def oracle_sql() -> dict[str, str]:
         "parcel_cell_coverage": oracle.parcel_cell_coverage_sql(),
         "events_moving_sum": oracle.events_moving_sum_sql(),
         "media_dedup_report": oracle.media_dedup_report_sql(),
+        "orders_skyline": oracle.orders_skyline_sql(),
         "geocode_join_orders": oracle.geocode_join_orders_sql(),
         "orders_without_lineitems": oracle.orders_without_lineitems_sql(),
         "cell_skew_topk": oracle.cell_skew_topk_sql(),

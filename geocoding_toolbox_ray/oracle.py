@@ -3600,3 +3600,24 @@ SELECT m.media_type,
            AS unique_bytes
 FROM m GROUP BY 1 ORDER BY 1
 """
+
+
+def orders_skyline_sql() -> str:
+    """Pareto frontier via NOT EXISTS dominator; day bucketing matches
+    the engine's epoch_us // 86_400e6 integer day."""
+    return """
+WITH pts AS (
+    SELECT o_orderkey,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents,
+           CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS day_num
+    FROM orders
+)
+SELECT a.o_orderkey, a.price_cents, a.day_num
+FROM pts a
+WHERE NOT EXISTS (
+    SELECT 1 FROM pts b
+    WHERE b.price_cents >= a.price_cents AND b.day_num >= a.day_num
+      AND (b.price_cents > a.price_cents OR b.day_num > a.day_num)
+)
+ORDER BY a.o_orderkey
+"""

@@ -8240,3 +8240,62 @@ def media_dedup_report(sf_dir: str) -> pd.DataFrame:
 
 
 CURATE_BUCKETS_MEDIA = 64
+
+
+def orders_skyline(sf_dir: str) -> pd.DataFrame:
+    """Skyline / Pareto-frontier query: orders not dominated on
+    (o_totalprice_cents, order day) — dominate = >= on both, > on at
+    least one.  Distributed shape: per-batch LOCAL frontier (any
+    globally non-dominated row is non-dominated in its batch, so local
+    pruning is lossless), tiny global frontier pass on the union of
+    local fronts.  Oracle: NOT EXISTS dominator."""
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice", "o_orderdate"])
+
+    def _front(cents: np.ndarray, day: np.ndarray) -> np.ndarray:
+        """Boolean mask of the pareto-max frontier (maximize both)."""
+        order = np.lexsort((-day, -cents))  # cents desc, day desc
+        best_day = np.int64(np.iinfo(np.int64).min)
+        keep = np.zeros(len(cents), bool)
+        c_sorted = cents[order]
+        d_sorted = day[order]
+        # walk cents-descending: a row is dominated iff some earlier row
+        # (>= cents) has >= day and one strict; track max day among
+        # STRICTLY greater cents seen so far, plus equal-cents handling
+        i = 0
+        n = len(order)
+        while i < n:
+            j = i
+            while j < n and c_sorted[j] == c_sorted[i]:
+                j += 1
+            grp = order[i:j]
+            d_grp = d_sorted[i:j]
+            gmax = d_grp.max()
+            # equal cents: only rows at the group-max day survive in-group
+            # dominance (equal-on-both duplicates all survive), and only
+            # if that day strictly beats every higher-cents row's day
+            keep[grp] = (d_grp == gmax) & (gmax > best_day)
+            best_day = max(best_day, gmax)
+            i = j
+        return keep
+
+    def _local(t: pa.Table) -> pd.DataFrame:
+        cents = np.floor(
+            np.asarray(t["o_totalprice"].to_numpy(zero_copy_only=False), np.float64) * 100.0 + 0.5
+        ).astype(np.int64)
+        day = (
+            t["o_orderdate"].to_pandas().astype("datetime64[us]").astype(np.int64)
+            // 86_400_000_000
+        ).to_numpy(np.int64)
+        ok = np.asarray(t["o_orderkey"].to_numpy(zero_copy_only=False), np.int64)
+        m = _front(cents, day)
+        return pd.DataFrame(
+            {"o_orderkey": ok[m], "price_cents": cents[m], "day_num": day[m]}
+        )
+
+    local = orders.map_batches(_local, batch_format="pyarrow").to_pandas()
+    cents = local["price_cents"].to_numpy(np.int64)
+    day = local["day_num"].to_numpy(np.int64)
+    m = _front(cents, day)
+    out = local[m].sort_values("o_orderkey").reset_index(drop=True)
+    out["o_orderkey"] = out["o_orderkey"].astype(np.int64)
+    return out[["o_orderkey", "price_cents", "day_num"]]

@@ -841,3 +841,13 @@ def test_media_dedup_report_parity(ray_session, con):
         entrymod.oracle_sql()["media_dedup_report"],
         con,
     )
+
+
+def test_orders_skyline_parity(ray_session, con):
+    import __ray_entry__ as entrymod
+
+    compare(
+        entrymod.queries()["orders_skyline"](SF_DIR),
+        entrymod.oracle_sql()["orders_skyline"],
+        con,
+    )
