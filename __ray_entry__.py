@@ -167,6 +167,7 @@ _BACKLOG = [
     "events_moving_sum",
     "media_dedup_report",
     "orders_skyline",
+    "snap_points_to_roads",
     "pages_boilerplate_strip",
     "token_cms_topk",
     "sequence_packing",
@@ -385,6 +386,7 @@ def oracle_sql() -> dict[str, str]:
         "events_moving_sum": oracle.events_moving_sum_sql(),
         "media_dedup_report": oracle.media_dedup_report_sql(),
         "orders_skyline": oracle.orders_skyline_sql(),
+        "snap_points_to_roads": oracle.snap_points_to_roads_sql(),
         "geocode_join_orders": oracle.geocode_join_orders_sql(),
         "orders_without_lineitems": oracle.orders_without_lineitems_sql(),
         "cell_skew_topk": oracle.cell_skew_topk_sql(),

@@ -3621,3 +3621,47 @@ WHERE NOT EXISTS (
 )
 ORDER BY a.o_orderkey
 """
+
+
+def snap_points_to_roads_sql() -> str:
+    """Same integer rational distance, same float64 comparator (every
+    in-radius d2_num < 2^53, so the double division is exact on both
+    sides), same seg_id tie-break."""
+    from .queries import SNAP_RADIUS_M
+    from .sources.synthetic import road_segments_values_sql
+
+    r2 = SNAP_RADIUS_M * SNAP_RADIUS_M
+    return f"""
+WITH {address_points_values_sql('ap')},
+{road_segments_values_sql('segs')},
+{_anchored_points_cte()},
+c AS (
+    SELECT q.query_id, s.seg_id, s.len2,
+           CAST(q.qx - s.ax AS BIGINT) AS dxa, CAST(q.qy - s.ay AS BIGINT) AS dya,
+           CAST(q.qx - s.bx AS BIGINT) AS dxb, CAST(q.qy - s.by AS BIGINT) AS dyb,
+           CAST(s.bx - s.ax AS BIGINT) AS abx, CAST(s.by - s.ay AS BIGINT) AS aby
+    FROM qpts q CROSS JOIN segs s
+),
+n AS (
+    SELECT query_id, seg_id, len2,
+           CASE WHEN dxa * abx + dya * aby <= 0
+                    THEN (dxa * dxa + dya * dya) * len2
+                WHEN dxa * abx + dya * aby >= len2
+                    THEN (dxb * dxb + dyb * dyb) * len2
+                ELSE (dxa * dxa + dya * dya) * len2
+                     - (dxa * abx + dya * aby) * (dxa * abx + dya * aby)
+           END AS d2_num
+    FROM c
+),
+r AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY CAST(d2_num AS DOUBLE) / len2, seg_id
+    ) AS rn
+    FROM (SELECT DISTINCT * FROM n) WHERE d2_num <= CAST({r2} AS BIGINT) * len2
+),
+w AS (SELECT query_id, seg_id, d2_num, len2 FROM r WHERE rn = 1)
+-- per-INPUT-ROW semantics: derived query_ids collide in the synthetic
+-- lineitem (CLAUDE.md), so winners join back to every input row
+SELECT q.query_id, w.seg_id, w.d2_num, w.len2
+FROM qpts q JOIN w ON w.query_id = q.query_id
+"""

@@ -8299,3 +8299,64 @@ def orders_skyline(sf_dir: str) -> pd.DataFrame:
     out = local[m].sort_values("o_orderkey").reset_index(drop=True)
     out["o_orderkey"] = out["o_orderkey"].astype(np.int64)
     return out[["o_orderkey", "price_cents", "day_num"]]
+
+
+SNAP_RADIUS_M = 2000
+
+
+def snap_points_to_roads(sf_dir: str):
+    """Map matching: snap every anchored query point to its nearest road
+    segment within SNAP_RADIUS_M (the polyline layer derived from the
+    centerline streets).  ALL arithmetic is exact int64 — squared
+    point-segment distance carried as the rational (d2_num, len2) with
+    d2_num = |p-a|^2*len2 - dot^2 clamped to the endpoints — and the
+    winner comparator is d2_num/len2 in float64, which is EXACT for every
+    in-radius candidate (d2_num <= R^2*len2 < 2^53), identical IEEE ops
+    in numpy and DuckDB.  Segments broadcast (144 rows); per batch one
+    (N x S) vectorized pass; ties break to the smallest seg_id via
+    argmin-first over seg_id-ordered arrays."""
+    from .pipelines.spatial import derive_anchored_points
+    from .sources.synthetic import _road_segment_rows
+
+    segs = _road_segment_rows()
+    ax = np.asarray([r["ax"] for r in segs], np.int64)
+    ay = np.asarray([r["ay"] for r in segs], np.int64)
+    bx = np.asarray([r["bx"] for r in segs], np.int64)
+    by = np.asarray([r["by"] for r in segs], np.int64)
+    sid = np.asarray([r["seg_id"] for r in segs], np.int64)
+    len2 = np.asarray([r["len2"] for r in segs], np.int64)
+    abx, aby = bx - ax, by - ay
+    r2cap = SNAP_RADIUS_M * SNAP_RADIUS_M
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber"])
+
+    def _snap(t: pa.Table) -> pd.DataFrame:
+        pts = derive_anchored_points(t)
+        qx = np.asarray(pts["qx"].to_numpy(zero_copy_only=False), np.int64)[:, None]
+        qy = np.asarray(pts["qy"].to_numpy(zero_copy_only=False), np.int64)[:, None]
+        qid = np.asarray(pts["query_id"].to_numpy(zero_copy_only=False), np.int64)
+        dxa, dya = qx - ax[None, :], qy - ay[None, :]
+        dxb, dyb = qx - bx[None, :], qy - by[None, :]
+        dot = dxa * abx[None, :] + dya * aby[None, :]
+        d2a = dxa * dxa + dya * dya
+        d2b = dxb * dxb + dyb * dyb
+        num = np.where(
+            dot <= 0,
+            d2a * len2[None, :],
+            np.where(dot >= len2[None, :], d2b * len2[None, :], d2a * len2[None, :] - dot * dot),
+        )
+        ok = num <= r2cap * len2[None, :]
+        key = np.where(ok, num.astype(np.float64) / len2[None, :], np.inf)
+        best = np.argmin(key, axis=1)  # first min -> smallest seg_id
+        has = ok[np.arange(len(qid)), best]
+        b = best[has]
+        return pd.DataFrame(
+            {
+                "query_id": qid[has],
+                "seg_id": sid[b],
+                "d2_num": num[has, b],
+                "len2": len2[b],
+            }
+        )
+
+    return li.map_batches(_snap, batch_format="pyarrow", batch_size=4096)

@@ -257,3 +257,49 @@ def parcels_bbox_values_sql(alias: str = "parcels") -> str:
             )
         )
     return f"{alias}(parcel_id, xmin, ymin, xmax, ymax) AS (VALUES\n" + ",\n".join(parts) + ")"
+
+
+# ------------------------------------------------------------ road segments
+
+def _road_segment_rows() -> list[dict]:
+    """Polyline road layer for map-matching: consecutive house points of
+    each centerline-tier street form segments (9 per street per city).
+    All endpoint coordinates are integral meters (same formulas as
+    ``_address_point_rows``), so every snap-distance quantity downstream
+    is exact int64."""
+    rows = []
+    sid = 0
+    for ci, (city, zip5, cx, cy) in enumerate(CITIES):
+        for si, street in enumerate(STREETS):
+            if street not in _CENTERLINE_STREETS:
+                continue
+            pts = []
+            for h in range(1, HOUSES_PER_STREET + 1):
+                pts.append(
+                    (
+                        cx + si * 400.0 + float(h * 37 % 200),
+                        cy + (h % 4) * 250.0 + float(h * 30),
+                    )
+                )
+            for (ax, ay), (bx, by) in zip(pts[:-1], pts[1:]):
+                sid += 1
+                rows.append(
+                    {
+                        "seg_id": sid,
+                        "ax": ax,
+                        "ay": ay,
+                        "bx": bx,
+                        "by": by,
+                        "len2": int((bx - ax) ** 2 + (by - ay) ** 2),
+                    }
+                )
+    return rows
+
+
+def road_segments_values_sql(alias: str = "segs") -> str:
+    rows = _road_segment_rows()
+    parts = [
+        f"({r['seg_id']}, {r['ax']!r}, {r['ay']!r}, {r['bx']!r}, {r['by']!r}, {r['len2']})"
+        for r in rows
+    ]
+    return f"{alias}(seg_id, ax, ay, bx, by, len2) AS (VALUES\n" + ",\n".join(parts) + ")"

@@ -851,3 +851,14 @@ def test_orders_skyline_parity(ray_session, con):
         entrymod.oracle_sql()["orders_skyline"],
         con,
     )
+
+
+def test_snap_points_to_roads_parity(ray_session, con):
+    """Map matching: exact integer rational point-segment distance."""
+    import __ray_entry__ as entrymod
+
+    compare(
+        entrymod.queries()["snap_points_to_roads"](SF_DIR),
+        entrymod.oracle_sql()["snap_points_to_roads"],
+        con,
+    )
