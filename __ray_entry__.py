@@ -168,6 +168,7 @@ _BACKLOG = [
     "media_dedup_report",
     "orders_skyline",
     "snap_points_to_roads",
+    "user_event_gini",
     "pages_boilerplate_strip",
     "token_cms_topk",
     "sequence_packing",
@@ -387,6 +388,7 @@ def oracle_sql() -> dict[str, str]:
         "media_dedup_report": oracle.media_dedup_report_sql(),
         "orders_skyline": oracle.orders_skyline_sql(),
         "snap_points_to_roads": oracle.snap_points_to_roads_sql(),
+        "user_event_gini": oracle.user_event_gini_sql(),
         "geocode_join_orders": oracle.geocode_join_orders_sql(),
         "orders_without_lineitems": oracle.orders_without_lineitems_sql(),
         "cell_skew_topk": oracle.cell_skew_topk_sql(),

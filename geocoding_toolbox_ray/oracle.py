@@ -3665,3 +3665,16 @@ w AS (SELECT query_id, seg_id, d2_num, len2 FROM r WHERE rn = 1)
 SELECT q.query_id, w.seg_id, w.d2_num, w.len2
 FROM qpts q JOIN w ON w.query_id = q.query_id
 """
+
+
+def user_event_gini_sql() -> str:
+    return """
+WITH c AS (
+    SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+    FROM events GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(SUM(c) AS BIGINT) AS n_events,
+       CAST(SUM(c) * SUM(c) - SUM(c * c) AS BIGINT) AS gini_num
+FROM c GROUP BY 1
+"""

@@ -8360,3 +8360,47 @@ def snap_points_to_roads(sf_dir: str):
         )
 
     return li.map_batches(_snap, batch_format="pyarrow", batch_size=4096)
+
+
+def user_event_gini(sf_dir: str):
+    """Per-user event-type concentration as EXACT rational Gini impurity:
+    gini = 1 - sum(p_t^2) carried as (gini_num, n) with
+    gini_num = n^2 - sum(c_t^2) — no floats, no ln (the
+    information-theoretic feature without the transcendental).  One
+    user-bucket shuffle; per-batch (user, type) partial counts."""
+    ev = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def _partial(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "user_id": np.asarray(t["user_id"].to_numpy(zero_copy_only=False), np.int64),
+                "event_type": t["event_type"].to_pandas().to_numpy(object),
+            }
+        )
+        agg = df.groupby(["user_id", "event_type"], sort=False).size().reset_index(name="part_c")
+        agg["bucket"] = (
+            agg["user_id"].to_numpy(np.int64) * 2654435761 % 2**32
+        ) % SESSION_BUCKETS
+        agg["part_c"] = agg["part_c"].astype(np.int64)
+        return agg
+
+    def _gini(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.groupby(["user_id", "event_type"], sort=False)["part_c"].sum()
+        idx = c.index.to_frame(index=False)
+        df = pd.DataFrame({"user_id": idx["user_id"].to_numpy(np.int64), "c": c.to_numpy(np.int64)})
+        agg = df.groupby("user_id", sort=False)["c"].agg(n="sum", sq=lambda s: int((s.to_numpy(np.int64) ** 2).sum()))
+        n = agg["n"].to_numpy(np.int64)
+        sq = agg["sq"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "user_id": agg.index.to_numpy(np.int64),
+                "n_events": n,
+                "gini_num": n * n - sq,
+            }
+        )
+
+    return (
+        ev.map_batches(_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_gini, batch_format="pandas")
+    )

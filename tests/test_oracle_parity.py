@@ -862,3 +862,13 @@ def test_snap_points_to_roads_parity(ray_session, con):
         entrymod.oracle_sql()["snap_points_to_roads"],
         con,
     )
+
+
+def test_user_event_gini_parity(ray_session, con):
+    import __ray_entry__ as entrymod
+
+    compare(
+        entrymod.queries()["user_event_gini"](SF_DIR),
+        entrymod.oracle_sql()["user_event_gini"],
+        con,
+    )
