@@ -116,48 +116,68 @@ def run_bench() -> dict:
         # per-query scaling mode (VERDICT r3 #4): the headline plus the
         # three most expensive shuffle-bearing pipelines, best-of-2 each.
         # dedup_clusters and spatial_cell_join get COMPUTE-BOUND inputs
-        # (pages-corpus near-dup graph; 8x B-side point derivation) — at
-        # the oracle-checked sf0.1 defaults both finish in seconds, so a
-        # 4v16 ratio measures fixed shuffle latency, not scaling.
-        import pyarrow.compute as _pc
-
+        # (24x-replicated docs near-dup graph; 4x B-side point
+        # derivation) — at the oracle-checked sf0.1 defaults both finish
+        # in seconds, so a 4v16 ratio measures fixed latency, not scaling.
         from geocoding_toolbox_ray.pipelines.curate import curate_pages
         from geocoding_toolbox_ray.pipelines.spatial import spatial_cell_join
-        from geocoding_toolbox_ray.sources.pages import materialize_pages_parquet as _mat
         from geocoding_toolbox_ray.stages.dedup import (
             dedup_clusters as _cc,
             minhash_dup_pairs as _mh,
         )
 
-        n_cc_pages = _pages_count() // 4  # mult 12: signature compute dominates
-        cc_dir = os.path.join(PAGES_CACHE_ROOT, f"n{n_cc_pages}")
-        _mat(n_cc_pages, cc_dir)
+        # dedup_clusters scaling input: documents replicated REP x with a
+        # distinct per-copy suffix — each doc's copies form a bounded
+        # REP-clique of genuine near-dups (diameter 1, predictable pair
+        # count), unlike the pages corpus whose near-dup graph density
+        # exploded the first attempt (58 min lo leg at 1.8M pages)
+        REP = 24
+        import numpy as _np
+        import pyarrow as _pa
 
-        def _pages_docs():
-            import pyarrow as _pa
+        def _docs_x():
             import ray.data as rd
 
-            def _to_docs(t):
-                ids = _pc.cast(
-                    _pc.struct_field(
-                        _pc.extract_regex(t["url"], r"/page/(?P<i>\d+)$"), "i"
-                    ),
-                    _pa.int64(),
+            def _rep(t: _pa.Table) -> _pa.Table:
+                ids = _np.asarray(t["doc_id"].to_numpy(zero_copy_only=False), _np.int64)
+                texts = t["text"].to_pylist()
+                out_ids = _np.repeat(ids * REP, REP) + _np.tile(
+                    _np.arange(REP, dtype=_np.int64), len(ids)
                 )
-                return _pa.table({"doc_id": ids, "text": t["text"]})
+                out_txt = [s + f" copyvariant {j}" for s in texts for j in range(REP)]
+                return _pa.table(
+                    {"doc_id": _pa.array(out_ids), "text": _pa.array(out_txt, _pa.string())}
+                )
 
-            return rd.read_parquet(cc_dir, columns=["url", "text"]).map_batches(
-                _to_docs, batch_format="pyarrow"
-            )
+            return rd.read_parquet(
+                f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"]
+            ).map_batches(_rep, batch_format="pyarrow")
 
-        def _cc_pages():
-            pairs = _mh(_pages_docs(), n_docs=n_cc_pages)
+        import pyarrow.parquet as _pq
+
+        n_docs_x = int(_pq.read_metadata(f"{SF_DIR}/documents.parquet").num_rows) * REP
+
+        def _cc_docs():
+            pairs = _mh(_docs_x(), n_docs=n_docs_x)
             return _cc(pairs.drop_columns(["est_jaccard_permille"]))
 
-        timed_best("geocode_pages", lambda: geocode_pages(read_pages(pages_dir), cfg), 2)
-        timed_best("curate_pages", lambda: curate_pages(read_pages(pages_dir)), 2)
-        timed_best("dedup_clusters_pages", _cc_pages, 2)
-        timed_best("spatial_cell_join_x8", lambda: spatial_cell_join(SF_DIR, mult=8), 2)
+        scaling_queries = {
+            "geocode_pages": lambda: geocode_pages(read_pages(pages_dir), cfg),
+            "curate_pages": lambda: curate_pages(read_pages(pages_dir)),
+            # pair GENERATION alone is compute-dominated; the full
+            # clustering adds CC rounds whose 2 co-group shuffles each
+            # carry a fixed ~2-4 s dispatch floor that no cpu count
+            # removes at sf0.1 (rounds = diameter; at real scale the
+            # per-round WORK dominates that floor)
+            "minhash_pairs_x24": lambda: _mh(_docs_x(), n_docs=n_docs_x),
+            "dedup_clusters_x24": _cc_docs,
+            "spatial_cell_join_x4": lambda: spatial_cell_join(SF_DIR, mult=4),
+        }
+        only = os.environ.get("GRAFT_SCALE_ONE")
+        for name, fn in scaling_queries.items():
+            if only and name != only:
+                continue
+            timed_best(name, fn, 2)
     elif os.environ.get("GRAFT_HEADLINE_ONLY") == "1":
         # scaling mode: best-of-3 to damp noisy-neighbor variance on this VM
         timed_best("geocode_pages", lambda: geocode_pages(read_pages(pages_dir), cfg), 3)
@@ -218,7 +238,7 @@ def run_bench() -> dict:
     total = round(sum(timings.values()), 3)
     geocode_rows_per_s = (
         round(rows["geocode_pages"] / timings["geocode_pages"], 1)
-        if timings["geocode_pages"] > 0
+        if timings.get("geocode_pages", 0) > 0
         else None
     )
     out = {
@@ -240,11 +260,13 @@ def run_bench() -> dict:
 def run_scaling() -> dict:
     import subprocess
 
-    def one(ncpu: int) -> dict:
-        # per-query scaling mode: headline + curate_pages + dedup_clusters
-        # + spatial_cell_join (VERDICT r3 #4 — the three most expensive
-        # shuffle-bearing pipelines get their own 4v16 efficiency)
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SCALING_QUERIES="1")
+    def one(ncpu: int, query: str) -> dict:
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            GRAFT_SCALING_QUERIES="1",
+            GRAFT_SCALE_ONE=query,
+        )
         # pin the whole process tree to ncpu physical cores: Ray's raylet /
         # object-store / serialization threads otherwise spill onto idle
         # cores beyond num_cpus, inflating the small-cluster baseline (an
@@ -262,18 +284,39 @@ def run_scaling() -> dict:
     # probe shows the sandbox's 32 vCPUs deliver only ~3.3x the cycles of 8
     # (hypervisor throttling), capping ANY 8->32 measurement at ~0.83
     # before software overheads; see BASELINE.md.
+    #
+    # Per-query ADJACENT legs (round-4 methodology fix): each query runs
+    # its lo leg and hi leg back to back in fresh processes, so co-tenant
+    # drift between the two legs of one query is minutes, not the length
+    # of a whole leg batch (a batched-leg run measured curate at 0.47 and
+    # 0.98 in consecutive attempts purely from load drift).
     lo, hi = int(os.environ.get("GRAFT_SCALE_LO", "4")), int(os.environ.get("GRAFT_SCALE_HI", "16"))
-    r_lo = one(lo)
-    r_hi = one(hi)
-    # throughput = headline geocode rows/s; efficiency vs ideal linear scaling
-    tp_lo = r_lo["geocode_pages_rows_per_s"]
-    tp_hi = r_hi["geocode_pages_rows_per_s"]
+    names = [
+        "geocode_pages",
+        "curate_pages",
+        "minhash_pairs_x24",
+        "dedup_clusters_x24",
+        "spatial_cell_join_x4",
+    ]
+    sec_lo: dict[str, float] = {}
+    sec_hi: dict[str, float] = {}
+    loads: dict[str, list] = {}
+    tp_lo = tp_hi = None
+    for name in names:
+        r_lo = one(lo, name)
+        r_hi = one(hi, name)
+        sec_lo[name] = r_lo["queries"][name]
+        sec_hi[name] = r_hi["queries"][name]
+        loads[name] = [
+            r_lo.get("loadavg_before_others"),
+            r_hi.get("loadavg_before_others"),
+        ]
+        if name == "geocode_pages":
+            tp_lo = r_lo["geocode_pages_rows_per_s"]
+            tp_hi = r_hi["geocode_pages_rows_per_s"]
     eff = round((tp_hi / tp_lo) / (hi / lo), 3)
-    # same input both legs, so per-query efficiency = speedup / cpu ratio
     per_query = {
-        name: round((r_lo["queries"][name] / r_hi["queries"][name]) / (hi / lo), 3)
-        for name in r_lo["queries"]
-        if name in r_hi.get("queries", {}) and r_hi["queries"][name] > 0
+        name: round((sec_lo[name] / sec_hi[name]) / (hi / lo), 3) for name in names
     }
     return {
         "metric": "scaling_efficiency",
@@ -283,13 +326,10 @@ def run_scaling() -> dict:
         "num_cpus_hi": hi,
         "rows_per_s_lo": tp_lo,
         "rows_per_s_hi": tp_hi,
-        "total_sec_lo": r_lo["value"],
-        "total_sec_hi": r_hi["value"],
         "per_query_efficiency": per_query,
-        "queries_sec_lo": r_lo["queries"],
-        "queries_sec_hi": r_hi["queries"],
-        "loadavg_lo": r_lo.get("loadavg_before_others"),
-        "loadavg_hi": r_hi.get("loadavg_before_others"),
+        "queries_sec_lo": sec_lo,
+        "queries_sec_hi": sec_hi,
+        "loadavg_per_query": loads,
         "sf": SF_DIR,
     }
 

@@ -555,26 +555,47 @@ def spatial_cell_join(sf_dir: str, radius: float = CELL_JOIN_RADIUS_M, mult: int
     )
 
     def _pair(g: pd.DataFrame) -> pd.DataFrame:
-        la = g[g["side"] == 0]
-        lb = g[g["side"] == 1]
-        if not len(la) or not len(lb):
+        # numpy span-gather equi-join on cell (round-4 rewrite): the
+        # earlier pandas merge allocated object-heavy frames per bucket
+        # and throttled multi-core scaling exactly like the round-2
+        # matcher (allocator pressure) — sort B once, searchsorted A's
+        # cells, expand spans with repeat/arange, all flat int64/float64
+        side = g["side"].to_numpy(np.int64)
+        cell = g["cell"].to_numpy(np.int64)
+        qid = g["qid"].to_numpy(np.int64)
+        x = g["x"].to_numpy(np.float64)
+        y = g["y"].to_numpy(np.float64)
+        a_m = side == 0
+        b_m = ~a_m
+        if not a_m.any() or not b_m.any():
             return pd.DataFrame(
                 {"a_id": pd.array([], "int64"), "b_id": pd.array([], "int64"),
                  "d2": pd.array([], "float64")}
             )
-        m = la[["cell", "qid", "x", "y"]].merge(
-            lb[["cell", "qid", "x", "y"]], on="cell", suffixes=("_a", "_b")
-        )
-        dx = m["x_a"].to_numpy(np.float64) - m["x_b"].to_numpy(np.float64)
-        dy = m["y_a"].to_numpy(np.float64) - m["y_b"].to_numpy(np.float64)
+        ac, aq, ax_, ay_ = cell[a_m], qid[a_m], x[a_m], y[a_m]
+        bc, bq, bx_, by_ = cell[b_m], qid[b_m], x[b_m], y[b_m]
+        order = np.argsort(bc, kind="stable")
+        bc_s, bq_s, bx_s, by_s = bc[order], bq[order], bx_[order], by_[order]
+        lo = np.searchsorted(bc_s, ac, side="left")
+        hi = np.searchsorted(bc_s, ac, side="right")
+        counts = hi - lo
+        total = int(counts.sum())
+        if total == 0:
+            return pd.DataFrame(
+                {"a_id": pd.array([], "int64"), "b_id": pd.array([], "int64"),
+                 "d2": pd.array([], "float64")}
+            )
+        ai = np.repeat(np.arange(len(ac)), counts)
+        # concatenated per-span ranges: global arange minus each span's
+        # shifted start offset, plus the span's lo
+        starts = np.cumsum(counts) - counts
+        bi = np.arange(total, dtype=np.int64) - np.repeat(starts, counts) + np.repeat(lo, counts)
+        dx = ax_[ai] - bx_s[bi]
+        dy = ay_[ai] - by_s[bi]
         d2 = dx * dx + dy * dy
         keep = d2 <= r2
         return pd.DataFrame(
-            {
-                "a_id": m["qid_a"].to_numpy(np.int64)[keep],
-                "b_id": m["qid_b"].to_numpy(np.int64)[keep],
-                "d2": d2[keep],
-            }
+            {"a_id": aq[ai[keep]], "b_id": bq_s[bi[keep]], "d2": d2[keep]}
         )
 
     return a.union(b).groupby("bucket").map_groups(_pair, batch_format="pandas")
