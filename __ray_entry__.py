@@ -149,6 +149,11 @@ _WINDOW_R4 = [
 # (keep these immediately after the window so the next rotation is a
 # simple list swap).
 _BACKLOG = [
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q15_top_supplier",
+    "q17_small_quantity",
     # round-4 TPC-H-shaped wave (new, oracle-checked; first in line for
     # the round-5 window)
     "q4_order_priority",
@@ -373,6 +378,11 @@ def oracle_sql() -> dict[str, str]:
         "geocode_orders_units": oracle.geocode_orders_units_sql(),
         "geocode_orders_highways": oracle.geocode_orders_highways_sql(),
         "q4_order_priority": oracle.q4_order_priority_sql(),
+        "q7_volume_shipping": oracle.q7_volume_shipping_sql(),
+        "q8_market_share": oracle.q8_market_share_sql(),
+        "q9_product_profit": oracle.q9_product_profit_sql(),
+        "q15_top_supplier": oracle.q15_top_supplier_sql(),
+        "q17_small_quantity": oracle.q17_small_quantity_sql(),
         "q10_returned_revenue": oracle.q10_returned_revenue_sql(),
         "q12_late_lines": oracle.q12_late_lines_sql(),
         "q13_customer_distribution": oracle.q13_customer_distribution_sql(),

@@ -3678,3 +3678,117 @@ SELECT user_id,
        CAST(SUM(c) * SUM(c) - SUM(c * c) AS BIGINT) AS gini_num
 FROM c GROUP BY 1
 """
+
+
+def q7_volume_shipping_sql() -> str:
+    """TPC-H-Q7-shaped cross-border volume; identical cents quantization
+    and calendar-year extraction to queries.q7_volume_shipping."""
+    return """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation cn  ON cn.n_nationkey = c.c_nationkey
+JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+WHERE c.c_nationkey <> s.s_nationkey
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
+def q8_market_share_sql() -> str:
+    """TPC-H-Q8-shaped market share with the engine's exact rational
+    share_ppm = target*1000000 // total (both positive -> trunc == floor)."""
+    from .queries import Q8_PART_TYPE, Q8_REGION_KEY, Q8_TARGET_NATION
+
+    return f"""
+WITH r AS (
+    SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+           CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT) AS cents,
+           s.s_nationkey
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation cn  ON cn.n_nationkey = c.c_nationkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    WHERE cn.n_regionkey = {Q8_REGION_KEY} AND p.p_type = '{Q8_PART_TYPE}'
+)
+SELECT o_year,
+       CAST(SUM(cents) AS BIGINT) AS total_cents,
+       CAST(SUM(CASE WHEN s_nationkey = {Q8_TARGET_NATION} THEN cents ELSE 0 END) AS BIGINT)
+           AS target_cents,
+       CAST(SUM(CASE WHEN s_nationkey = {Q8_TARGET_NATION} THEN cents ELSE 0 END)
+            * 1000000 // SUM(cents) AS BIGINT) AS share_ppm
+FROM r GROUP BY 1 ORDER BY 1
+"""
+
+
+def q9_product_profit_sql() -> str:
+    """TPC-H-Q9-shaped profit (unit cost = p_retailprice; no partsupp in
+    the synthetic schema); qty_centi*retail_cents//100 is positive ->
+    DuckDB trunc == floor, matching the engine."""
+    from .queries import Q9_NAME_SUBSTR
+
+    return f"""
+SELECT n.n_name,
+       CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)
+                - CAST(floor(l.l_quantity * 100 + 0.5) AS BIGINT)
+                  * CAST(floor(p.p_retailprice * 100 + 0.5) AS BIGINT) // 100)
+            AS BIGINT) AS profit_cents
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN part p     ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n   ON n.n_nationkey = s.s_nationkey
+WHERE p.p_name LIKE '%{Q9_NAME_SUBSTR}%'
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q15_top_supplier_sql() -> str:
+    """TPC-H-Q15-shaped top supplier(s) by exact integer cents, ties kept."""
+    return """
+WITH r AS (
+    SELECT l_suppkey,
+           CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                         AS BIGINT)) AS BIGINT) AS total_revenue_cents
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+    GROUP BY 1
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue_cents
+FROM r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+WHERE r.total_revenue_cents = (SELECT MAX(total_revenue_cents) FROM r)
+ORDER BY 1
+"""
+
+
+def q17_small_quantity_sql() -> str:
+    """TPC-H-Q17-shaped: the exact cross-multiplied 20%%-of-average
+    predicate 5*qty_centi*cnt < sum_qty_centi, per part of the brand."""
+    from .queries import Q17_BRAND
+
+    return f"""
+WITH l AS (
+    SELECT l.l_partkey,
+           CAST(floor(l.l_quantity * 100 + 0.5) AS BIGINT) AS qc,
+           CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT) AS pc
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = '{Q17_BRAND}'
+), s AS (
+    SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS cnt, CAST(SUM(qc) AS BIGINT) AS sq
+    FROM l GROUP BY 1
+)
+SELECT CAST(COALESCE(SUM(l.pc), 0) AS BIGINT) AS total_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(COALESCE(SUM(l.pc), 0) // 7 AS BIGINT) AS avg_yearly_cents
+FROM l JOIN s USING (l_partkey)
+WHERE l.qc * 5 * s.cnt < s.sq
+"""

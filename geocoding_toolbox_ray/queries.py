@@ -8404,3 +8404,491 @@ def user_event_gini(sf_dir: str):
         .groupby("bucket")
         .map_groups(_gini, batch_format="pandas")
     )
+
+
+# ------------------------------------------------- TPC-H wave 2 (round 4)
+
+def _nat_kv_ref(sf_dir: str, table: str, key: str, val: str):
+    """Sorted-kv broadcast (built by a remote task from block refs) of an
+    int dimension column — the q5 join plan's lookup primitive."""
+    from .stages.dedup import _sorted_kv_task
+
+    ds = _read(sf_dir, table, columns=[key, val]).map_batches(
+        lambda t, k=key, v=val: pa.table(
+            {
+                "k": pa.array(np.asarray(t[k].to_numpy(zero_copy_only=False), np.int64)),
+                "v": pa.array(np.asarray(t[v].to_numpy(zero_copy_only=False), np.int64)),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    refs = [br for b in ds.iter_internal_ref_bundles() for br in b.block_refs]
+    return _sorted_kv_task.remote(refs, "k", "v")
+
+
+def _rev_cents(t: pa.Table, keep=None) -> np.ndarray:
+    """floor(extendedprice*(1-discount)*100+0.5) — the shared discounted
+    revenue quantization (identical expression in every oracle)."""
+    price = np.asarray(t["l_extendedprice"].to_numpy(zero_copy_only=False), np.float64)
+    disc = np.asarray(t["l_discount"].to_numpy(zero_copy_only=False), np.float64)
+    if keep is not None:
+        price, disc = price[keep], disc[keep]
+    return np.floor(price * (1.0 - disc) * 100.0 + 0.5).astype(np.int64)
+
+
+def _ts_year(col: pa.ChunkedArray, keep=None) -> np.ndarray:
+    """Calendar year of a timestamp[us] column as int64 (numpy M8[Y] is
+    exact integer calendar arithmetic — matches SQL EXTRACT(year ...))."""
+    ts = col.to_numpy(zero_copy_only=False)
+    if keep is not None:
+        ts = ts[keep]
+    return ts.astype("datetime64[Y]").astype(np.int64) + 1970
+
+
+def _nation_names(sf_dir: str) -> pd.DataFrame:
+    """25-row nation dimension (driver-side reads of <=25-row dims are the
+    documented allowed exception)."""
+    import pyarrow.parquet as pq
+
+    nat = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    nat["n_nationkey"] = nat["n_nationkey"].astype(np.int64)
+    return nat
+
+
+def q7_volume_shipping(sf_dir: str) -> pd.DataFrame:
+    """TPC-H-Q7-shaped: cross-border shipping volume between every
+    (supplier nation, customer nation) pair per ship year.  Join plan =
+    q5's 100 TB shape (fact streams, orders via hash_join, nation
+    lookups as remote-built sorted-kv broadcasts); per-batch partials
+    reduce on a packed (s_nat, c_nat, year) key so the final Ray groupby
+    sees ~25*24*7 bounded groups."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .stages.join import hash_join
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]).map_batches(
+        lambda t: t.rename_columns(["l_orderkey", "o_custkey"]), batch_format="pyarrow"
+    )
+    joined = hash_join(
+        li, orders, "l_orderkey", ["o_custkey"], right_rows=_nrows(sf_dir, "orders")
+    )
+    cust_ref = _nat_kv_ref(sf_dir, "customer", "c_custkey", "c_nationkey")
+    supp_ref = _nat_kv_ref(sf_dir, "supplier", "s_suppkey", "s_nationkey")
+
+    def _partial(t: pa.Table) -> pa.Table:
+        ck, cn = ray.get(cust_ref)
+        sk, sn = ray.get(supp_ref)
+        c_nat = cn[np.searchsorted(ck, np.asarray(t["o_custkey"].to_numpy(zero_copy_only=False), np.int64))]
+        s_nat = sn[np.searchsorted(sk, np.asarray(t["l_suppkey"].to_numpy(zero_copy_only=False), np.int64))]
+        keep = c_nat != s_nat
+        cents = _rev_cents(t, keep)
+        year = _ts_year(t["l_shipdate"], keep)
+        key = (s_nat[keep] * 25 + c_nat[keep]) * 10_000 + year
+        uniq, inv = np.unique(key, return_inverse=True)
+        return pa.table(
+            {
+                "k": pa.array(uniq, pa.int64()),
+                "part_n": pa.array(np.bincount(inv).astype(np.int64)),
+                "part_cents": pa.array(
+                    np.bincount(inv, weights=cents.astype(np.float64)).astype(np.int64)
+                ),
+            }
+        )
+
+    agg = (
+        joined.map_batches(_partial, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(Sum("part_n", alias_name="n"), Sum("part_cents", alias_name="revenue_cents"))
+        .to_pandas()
+    )
+    k = agg["k"].to_numpy(np.int64)
+    nat = _nation_names(sf_dir).set_index("n_nationkey")["n_name"]
+    out = pd.DataFrame(
+        {
+            "supp_nation": nat.loc[(k // 10_000) // 25].to_numpy(object),
+            "cust_nation": nat.loc[(k // 10_000) % 25].to_numpy(object),
+            "l_year": k % 10_000,
+            "n": agg["n"].to_numpy(np.int64),
+            "revenue_cents": agg["revenue_cents"].to_numpy(np.int64),
+        }
+    )
+    return out.sort_values(["supp_nation", "cust_nation", "l_year"]).reset_index(drop=True)
+
+
+Q8_REGION_KEY = 2  # ASIA (synthetic regionkey = nationkey % 5)
+Q8_TARGET_NATION = 12
+Q8_PART_TYPE = "ECONOMY"
+
+
+def q8_market_share(sf_dir: str) -> pd.DataFrame:
+    """TPC-H-Q8-shaped market share: among order-year revenue for
+    ``Q8_PART_TYPE`` parts sold to customers in region ``Q8_REGION_KEY``,
+    the share supplied by nation ``Q8_TARGET_NATION``, as the EXACT
+    rational share_ppm = target*1_000_000 // total (both positive ->
+    DuckDB trunc == floor).  Five lookups, zero extra shuffles: orders
+    via hash_join; customer->nation, nation->region, supplier->nation
+    and part->type-match all sorted-kv broadcasts."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .stages.dedup import _sorted_kv_task
+    from .stages.join import hash_join
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        lambda t: pa.table(
+            {
+                "l_orderkey": t["o_orderkey"],
+                "o_custkey": t["o_custkey"],
+                "o_year": pa.array(_ts_year(t["o_orderdate"]), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    joined = hash_join(
+        li,
+        orders,
+        "l_orderkey",
+        ["o_custkey", "o_year"],
+        right_rows=_nrows(sf_dir, "orders"),
+    )
+    cust_ref = _nat_kv_ref(sf_dir, "customer", "c_custkey", "c_nationkey")
+    supp_ref = _nat_kv_ref(sf_dir, "supplier", "s_suppkey", "s_nationkey")
+    reg_ref = _nat_kv_ref(sf_dir, "nation", "n_nationkey", "n_regionkey")
+
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_type"]).map_batches(
+        lambda t: pa.table(
+            {
+                "k": pa.array(np.asarray(t["p_partkey"].to_numpy(zero_copy_only=False), np.int64)),
+                "v": pa.array(
+                    (t["p_type"].to_pandas().to_numpy(object) == Q8_PART_TYPE).astype(np.int64)
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    part_refs = [br for b in part.iter_internal_ref_bundles() for br in b.block_refs]
+    type_ref = _sorted_kv_task.remote(part_refs, "k", "v")
+
+    def _partial(t: pa.Table) -> pa.Table:
+        ck, cn = ray.get(cust_ref)
+        sk, sn = ray.get(supp_ref)
+        nk, nr = ray.get(reg_ref)
+        pk, pt = ray.get(type_ref)
+        c_nat = cn[np.searchsorted(ck, np.asarray(t["o_custkey"].to_numpy(zero_copy_only=False), np.int64))]
+        s_nat = sn[np.searchsorted(sk, np.asarray(t["l_suppkey"].to_numpy(zero_copy_only=False), np.int64))]
+        is_type = pt[np.searchsorted(pk, np.asarray(t["l_partkey"].to_numpy(zero_copy_only=False), np.int64))]
+        keep = (nr[np.searchsorted(nk, c_nat)] == Q8_REGION_KEY) & (is_type == 1)
+        cents = _rev_cents(t, keep)
+        year = np.asarray(t["o_year"].to_numpy(zero_copy_only=False), np.int64)[keep]
+        target = (s_nat[keep] == Q8_TARGET_NATION).astype(np.int64)
+        uniq, inv = np.unique(year, return_inverse=True)
+        return pa.table(
+            {
+                "o_year": pa.array(uniq, pa.int64()),
+                "part_total": pa.array(
+                    np.bincount(inv, weights=cents.astype(np.float64)).astype(np.int64)
+                ),
+                "part_target": pa.array(
+                    np.bincount(inv, weights=(cents * target).astype(np.float64)).astype(np.int64)
+                ),
+            }
+        )
+
+    agg = (
+        joined.map_batches(_partial, batch_format="pyarrow")
+        .groupby("o_year")
+        .aggregate(
+            Sum("part_total", alias_name="total_cents"),
+            Sum("part_target", alias_name="target_cents"),
+        )
+        .to_pandas()
+        .sort_values("o_year")
+        .reset_index(drop=True)
+    )
+    total = agg["total_cents"].to_numpy(np.int64)
+    target = agg["target_cents"].to_numpy(np.int64)
+    agg["o_year"] = agg["o_year"].astype(np.int64)
+    agg["total_cents"] = total
+    agg["target_cents"] = target
+    agg["share_ppm"] = target * 1_000_000 // total
+    return agg
+
+
+Q9_NAME_SUBSTR = "red"
+
+
+def q9_product_profit(sf_dir: str) -> pd.DataFrame:
+    """TPC-H-Q9-shaped product-type profit (adapted: the synthetic schema
+    has no partsupp, so unit cost = p_retailprice):
+    profit_cents = rev_cents - qty_centi*retail_cents//100 per line for
+    parts whose name contains ``Q9_NAME_SUBSTR``, grouped by (supplier
+    nation, order year).  part ships ONE packed sorted-kv broadcast
+    (v = retail_cents*2 + name_match) — integer-exact in SQL too."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .stages.dedup import _sorted_kv_task
+    from .stages.join import hash_join
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"]).map_batches(
+        lambda t: pa.table(
+            {
+                "l_orderkey": t["o_orderkey"],
+                "o_year": pa.array(_ts_year(t["o_orderdate"]), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    joined = hash_join(
+        li, orders, "l_orderkey", ["o_year"], right_rows=_nrows(sf_dir, "orders")
+    )
+    supp_ref = _nat_kv_ref(sf_dir, "supplier", "s_suppkey", "s_nationkey")
+
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_name", "p_retailprice"]).map_batches(
+        lambda t: pa.table(
+            {
+                "k": pa.array(np.asarray(t["p_partkey"].to_numpy(zero_copy_only=False), np.int64)),
+                "v": pa.array(
+                    np.floor(
+                        np.asarray(t["p_retailprice"].to_numpy(zero_copy_only=False), np.float64) * 100.0
+                        + 0.5
+                    ).astype(np.int64)
+                    * 2
+                    + np.char.find(
+                        t["p_name"].to_pandas().to_numpy(str).astype("U64"), Q9_NAME_SUBSTR
+                    ).__ge__(0).astype(np.int64)
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    part_refs = [br for b in part.iter_internal_ref_bundles() for br in b.block_refs]
+    part_ref = _sorted_kv_task.remote(part_refs, "k", "v")
+
+    def _partial(t: pa.Table) -> pa.Table:
+        sk, sn = ray.get(supp_ref)
+        pk, pv = ray.get(part_ref)
+        v = pv[np.searchsorted(pk, np.asarray(t["l_partkey"].to_numpy(zero_copy_only=False), np.int64))]
+        keep = (v % 2) == 1
+        retail_cents = (v // 2)[keep]
+        s_nat = sn[np.searchsorted(sk, np.asarray(t["l_suppkey"].to_numpy(zero_copy_only=False), np.int64))][keep]
+        qty_centi = np.floor(
+            np.asarray(t["l_quantity"].to_numpy(zero_copy_only=False), np.float64)[keep] * 100.0 + 0.5
+        ).astype(np.int64)
+        profit = _rev_cents(t, keep) - qty_centi * retail_cents // 100
+        year = np.asarray(t["o_year"].to_numpy(zero_copy_only=False), np.int64)[keep]
+        key = s_nat * 10_000 + year
+        uniq, inv = np.unique(key, return_inverse=True)
+        return pa.table(
+            {
+                "k": pa.array(uniq, pa.int64()),
+                "part_n": pa.array(np.bincount(inv).astype(np.int64)),
+                "part_profit": pa.array(
+                    np.bincount(inv, weights=profit.astype(np.float64)).astype(np.int64)
+                ),
+            }
+        )
+
+    agg = (
+        joined.map_batches(_partial, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(Sum("part_n", alias_name="n"), Sum("part_profit", alias_name="profit_cents"))
+        .to_pandas()
+    )
+    k = agg["k"].to_numpy(np.int64)
+    nat = _nation_names(sf_dir).set_index("n_nationkey")["n_name"]
+    out = pd.DataFrame(
+        {
+            "n_name": nat.loc[k // 10_000].to_numpy(object),
+            "o_year": k % 10_000,
+            "n": agg["n"].to_numpy(np.int64),
+            "profit_cents": agg["profit_cents"].to_numpy(np.int64),
+        }
+    )
+    return out.sort_values(["n_name", "o_year"]).reset_index(drop=True)
+
+
+Q15_START = np.datetime64("1996-01-01")
+Q15_END = np.datetime64("1996-04-01")
+
+
+def q15_top_supplier(sf_dir: str) -> pd.DataFrame:
+    """TPC-H-Q15-shaped top supplier: discounted revenue per supplier over
+    a 3-month ship window; winners are ALL suppliers tying the exact
+    integer-cents maximum.  Supplier cardinality is bounded (dimension,
+    not fact), so the Ray groupby is safe; names come from a driver-side
+    filtered read of only the winning keys (top_customers fix pattern)."""
+    import pyarrow.dataset as pads
+    from ray.data.aggregate import Sum
+
+    li = _read(
+        sf_dir, "lineitem", columns=["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"]
+    )
+
+    def _partial(t: pa.Table) -> pa.Table:
+        ts = t["l_shipdate"].to_numpy(zero_copy_only=False)
+        keep = (ts >= Q15_START) & (ts < Q15_END)
+        cents = _rev_cents(t, keep)
+        supp = np.asarray(t["l_suppkey"].to_numpy(zero_copy_only=False), np.int64)[keep]
+        uniq, inv = np.unique(supp, return_inverse=True)
+        return pa.table(
+            {
+                "s_suppkey": pa.array(uniq, pa.int64()),
+                "part_cents": pa.array(
+                    np.bincount(inv, weights=cents.astype(np.float64)).astype(np.int64)
+                ),
+            }
+        )
+
+    agg = (
+        li.map_batches(_partial, batch_format="pyarrow")
+        .groupby("s_suppkey")
+        .aggregate(Sum("part_cents", alias_name="total_revenue_cents"))
+        .to_pandas()
+    )
+    total = agg["total_revenue_cents"].to_numpy(np.int64)
+    winners = agg[total == total.max()].copy() if len(agg) else agg
+    keys = winners["s_suppkey"].to_numpy(np.int64)
+    names = (
+        pads.dataset(f"{sf_dir}/supplier.parquet")
+        .to_table(columns=["s_suppkey", "s_name"], filter=pads.field("s_suppkey").isin(keys))
+        .to_pandas()
+    )
+    names["s_suppkey"] = names["s_suppkey"].astype(np.int64)
+    out = winners.merge(names, on="s_suppkey")[["s_suppkey", "s_name", "total_revenue_cents"]]
+    out["total_revenue_cents"] = out["total_revenue_cents"].astype(np.int64)
+    out["s_suppkey"] = out["s_suppkey"].astype(np.int64)
+    return out.sort_values("s_suppkey").reset_index(drop=True)
+
+
+Q17_BRAND = "Brand#17"
+
+
+def q17_small_quantity(sf_dir: str) -> pd.DataFrame:
+    """TPC-H-Q17-shaped small-quantity revenue: total extendedprice cents
+    of ``Q17_BRAND`` lines whose quantity is below 20%% of that part's
+    average — the exact cross-multiplied predicate
+    5*qty_centi*cnt_p < sum_qty_centi_p (no division anywhere).  Two
+    streaming passes over the fact: pass 1 builds per-part (cnt, sum)
+    via per-batch partials + a bounded-key groupby, shipped back as TWO
+    sorted-kv broadcasts; pass 2 filters and sums.  avg_yearly_cents =
+    total // 7 (TPC-H's constant), floor-exact since both positive."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .stages.dedup import _sorted_kv_task
+    from .stages.join import hash_join  # noqa: F401  (import parity with siblings)
+
+    brand_ref = _brand_flag_ref(sf_dir, Q17_BRAND)
+    li_cols = ["l_partkey", "l_quantity", "l_extendedprice"]
+    li = _read(sf_dir, "lineitem", columns=li_cols)
+
+    def _qty_centi(t: pa.Table, keep) -> np.ndarray:
+        q = np.asarray(t["l_quantity"].to_numpy(zero_copy_only=False), np.float64)[keep]
+        return np.floor(q * 100.0 + 0.5).astype(np.int64)
+
+    def _partial_stats(t: pa.Table) -> pa.Table:
+        bk, bv = ray.get(brand_ref)
+        part = np.asarray(t["l_partkey"].to_numpy(zero_copy_only=False), np.int64)
+        keep = bv[np.searchsorted(bk, part)] == 1
+        qc = _qty_centi(t, keep)
+        uniq, inv = np.unique(part[keep], return_inverse=True)
+        return pa.table(
+            {
+                "l_partkey": pa.array(uniq, pa.int64()),
+                "part_cnt": pa.array(np.bincount(inv).astype(np.int64)),
+                "part_sum": pa.array(np.bincount(inv, weights=qc.astype(np.float64)).astype(np.int64)),
+            }
+        )
+
+    stats = (
+        li.map_batches(_partial_stats, batch_format="pyarrow")
+        .groupby("l_partkey")
+        .aggregate(Sum("part_cnt", alias_name="cnt"), Sum("part_sum", alias_name="sq"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "l_partkey": pa.array(np.asarray(t["l_partkey"].to_numpy(zero_copy_only=False), np.int64)),
+                    "cnt": pa.array(np.asarray(t["cnt"].to_numpy(zero_copy_only=False), np.int64)),
+                    "sq": pa.array(np.asarray(t["sq"].to_numpy(zero_copy_only=False), np.int64)),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    stat_refs = [br for b in stats.iter_internal_ref_bundles() for br in b.block_refs]
+    cnt_ref = _sorted_kv_task.remote(stat_refs, "l_partkey", "cnt")
+    sum_ref = _sorted_kv_task.remote(stat_refs, "l_partkey", "sq")
+
+    def _partial_rev(t: pa.Table) -> pa.Table:
+        bk, bv = ray.get(brand_ref)
+        ck, cv = ray.get(cnt_ref)
+        sk, sv = ray.get(sum_ref)
+        part = np.asarray(t["l_partkey"].to_numpy(zero_copy_only=False), np.int64)
+        keep = bv[np.searchsorted(bk, part)] == 1
+        part = part[keep]
+        qc = _qty_centi(t, keep)
+        cnt = cv[np.searchsorted(ck, part)]
+        sq = sv[np.searchsorted(sk, part)]
+        small = qc * 5 * cnt < sq
+        pc = np.floor(
+            np.asarray(t["l_extendedprice"].to_numpy(zero_copy_only=False), np.float64)[keep][small]
+            * 100.0
+            + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "part_cents": pa.array([int(pc.sum())], pa.int64()),
+                "part_n": pa.array([int(small.sum())], pa.int64()),
+            }
+        )
+
+    agg = li.map_batches(_partial_rev, batch_format="pyarrow").aggregate(
+        Sum("part_cents", alias_name="total_cents"), Sum("part_n", alias_name="n_lines")
+    )
+    total = int(agg["total_cents"]) if agg and agg["total_cents"] is not None else 0
+    n = int(agg["n_lines"]) if agg and agg["n_lines"] is not None else 0
+    return pd.DataFrame(
+        {
+            "total_cents": np.asarray([total], np.int64),
+            "n_lines": np.asarray([n], np.int64),
+            "avg_yearly_cents": np.asarray([total // 7], np.int64),
+        }
+    )
+
+
+def _brand_flag_ref(sf_dir: str, brand: str):
+    """partkey -> (p_brand == brand) sorted-kv broadcast."""
+    from .stages.dedup import _sorted_kv_task
+
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_brand"]).map_batches(
+        lambda t: pa.table(
+            {
+                "k": pa.array(np.asarray(t["p_partkey"].to_numpy(zero_copy_only=False), np.int64)),
+                "v": pa.array(
+                    (t["p_brand"].to_pandas().to_numpy(object) == brand).astype(np.int64)
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    refs = [br for b in part.iter_internal_ref_bundles() for br in b.block_refs]
+    return _sorted_kv_task.remote(refs, "k", "v")

@@ -872,3 +872,32 @@ def test_user_event_gini_parity(ray_session, con):
         entrymod.oracle_sql()["user_event_gini"],
         con,
     )
+
+
+def _entry_parity(name: str, con):
+    import __ray_entry__ as entrymod
+
+    compare(entrymod.queries()[name](SF_DIR), entrymod.oracle_sql()[name], con)
+
+
+def test_q7_volume_shipping_parity(ray_session, con):
+    _entry_parity("q7_volume_shipping", con)
+
+
+def test_q8_market_share_parity(ray_session, con):
+    """Exact rational market share (target*1e6 // total)."""
+    _entry_parity("q8_market_share", con)
+
+
+def test_q9_product_profit_parity(ray_session, con):
+    _entry_parity("q9_product_profit", con)
+
+
+def test_q15_top_supplier_parity(ray_session, con):
+    """Winners = ALL suppliers tying the integer-cents max."""
+    _entry_parity("q15_top_supplier", con)
+
+
+def test_q17_small_quantity_parity(ray_session, con):
+    """Cross-multiplied 20%-of-average predicate, no division."""
+    _entry_parity("q17_small_quantity", con)
