@@ -149,6 +149,10 @@ _WINDOW_R4 = [
 # (keep these immediately after the window so the next rotation is a
 # simple list swap).
 _BACKLOG = [
+    "basket_brand_pairs",
+    "orders_record_highs",
+    "events_value_trend_slope",
+    "orders_equidepth_bins",
     "q7_volume_shipping",
     "q8_market_share",
     "q9_product_profit",
@@ -378,6 +382,10 @@ def oracle_sql() -> dict[str, str]:
         "geocode_orders_units": oracle.geocode_orders_units_sql(),
         "geocode_orders_highways": oracle.geocode_orders_highways_sql(),
         "q4_order_priority": oracle.q4_order_priority_sql(),
+        "basket_brand_pairs": oracle.basket_brand_pairs_sql(),
+        "orders_record_highs": oracle.orders_record_highs_sql(),
+        "events_value_trend_slope": oracle.events_value_trend_slope_sql(),
+        "orders_equidepth_bins": oracle.orders_equidepth_bins_sql(),
         "q7_volume_shipping": oracle.q7_volume_shipping_sql(),
         "q8_market_share": oracle.q8_market_share_sql(),
         "q9_product_profit": oracle.q9_product_profit_sql(),

@@ -3792,3 +3792,84 @@ SELECT CAST(COALESCE(SUM(l.pc), 0) AS BIGINT) AS total_cents,
 FROM l JOIN s USING (l_partkey)
 WHERE l.qc * 5 * s.cnt < s.sq
 """
+
+
+def basket_brand_pairs_sql() -> str:
+    """Market-basket pair support + directed confidences; the engine's
+    'Brand#' || code reconstruction round-trips exactly because codes are
+    parsed from these same strings."""
+    return """
+WITH ob AS (
+    SELECT DISTINCT l.l_orderkey, p.p_brand
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+), bs AS (
+    SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n FROM ob GROUP BY 1
+), pairs AS (
+    SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, CAST(COUNT(*) AS BIGINT) AS pair_support
+    FROM ob a JOIN ob b
+      ON a.l_orderkey = b.l_orderkey
+     AND CAST(substr(a.p_brand, 7) AS BIGINT) < CAST(substr(b.p_brand, 7) AS BIGINT)
+    GROUP BY 1, 2
+)
+SELECT p.brand_a, p.brand_b, p.pair_support,
+       CAST(p.pair_support * 1000000 // sa.n AS BIGINT) AS conf_ab_ppm,
+       CAST(p.pair_support * 1000000 // sb.n AS BIGINT) AS conf_ba_ppm
+FROM pairs p
+JOIN bs sa ON sa.p_brand = p.brand_a
+JOIN bs sb ON sb.p_brand = p.brand_b
+ORDER BY 1, 2
+"""
+
+
+def orders_record_highs_sql() -> str:
+    """Strict running-max records per customer; (o_orderdate, o_orderkey)
+    is a total order (orderkey unique) so the window is deterministic."""
+    return """
+WITH t AS (
+    SELECT o_orderkey, o_custkey,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+           MAX(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ) AS prior_max
+    FROM orders
+)
+SELECT o_orderkey, o_custkey, cents AS price_cents
+FROM t WHERE prior_max IS NULL OR cents > prior_max
+"""
+
+
+def events_value_trend_slope_sql() -> str:
+    """Exact integer rational per-user trend slope; x offsets to the
+    user's first event so n*Sxx stays under 2^63 (engine invariant)."""
+    return """
+WITH e AS (
+    SELECT user_id,
+           (epoch_us(ts) - MIN(epoch_us(ts)) OVER (PARTITION BY user_id)) // 1000000 AS x,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+    FROM events
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(*) * SUM(x * y) - SUM(x) * SUM(y) AS BIGINT) AS slope_num,
+       CAST(COUNT(*) * SUM(x * x) - SUM(x) * SUM(x) AS BIGINT) AS slope_den
+FROM e GROUP BY 1
+"""
+
+
+def orders_equidepth_bins_sql() -> str:
+    """NTILE-equivalent equi-depth bins: per-bin MAX and count are
+    deterministic regardless of tie placement (the sorted multiset is
+    unique even when the ORDER BY has duplicate keys)."""
+    from .queries import EQUIDEPTH_K
+
+    return f"""
+WITH t AS (
+    SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+           NTILE({EQUIDEPTH_K}) OVER (ORDER BY floor(o_totalprice * 100 + 0.5)) AS bin
+    FROM orders
+)
+SELECT CAST(bin AS BIGINT) AS bin, CAST(MAX(cents) AS BIGINT) AS upper_cents,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM t GROUP BY 1 ORDER BY 1
+"""

@@ -8892,3 +8892,280 @@ def _brand_flag_ref(sf_dir: str, brand: str):
     )
     refs = [br for b in part.iter_internal_ref_bundles() for br in b.block_refs]
     return _sorted_kv_task.remote(refs, "k", "v")
+
+
+# ----------------------------------------- analytics wave 2 (round 4)
+
+def _segment_pairs(sorted_vals: np.ndarray, seg_counts: np.ndarray):
+    """All within-segment (i < j) index pairs of a segment-sorted array,
+    fully vectorized (no Python loop over segments): element at
+    within-segment offset w contributes w pairs (itself as 'b', every
+    earlier segment element as 'a').  Returns (a_idx, b_idx) into
+    ``sorted_vals``'s index space.  Pinned against itertools in
+    tests/test_analytics_wave.py."""
+    n = int(seg_counts.sum())
+    starts = np.cumsum(seg_counts) - seg_counts
+    seg_id = np.repeat(np.arange(len(seg_counts)), seg_counts)
+    w = np.arange(n) - starts[seg_id]  # within-segment offset
+    b_idx = np.repeat(np.arange(n), w)
+    total = int(w.sum())
+    cum_w = np.cumsum(w) - w  # pairs emitted before element j
+    a_idx = np.arange(total) - np.repeat(cum_w, w) + np.repeat(starts[seg_id], w)
+    return a_idx, b_idx
+
+
+BASKET_BRAND_PACK = 128  # brand codes < 128 (25 distinct); asserted
+
+
+def basket_brand_pairs(sf_dir: str) -> pd.DataFrame:
+    """Market-basket mining over orders: for every unordered pair of part
+    brands co-occurring in at least one order, the pair support (orders
+    containing both) and both directed confidences as exact
+    support*1_000_000 // support(antecedent).  Plan: per-batch dedup of
+    packed (orderkey, brand) against the broadcast part->brand lookup,
+    ONE order-bucket shuffle, vectorized within-bucket pair generation
+    (_segment_pairs), and a final Ray groupby bounded by the pair/brand
+    alphabet (<= 25*24/2 + 25 groups), never by order count."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    brand_ref = _brand_num_ref(sf_dir)
+
+    def _partial(t: pa.Table) -> pa.Table:
+        bk, bv = ray.get(brand_ref)
+        ok = np.asarray(t["l_orderkey"].to_numpy(zero_copy_only=False), np.int64)
+        brand = bv[np.searchsorted(bk, np.asarray(t["l_partkey"].to_numpy(zero_copy_only=False), np.int64))]
+        assert brand.max(initial=0) < BASKET_BRAND_PACK
+        packed = np.unique(ok * BASKET_BRAND_PACK + brand)
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    (((packed // BASKET_BRAND_PACK) * 2654435761) % 4294967296) % SESSION_BUCKETS
+                ),
+                "packed": pa.array(packed),
+            }
+        )
+
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        packed = np.unique(g["packed"].to_numpy(np.int64))  # cross-batch dedup
+        order = packed // BASKET_BRAND_PACK
+        brand = packed % BASKET_BRAND_PACK
+        _, counts = np.unique(order, return_counts=True)
+        a, b = _segment_pairs(brand, counts)
+        pair_key = brand[a] * BASKET_BRAND_PACK + brand[b]  # brand asc within order
+        pk, pn = np.unique(pair_key, return_counts=True)
+        sk, sn = np.unique(brand, return_counts=True)  # per-brand order support
+        return pd.DataFrame(
+            {
+                "k": np.concatenate([pk, sk + BASKET_BRAND_PACK * BASKET_BRAND_PACK]),
+                "part_n": np.concatenate([pn, sn]).astype(np.int64),
+            }
+        )
+
+    agg = (
+        li.map_batches(_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_pairs, batch_format="pandas")
+        .groupby("k")
+        .aggregate(Sum("part_n", alias_name="n"))
+        .to_pandas()
+    )
+    k = agg["k"].to_numpy(np.int64)
+    n = agg["n"].to_numpy(np.int64)
+    is_brand = k >= BASKET_BRAND_PACK * BASKET_BRAND_PACK
+    support = dict(zip(k[is_brand] - BASKET_BRAND_PACK * BASKET_BRAND_PACK, n[is_brand]))
+    pk, pn = k[~is_brand], n[~is_brand]
+    a, b = pk // BASKET_BRAND_PACK, pk % BASKET_BRAND_PACK
+    sa = np.asarray([support[x] for x in a], np.int64)
+    sb = np.asarray([support[x] for x in b], np.int64)
+    out = pd.DataFrame(
+        {
+            "brand_a": np.char.add("Brand#", a.astype("U3")).astype(object),
+            "brand_b": np.char.add("Brand#", b.astype("U3")).astype(object),
+            "pair_support": pn,
+            "conf_ab_ppm": pn * 1_000_000 // sa,
+            "conf_ba_ppm": pn * 1_000_000 // sb,
+        }
+    )
+    return out.sort_values(["brand_a", "brand_b"]).reset_index(drop=True)
+
+
+def _brand_num_ref(sf_dir: str):
+    """partkey -> numeric brand code ('Brand#17' -> 17) sorted-kv
+    broadcast, parsed vectorized via np.char.partition."""
+    from .stages.dedup import _sorted_kv_task
+
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_brand"]).map_batches(
+        lambda t: pa.table(
+            {
+                "k": pa.array(np.asarray(t["p_partkey"].to_numpy(zero_copy_only=False), np.int64)),
+                "v": pa.array(
+                    np.char.partition(t["p_brand"].to_numpy(zero_copy_only=False).astype("U16"), "#")[
+                        :, 2
+                    ].astype(np.int64)
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    refs = [br for b in part.iter_internal_ref_bundles() for br in b.block_refs]
+    return _sorted_kv_task.remote(refs, "k", "v")
+
+
+RECORD_SEG_OFFSET = 1 << 44  # > any price cents; segment isolation for cummax
+
+
+def orders_record_highs(sf_dir: str):
+    """Per-customer record-setting orders: rows whose price cents STRICTLY
+    exceed every prior order of the same customer in (o_orderdate,
+    o_orderkey) order (the first order is always a record).  One
+    customer-bucket shuffle; within each bucket the running max is a
+    single np.maximum.accumulate over segment-offset-lifted values
+    (offset > value range keeps segments independent — exact, unlike the
+    additive-base trick the CUSUM fix replaced)."""
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"])
+
+    def _partial(t: pa.Table) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_orderkey": np.asarray(t["o_orderkey"].to_numpy(zero_copy_only=False), np.int64),
+                "o_custkey": np.asarray(t["o_custkey"].to_numpy(zero_copy_only=False), np.int64),
+                "cents": np.floor(
+                    np.asarray(t["o_totalprice"].to_numpy(zero_copy_only=False), np.float64) * 100.0
+                    + 0.5
+                ).astype(np.int64),
+                "ts": t["o_orderdate"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64),
+                "bucket": (
+                    np.asarray(t["o_custkey"].to_numpy(zero_copy_only=False), np.int64) * 2654435761
+                    % 2**32
+                )
+                % SESSION_BUCKETS,
+            }
+        )
+
+    def _records(g: pd.DataFrame) -> pd.DataFrame:
+        df = g.sort_values(["o_custkey", "ts", "o_orderkey"])
+        cust = df["o_custkey"].to_numpy(np.int64)
+        cents = df["cents"].to_numpy(np.int64)
+        seg = np.cumsum(np.concatenate([[0], (cust[1:] != cust[:-1]).astype(np.int64)]))
+        assert cents.max(initial=0) < RECORD_SEG_OFFSET
+        lifted = cents + seg * RECORD_SEG_OFFSET
+        run = np.maximum.accumulate(lifted)
+        first = np.concatenate([[True], cust[1:] != cust[:-1]])
+        prior = np.concatenate([[np.iinfo(np.int64).min], run[:-1]])
+        rec = first | (lifted > prior)
+        return pd.DataFrame(
+            {
+                "o_orderkey": df["o_orderkey"].to_numpy(np.int64)[rec],
+                "o_custkey": cust[rec],
+                "price_cents": cents[rec],
+            }
+        )
+
+    return (
+        orders.map_batches(_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_records, batch_format="pandas")
+    )
+
+
+def events_value_trend_slope(sf_dir: str):
+    """Per-user least-squares trend of value cents over time, carried as
+    the EXACT integer rational (slope_num, slope_den) =
+    (n*Sxy - Sx*Sy, n*Sxx - Sx^2) — no division, no floats.  x is
+    seconds since the user's first event (the min-offset keeps
+    n*Sxx < 2^63; raw epoch seconds would overflow)."""
+    ev = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def _partial(t: pa.Table) -> pd.DataFrame:
+        uid = np.asarray(t["user_id"].to_numpy(zero_copy_only=False), np.int64)
+        return pd.DataFrame(
+            {
+                "user_id": uid,
+                "ts_us": t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64),
+                "y": np.floor(
+                    np.asarray(t["value"].to_numpy(zero_copy_only=False), np.float64) * 100.0 + 0.5
+                ).astype(np.int64),
+                "bucket": (uid * 2654435761 % 2**32) % SESSION_BUCKETS,
+            }
+        )
+
+    def _slope(g: pd.DataFrame) -> pd.DataFrame:
+        df = g.copy()
+        df["x"] = (df["ts_us"] - df.groupby("user_id")["ts_us"].transform("min")) // 1_000_000
+        x = df["x"].to_numpy(np.int64)
+        y = df["y"].to_numpy(np.int64)
+        df["xy"] = x * y
+        df["xx"] = x * x
+        agg = df.groupby("user_id", sort=False).agg(
+            n_events=("x", "size"), sx=("x", "sum"), sy=("y", "sum"), sxy=("xy", "sum"), sxx=("xx", "sum")
+        )
+        n = agg["n_events"].to_numpy(np.int64)
+        sx = agg["sx"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "user_id": agg.index.to_numpy(np.int64),
+                "n_events": n,
+                "slope_num": n * agg["sxy"].to_numpy(np.int64) - sx * agg["sy"].to_numpy(np.int64),
+                "slope_den": n * agg["sxx"].to_numpy(np.int64) - sx * sx,
+            }
+        )
+
+    return (
+        ev.map_batches(_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_slope, batch_format="pandas")
+    )
+
+
+EQUIDEPTH_K = 16
+
+
+def orders_equidepth_bins(sf_dir: str) -> pd.DataFrame:
+    """Exact equi-depth histogram boundaries over price cents, replicating
+    SQL NTILE semantics (bucket i of K over n rows holds n//K + (i <=
+    n%K) rows; per-bin MAX/count are tie-order-independent).  Reuses the
+    orders_price_rank shape: bounded value-histogram reduce -> remote
+    sorted (values, counts) broadcast -> K boundary lookups; the data
+    itself is never globally sorted."""
+    import ray
+
+    from .stages.dedup import _sorted_kv_task
+
+    orders = _read(sf_dir, "orders", columns=["o_totalprice"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        c = np.floor(
+            np.asarray(t["o_totalprice"].to_numpy(zero_copy_only=False), np.float64) * 100.0 + 0.5
+        ).astype(np.int64)
+        ub, inv = np.unique(c, return_inverse=True)
+        return pa.table(
+            {
+                "bucket": pa.array(((ub * 2654435761) % 4294967296) % SESSION_BUCKETS),
+                "cents": pa.array(ub),
+                "part_n": pa.array(np.bincount(inv).astype(np.int64)),
+            }
+        )
+
+    def _reduce(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("cents", sort=False)["part_n"].sum()
+        return pd.DataFrame({"cents": s.index.to_numpy(np.int64), "n": s.to_numpy(np.int64)})
+
+    hist = (
+        orders.map_batches(_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_reduce, batch_format="pandas")
+    )
+    refs = [br for b in hist.iter_internal_ref_bundles() for br in b.block_refs]
+    vals, counts = ray.get(_sorted_kv_task.remote(refs, "cents", "n"))
+    cum = np.cumsum(counts)
+    n = int(cum[-1]) if len(cum) else 0
+    base, extra = n // EQUIDEPTH_K, n % EQUIDEPTH_K
+    i = np.arange(1, EQUIDEPTH_K + 1)
+    targets = base * i + np.minimum(i, extra)  # cumulative rows through bin i
+    sizes = np.diff(np.concatenate([[0], targets]))
+    upper = vals[np.searchsorted(cum, targets, side="left")] if n else np.zeros(EQUIDEPTH_K, np.int64)
+    return pd.DataFrame(
+        {"bin": i.astype(np.int64), "upper_cents": upper.astype(np.int64), "n_rows": sizes.astype(np.int64)}
+    )

@@ -901,3 +901,22 @@ def test_q15_top_supplier_parity(ray_session, con):
 def test_q17_small_quantity_parity(ray_session, con):
     """Cross-multiplied 20%-of-average predicate, no division."""
     _entry_parity("q17_small_quantity", con)
+
+
+def test_basket_brand_pairs_parity(ray_session, con):
+    """Market-basket pair support + exact ppm confidences."""
+    _entry_parity("basket_brand_pairs", con)
+
+
+def test_orders_record_highs_parity(ray_session, con):
+    _entry_parity("orders_record_highs", con)
+
+
+def test_events_value_trend_slope_parity(ray_session, con):
+    """Exact integer rational per-user regression slope."""
+    _entry_parity("events_value_trend_slope", con)
+
+
+def test_orders_equidepth_bins_parity(ray_session, con):
+    """NTILE-replicating equi-depth boundaries."""
+    _entry_parity("orders_equidepth_bins", con)
