@@ -149,6 +149,9 @@ _WINDOW_R4 = [
 # (keep these immediately after the window so the next rotation is a
 # simple list swap).
 _BACKLOG = [
+    "nation_point_diameter",
+    "part_min_cost_supplier",
+    "embedding_covariance",
     "basket_brand_pairs",
     "orders_record_highs",
     "events_value_trend_slope",
@@ -382,6 +385,9 @@ def oracle_sql() -> dict[str, str]:
         "geocode_orders_units": oracle.geocode_orders_units_sql(),
         "geocode_orders_highways": oracle.geocode_orders_highways_sql(),
         "q4_order_priority": oracle.q4_order_priority_sql(),
+        "nation_point_diameter": oracle.nation_point_diameter_sql(),
+        "part_min_cost_supplier": oracle.part_min_cost_supplier_sql(),
+        "embedding_covariance": oracle.embedding_covariance_sql(),
         "basket_brand_pairs": oracle.basket_brand_pairs_sql(),
         "orders_record_highs": oracle.orders_record_highs_sql(),
         "events_value_trend_slope": oracle.events_value_trend_slope_sql(),

@@ -3873,3 +3873,64 @@ SELECT CAST(bin AS BIGINT) AS bin, CAST(MAX(cents) AS BIGINT) AS upper_cents,
        CAST(COUNT(*) AS BIGINT) AS n_rows
 FROM t GROUP BY 1 ORDER BY 1
 """
+
+
+def nation_point_diameter_sql() -> str:
+    """O(n^2) self-join ground truth for the hull-reduced diameter (the
+    engine never materializes all pairs; the oracle may at sf scale)."""
+    from .queries import BBOX_MULT_X, BBOX_MULT_Y
+
+    return f"""
+WITH p AS (
+    SELECT CAST(c_nationkey AS BIGINT) AS n_nationkey,
+           CAST((c_custkey * {BBOX_MULT_X}) % 4096 AS BIGINT) AS ix,
+           CAST((c_custkey * {BBOX_MULT_Y}) % 4096 AS BIGINT) AS iy
+    FROM customer
+)
+SELECT a.n_nationkey,
+       CAST(COUNT(DISTINCT a.rid) AS BIGINT) AS n_customers,
+       CAST(MAX((a.ix - b.ix) * (a.ix - b.ix) + (a.iy - b.iy) * (a.iy - b.iy)) AS BIGINT)
+           AS diameter_sq
+FROM (SELECT *, ROW_NUMBER() OVER () AS rid FROM p) a
+JOIN p b USING (n_nationkey)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def part_min_cost_supplier_sql() -> str:
+    """Argmin supplier per shipped part, tie -> smallest suppkey; cents
+    quantization floor(x*100+0.5) is negative-safe (floor both sides)."""
+    return """
+WITH ps AS (
+    SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+), c AS (
+    SELECT ps.l_partkey, ps.l_suppkey,
+           CAST(floor(s.s_acctbal * 100 + 0.5) AS BIGINT) AS bal
+    FROM ps JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+)
+SELECT l_partkey AS p_partkey, l_suppkey AS s_suppkey, bal AS bal_cents
+FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY l_partkey ORDER BY bal, l_suppkey) AS rn
+    FROM c
+) WHERE rn = 1
+"""
+
+
+def embedding_covariance_sql() -> str:
+    """Exact integer Gram matrix over QUANT-quantized embeddings
+    (1-based dims via generate_subscripts, i <= j upper triangle)."""
+    from .stages.ann import QUANT
+
+    q = f"CAST(floor(CAST(e AS DOUBLE) * {QUANT!r} + 0.5) AS BIGINT)"
+    return f"""
+WITH q AS (
+    SELECT vec_id, CAST(i AS BIGINT) AS i, {q} AS qv
+    FROM (
+        SELECT vec_id, unnest(embedding) AS e, generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+    )
+)
+SELECT a.i AS i, b.i AS j, CAST(SUM(a.qv * b.qv) AS BIGINT) AS dot_sum
+FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
+GROUP BY 1, 2 ORDER BY 1, 2
+"""

@@ -9169,3 +9169,247 @@ def orders_equidepth_bins(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(
         {"bin": i.astype(np.int64), "upper_cents": upper.astype(np.int64), "n_rows": sizes.astype(np.int64)}
     )
+
+
+# ------------------------------------- geometry / linalg wave (round 4)
+
+def _hull_points(x: np.ndarray, y: np.ndarray):
+    """Convex hull of int64 lattice points: vectorized Akl-Toussaint
+    octagon prune (drops every point strictly inside the extreme-point
+    octagon) then Andrew's monotone chain over the few survivors — the
+    Python loop never touches interior points.  All arithmetic int64
+    cross products (coords < 4096 -> no overflow).  Returns (hx, hy)
+    hull vertices; exactness pinned vs brute force in tests."""
+    pts = np.unique(np.stack([x, y], axis=1), axis=0)
+    if len(pts) <= 2:
+        return pts[:, 0], pts[:, 1]
+    px, py = pts[:, 0], pts[:, 1]
+    # Akl-Toussaint quad: the (min-x, min-y, max-x, max-y) extreme points
+    # taken in W,S,E,N order form a CCW convex quadrilateral BY
+    # CONSTRUCTION (no float angle sort); any point strictly inside all
+    # four directed edges cannot be a hull vertex.  Degenerate (repeated)
+    # vertices give zero-length edges whose cross is 0, which fails the
+    # strict test -> never over-prunes.  All int64.
+    quad = np.asarray(
+        [np.argmin(px), np.argmin(py), np.argmax(px), np.argmax(py)], np.int64
+    )
+    ox, oy = px[quad], py[quad]
+    nxt = np.roll(np.arange(4), -1)
+    ex, ey = ox[nxt] - ox, oy[nxt] - oy
+    cross = (px[:, None] - ox[None, :]) * ey[None, :] - (py[:, None] - oy[None, :]) * ex[None, :]
+    inside = (cross > 0).all(axis=1)
+    keep = ~inside
+    px, py = px[keep], py[keep]
+    # monotone chain over survivors (already lexicographically sorted by
+    # np.unique row order)
+    pts = list(zip(px.tolist(), py.tolist()))
+
+    def _chain(seq):
+        out = []
+        for p in seq:
+            while len(out) >= 2 and (
+                (out[-1][0] - out[-2][0]) * (p[1] - out[-2][1])
+                - (out[-1][1] - out[-2][1]) * (p[0] - out[-2][0])
+            ) <= 0:
+                out.pop()
+            out.append(p)
+        return out
+
+    lower = _chain(pts)
+    upper = _chain(pts[::-1])
+    hull = lower[:-1] + upper[:-1]
+    hx = np.asarray([p[0] for p in hull], np.int64)
+    hy = np.asarray([p[1] for p in hull], np.int64)
+    return hx, hy
+
+
+def nation_point_diameter(sf_dir: str) -> pd.DataFrame:
+    """Per-nation point-set diameter (max pairwise squared distance) over
+    the customer lattice points — exact without the O(n^2) all-pairs:
+    the farthest pair lies on the convex hull, so each batch reduces its
+    per-nation points to hull vertices (hull(hull A + hull B) = hull(A+B)),
+    and only the final ~25-group merge touches the tiny hulls.  The
+    oracle IS the O(n^2) self-join — feasible at oracle scale only."""
+    from ray.data.aggregate import Sum
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+
+    def _pts(t: pa.Table):
+        ck = np.asarray(t["c_custkey"].to_numpy(zero_copy_only=False), np.int64)
+        nk = np.asarray(t["c_nationkey"].to_numpy(zero_copy_only=False), np.int64)
+        return nk, (ck * BBOX_MULT_X) % 4096, (ck * BBOX_MULT_Y) % 4096
+
+    def _partial_hulls(t: pa.Table) -> pd.DataFrame:
+        nk, ix, iy = _pts(t)
+        rows_n, rows_x, rows_y = [], [], []
+        for nat in np.unique(nk):
+            m = nk == nat
+            hx, hy = _hull_points(ix[m], iy[m])
+            rows_n.append(np.full(len(hx), nat, np.int64))
+            rows_x.append(hx)
+            rows_y.append(hy)
+        return pd.DataFrame(
+            {
+                "n_nationkey": np.concatenate(rows_n) if rows_n else np.zeros(0, np.int64),
+                "ix": np.concatenate(rows_x) if rows_x else np.zeros(0, np.int64),
+                "iy": np.concatenate(rows_y) if rows_y else np.zeros(0, np.int64),
+            }
+        )
+
+    def _diameter(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for nat, grp in g.groupby("n_nationkey", sort=False):
+            hx, hy = _hull_points(grp["ix"].to_numpy(np.int64), grp["iy"].to_numpy(np.int64))
+            d2 = (hx[:, None] - hx[None, :]) ** 2 + (hy[:, None] - hy[None, :]) ** 2
+            out.append((int(nat), int(d2.max())))
+        return pd.DataFrame(
+            {
+                "n_nationkey": np.asarray([o[0] for o in out], np.int64),
+                "diameter_sq": np.asarray([o[1] for o in out], np.int64),
+            }
+        )
+
+    hulls = (
+        cust.map_batches(_partial_hulls, batch_format="pyarrow")
+        .groupby("n_nationkey")
+        .map_groups(_diameter, batch_format="pandas")
+        .to_pandas()
+    )
+
+    def _partial_counts(t: pa.Table) -> pa.Table:
+        nk = np.asarray(t["c_nationkey"].to_numpy(zero_copy_only=False), np.int64)
+        u, c = np.unique(nk, return_counts=True)
+        return pa.table({"n_nationkey": pa.array(u), "part_n": pa.array(c.astype(np.int64))})
+
+    counts = (
+        cust.map_batches(_partial_counts, batch_format="pyarrow")
+        .groupby("n_nationkey")
+        .aggregate(Sum("part_n", alias_name="n_customers"))
+        .to_pandas()
+    )
+    out = counts.merge(hulls, on="n_nationkey")
+    out["n_nationkey"] = out["n_nationkey"].astype(np.int64)
+    out["n_customers"] = out["n_customers"].astype(np.int64)
+    return out.sort_values("n_nationkey").reset_index(drop=True)[
+        ["n_nationkey", "n_customers", "diameter_sq"]
+    ]
+
+
+MIN_COST_BAL_OFFSET = 1 << 30  # |bal cents| bound, asserted
+MIN_COST_SUPP_STRIDE = 1 << 20  # suppkey bound, asserted (ADVICE r3 pattern)
+
+
+def part_min_cost_supplier(sf_dir: str):
+    """Q2-shaped argmin join: for every part ever shipped, the supplier
+    with the lowest account balance among its observed suppliers
+    (tie -> smallest suppkey).  The (bal, suppkey) comparator packs into
+    ONE offset-lifted int64 so per-batch partial minima merge exactly
+    (min is associative); partkey-cardinality reduce uses the coarse
+    bucket pattern, never a per-part Ray groupby."""
+    import ray
+
+    li = _read(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+    bal_ref = _nat_kv_ref_cents(sf_dir, "supplier", "s_suppkey", "s_acctbal")
+
+    def _partial(t: pa.Table) -> pd.DataFrame:
+        bk, bv = ray.get(bal_ref)
+        pk = np.asarray(t["l_partkey"].to_numpy(zero_copy_only=False), np.int64)
+        sk = np.asarray(t["l_suppkey"].to_numpy(zero_copy_only=False), np.int64)
+        packed = np.unique(pk * MIN_COST_SUPP_STRIDE + sk)  # dedup pairs
+        pk, sk = packed // MIN_COST_SUPP_STRIDE, packed % MIN_COST_SUPP_STRIDE
+        bal = bv[np.searchsorted(bk, sk)]
+        assert np.abs(bal).max(initial=0) < MIN_COST_BAL_OFFSET
+        assert sk.max(initial=0) < MIN_COST_SUPP_STRIDE
+        lifted = (bal + MIN_COST_BAL_OFFSET) * MIN_COST_SUPP_STRIDE + sk
+        df = pd.DataFrame({"p_partkey": pk, "lifted": lifted})
+        m = df.groupby("p_partkey", sort=False)["lifted"].min().reset_index()
+        m["bucket"] = (m["p_partkey"].to_numpy(np.int64) * 2654435761 % 2**32) % SESSION_BUCKETS
+        return m
+
+    def _argmin(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("p_partkey", sort=False)["lifted"].min()
+        lifted = m.to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "p_partkey": m.index.to_numpy(np.int64),
+                "s_suppkey": lifted % MIN_COST_SUPP_STRIDE,
+                "bal_cents": lifted // MIN_COST_SUPP_STRIDE - MIN_COST_BAL_OFFSET,
+            }
+        )
+
+    return (
+        li.map_batches(_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_argmin, batch_format="pandas")
+    )
+
+
+def _nat_kv_ref_cents(sf_dir: str, table: str, key: str, val: str):
+    """Sorted-kv broadcast with the value quantized to cents
+    (floor(x*100+0.5), negative-safe — floor on both sides)."""
+    from .stages.dedup import _sorted_kv_task
+
+    ds = _read(sf_dir, table, columns=[key, val]).map_batches(
+        lambda t, k=key, v=val: pa.table(
+            {
+                "k": pa.array(np.asarray(t[k].to_numpy(zero_copy_only=False), np.int64)),
+                "v": pa.array(
+                    np.floor(
+                        np.asarray(t[v].to_numpy(zero_copy_only=False), np.float64) * 100.0 + 0.5
+                    ).astype(np.int64)
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    refs = [br for b in ds.iter_internal_ref_bundles() for br in b.block_refs]
+    return _sorted_kv_task.remote(refs, "k", "v")
+
+
+COV_DIM_PACK = 128  # embedding dims < 128, asserted
+
+
+def embedding_covariance(sf_dir: str) -> pd.DataFrame:
+    """Exact integer Gram/covariance matrix of the quantized embedding
+    column: dot_sum(i,j) = sum over vectors of q_i*q_j for i <= j
+    (1-based dims, matching SQL generate_subscripts).  Per batch ONE
+    float64 BLAS matmul Q^T Q — exact while rows*QUANT^2*max|e|^2 < 2^53
+    (the knn_graph lesson); partials merge in int64 via a bounded
+    D*(D+1)/2-group Ray groupby."""
+    from ray.data.aggregate import Sum
+
+    from .stages.ann import QUANT
+
+    emb = _read(sf_dir, "embeddings", columns=["embedding"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        col = t["embedding"].combine_chunks()
+        flat = np.asarray(col.values.to_numpy(zero_copy_only=False), np.float64)
+        n = len(col)
+        d = len(flat) // n if n else 0
+        assert d < COV_DIM_PACK and (not n or len(flat) == n * d)
+        q = np.floor(flat.reshape(n, d) * QUANT + 0.5)
+        gram = (q.T @ q).astype(np.int64)  # exact: see docstring bound
+        iu, ju = np.triu_indices(d)
+        return pa.table(
+            {
+                "k": pa.array((iu + 1) * COV_DIM_PACK + (ju + 1)),
+                "part_dot": pa.array(gram[iu, ju]),
+            }
+        )
+
+    agg = (
+        emb.map_batches(_partial, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(Sum("part_dot", alias_name="dot_sum"))
+        .to_pandas()
+    )
+    k = agg["k"].to_numpy(np.int64)
+    out = pd.DataFrame(
+        {
+            "i": k // COV_DIM_PACK,
+            "j": k % COV_DIM_PACK,
+            "dot_sum": agg["dot_sum"].to_numpy(np.int64),
+        }
+    )
+    return out.sort_values(["i", "j"]).reset_index(drop=True)

@@ -78,3 +78,27 @@ def test_record_highs_reference(ray_session, tmp_path):
             best[ck] = max(best.get(ck, -1), cents)
         best[ck] = max(best[ck], cents)
     assert got == sorted(want)
+
+
+def test_hull_points_diameter_vs_bruteforce():
+    """Quad-pruned monotone-chain hull: max pairwise distance over hull
+    vertices == brute-force over all points, incl. collinear/duplicate
+    degenerate cases."""
+    from geocoding_toolbox_ray.queries import _hull_points
+
+    rng = np.random.RandomState(11)
+    cases = [
+        (np.array([3], dtype=np.int64), np.array([4], dtype=np.int64)),
+        (np.array([0, 1, 2, 3, 3, 0], dtype=np.int64), np.array([0, 1, 2, 3, 3, 0], dtype=np.int64)),
+        (np.array([5, 5, 5, 5], dtype=np.int64), np.array([1, 9, 3, 9], dtype=np.int64)),
+    ]
+    for _ in range(60):
+        n = rng.randint(1, 80)
+        cases.append(
+            (rng.randint(0, 40, n).astype(np.int64), rng.randint(0, 40, n).astype(np.int64))
+        )
+    for x, y in cases:
+        hx, hy = _hull_points(x, y)
+        d2h = ((hx[:, None] - hx[None, :]) ** 2 + (hy[:, None] - hy[None, :]) ** 2).max()
+        d2b = ((x[:, None] - x[None, :]) ** 2 + (y[:, None] - y[None, :]) ** 2).max()
+        assert d2h == d2b

@@ -920,3 +920,18 @@ def test_events_value_trend_slope_parity(ray_session, con):
 def test_orders_equidepth_bins_parity(ray_session, con):
     """NTILE-replicating equi-depth boundaries."""
     _entry_parity("orders_equidepth_bins", con)
+
+
+def test_nation_point_diameter_parity(ray_session, con):
+    """Hull-reduced diameter vs the O(n^2) self-join oracle."""
+    _entry_parity("nation_point_diameter", con)
+
+
+def test_part_min_cost_supplier_parity(ray_session, con):
+    """Offset-lifted packed argmin vs ROW_NUMBER()=1 oracle."""
+    _entry_parity("part_min_cost_supplier", con)
+
+
+def test_embedding_covariance_parity(ray_session, con):
+    """Exact integer Gram matrix via per-batch BLAS matmul partials."""
+    _entry_parity("embedding_covariance", con)
