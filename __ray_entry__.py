@@ -149,6 +149,9 @@ _WINDOW_R4 = [
 # (keep these immediately after the window so the next rotation is a
 # simple list swap).
 _BACKLOG = [
+    "orders_daily_open_count",
+    "order_brand_list",
+    "nation_trade_balance",
     "nation_point_diameter",
     "part_min_cost_supplier",
     "embedding_covariance",
@@ -385,6 +388,9 @@ def oracle_sql() -> dict[str, str]:
         "geocode_orders_units": oracle.geocode_orders_units_sql(),
         "geocode_orders_highways": oracle.geocode_orders_highways_sql(),
         "q4_order_priority": oracle.q4_order_priority_sql(),
+        "orders_daily_open_count": oracle.orders_daily_open_count_sql(),
+        "order_brand_list": oracle.order_brand_list_sql(),
+        "nation_trade_balance": oracle.nation_trade_balance_sql(),
         "nation_point_diameter": oracle.nation_point_diameter_sql(),
         "part_min_cost_supplier": oracle.part_min_cost_supplier_sql(),
         "embedding_covariance": oracle.embedding_covariance_sql(),

@@ -3934,3 +3934,66 @@ SELECT a.i AS i, b.i AS j, CAST(SUM(a.qv * b.qv) AS BIGINT) AS dot_sum
 FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i <= b.i
 GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+def orders_daily_open_count_sql() -> str:
+    """Dense per-day open-interval counts; the oracle pays the
+    O(orders x window) inequality join the engine's difference array
+    avoids.  Day numbering = epoch_us // 86400e6 (dates are midnight)."""
+    from .queries import OPEN_WINDOW_DAYS
+
+    return f"""
+WITH o AS (
+    SELECT epoch_us(o_orderdate) // 86400000000 AS d FROM orders
+), days AS (
+    SELECT UNNEST(generate_series((SELECT MIN(d) FROM o),
+                                  (SELECT MAX(d) FROM o) + {OPEN_WINDOW_DAYS} - 1)) AS day_num
+)
+SELECT CAST(day_num AS BIGINT) AS day_num,
+       CAST(COUNT(o.d) AS BIGINT) AS open_count
+FROM days LEFT JOIN o ON o.d <= day_num AND day_num < o.d + {OPEN_WINDOW_DAYS}
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def order_brand_list_sql() -> str:
+    """Per-order distinct brand list sorted by numeric code; dedup in a
+    CTE because string_agg(DISTINCT ... ORDER BY ...) is restricted."""
+    return """
+WITH ob AS (
+    SELECT DISTINCT l.l_orderkey, p.p_brand,
+           CAST(substr(p.p_brand, 7) AS BIGINT) AS code
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+)
+SELECT l_orderkey AS o_orderkey,
+       CAST(COUNT(*) AS BIGINT) AS n_brands,
+       string_agg(p_brand, ',' ORDER BY code) AS brands_csv
+FROM ob GROUP BY 1
+"""
+
+
+def nation_trade_balance_sql() -> str:
+    """Unordered-pair trade matrix with exact per-direction sums and the
+    anti-symmetric balance; identical cents quantization to the engine."""
+    return """
+WITH f AS (
+    SELECT s.s_nationkey AS s_nat, c.c_nationkey AS c_nat,
+           CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT) AS cents
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    WHERE c.c_nationkey <> s.s_nationkey
+), g AS (
+    SELECT LEAST(s_nat, c_nat) AS lo, GREATEST(s_nat, c_nat) AS hi,
+           CAST(SUM(CASE WHEN s_nat < c_nat THEN cents ELSE 0 END) AS BIGINT) AS rev_ab_cents,
+           CAST(SUM(CASE WHEN s_nat > c_nat THEN cents ELSE 0 END) AS BIGINT) AS rev_ba_cents
+    FROM f GROUP BY 1, 2
+)
+SELECT na.n_name AS nation_a, nb.n_name AS nation_b,
+       g.rev_ab_cents, g.rev_ba_cents,
+       CAST(g.rev_ab_cents - g.rev_ba_cents AS BIGINT) AS balance_cents
+FROM g JOIN nation na ON na.n_nationkey = g.lo
+       JOIN nation nb ON nb.n_nationkey = g.hi
+ORDER BY 1, 2
+"""

@@ -9413,3 +9413,176 @@ def embedding_covariance(sf_dir: str) -> pd.DataFrame:
         }
     )
     return out.sort_values(["i", "j"]).reset_index(drop=True)
+
+
+# -------------------------------- interval / stringagg wave (round 4)
+
+OPEN_WINDOW_DAYS = 7
+
+
+def orders_daily_open_count(sf_dir: str) -> pd.DataFrame:
+    """Interval stabbing as a difference array: each order is 'open' for
+    ``OPEN_WINDOW_DAYS`` days from its order date; output the open-order
+    count for EVERY day of the span (dense, zeros included).  The engine
+    never expands order x day rows: per-batch day histograms emit
+    (+n at start, -n at end) deltas, a bounded ~#days-group reduce sums
+    them, and one driver-side cumsum over the dense day range finishes —
+    the oracle pays the O(orders x window) inequality join instead."""
+    from ray.data.aggregate import Sum
+
+    orders = _read(sf_dir, "orders", columns=["o_orderdate"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        day = (
+            t["o_orderdate"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+            // 86_400_000_000
+        )
+        u, c = np.unique(day, return_counts=True)
+        return pa.table(
+            {
+                "day": pa.array(np.concatenate([u, u + OPEN_WINDOW_DAYS])),
+                "part_delta": pa.array(
+                    np.concatenate([c, -c]).astype(np.int64)
+                ),
+            }
+        )
+
+    agg = (
+        orders.map_batches(_partial, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("part_delta", alias_name="delta"))
+        .to_pandas()
+        .sort_values("day")
+    )
+    day = agg["day"].to_numpy(np.int64)
+    delta = agg["delta"].to_numpy(np.int64)
+    lo, hi = int(day.min()), int(day.max())  # hi = last end marker = max start + 7
+    idx = day - lo
+    buf = np.zeros(hi - lo + 1, np.int64)
+    buf[idx] = delta
+    counts = np.cumsum(buf)[:-1]  # day hi has count 0 by construction
+    return pd.DataFrame(
+        {
+            "day_num": np.arange(lo, hi, dtype=np.int64),
+            "open_count": counts,
+        }
+    )
+
+
+def order_brand_list(sf_dir: str):
+    """List/string aggregation per key: each order's DISTINCT part brands
+    as a comma-joined string sorted by NUMERIC brand code (lexicographic
+    would put Brand#10 before Brand#2), plus the distinct count.  One
+    order-bucket shuffle; dedup + sort are a single np.unique over
+    packed (orderkey, code); only the final join-to-string per segment
+    is Python (strings are object-typed either way)."""
+    import ray
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    brand_ref = _brand_num_ref(sf_dir)
+
+    def _partial(t: pa.Table) -> pa.Table:
+        bk, bv = ray.get(brand_ref)
+        ok = np.asarray(t["l_orderkey"].to_numpy(zero_copy_only=False), np.int64)
+        code = bv[np.searchsorted(bk, np.asarray(t["l_partkey"].to_numpy(zero_copy_only=False), np.int64))]
+        assert code.max(initial=0) < BASKET_BRAND_PACK
+        packed = np.unique(ok * BASKET_BRAND_PACK + code)
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    (((packed // BASKET_BRAND_PACK) * 2654435761) % 4294967296) % SESSION_BUCKETS
+                ),
+                "packed": pa.array(packed),
+            }
+        )
+
+    def _lists(g: pd.DataFrame) -> pd.DataFrame:
+        packed = np.unique(g["packed"].to_numpy(np.int64))
+        order = packed // BASKET_BRAND_PACK
+        code = packed % BASKET_BRAND_PACK
+        names = np.char.add("Brand#", code.astype("U3"))
+        uorder, starts, counts = np.unique(order, return_index=True, return_counts=True)
+        csv = [",".join(names[s : s + c]) for s, c in zip(starts, counts)]
+        return pd.DataFrame(
+            {
+                "o_orderkey": uorder,
+                "n_brands": counts.astype(np.int64),
+                "brands_csv": np.asarray(csv, object),
+            }
+        )
+
+    return (
+        li.map_batches(_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_lists, batch_format="pandas")
+    )
+
+
+def nation_trade_balance(sf_dir: str) -> pd.DataFrame:
+    """Anti-symmetric trade matrix: for every unordered nation pair
+    {a < b}, gross revenue shipped a->b, b->a, and the balance
+    (rev_ab - rev_ba) in exact cents.  Same join plan as q7; partials
+    carry BOTH direction sums on the unordered pair key so the final
+    groupby stays at <= 25*24/2 groups."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .stages.join import hash_join
+
+    li = _read(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
+    )
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]).map_batches(
+        lambda t: t.rename_columns(["l_orderkey", "o_custkey"]), batch_format="pyarrow"
+    )
+    joined = hash_join(
+        li, orders, "l_orderkey", ["o_custkey"], right_rows=_nrows(sf_dir, "orders")
+    )
+    cust_ref = _nat_kv_ref(sf_dir, "customer", "c_custkey", "c_nationkey")
+    supp_ref = _nat_kv_ref(sf_dir, "supplier", "s_suppkey", "s_nationkey")
+
+    def _partial(t: pa.Table) -> pa.Table:
+        ck, cn = ray.get(cust_ref)
+        sk, sn = ray.get(supp_ref)
+        c_nat = cn[np.searchsorted(ck, np.asarray(t["o_custkey"].to_numpy(zero_copy_only=False), np.int64))]
+        s_nat = sn[np.searchsorted(sk, np.asarray(t["l_suppkey"].to_numpy(zero_copy_only=False), np.int64))]
+        keep = c_nat != s_nat
+        cents = _rev_cents(t, keep)
+        s_nat, c_nat = s_nat[keep], c_nat[keep]
+        lo = np.minimum(s_nat, c_nat)
+        hi = np.maximum(s_nat, c_nat)
+        fwd = s_nat == lo  # flow lo -> hi
+        key = lo * 25 + hi
+        uniq, inv = np.unique(key, return_inverse=True)
+        return pa.table(
+            {
+                "k": pa.array(uniq, pa.int64()),
+                "part_ab": pa.array(
+                    np.bincount(inv, weights=np.where(fwd, cents, 0).astype(np.float64)).astype(np.int64)
+                ),
+                "part_ba": pa.array(
+                    np.bincount(inv, weights=np.where(fwd, 0, cents).astype(np.float64)).astype(np.int64)
+                ),
+            }
+        )
+
+    agg = (
+        joined.map_batches(_partial, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(Sum("part_ab", alias_name="rev_ab_cents"), Sum("part_ba", alias_name="rev_ba_cents"))
+        .to_pandas()
+    )
+    k = agg["k"].to_numpy(np.int64)
+    nat = _nation_names(sf_dir).set_index("n_nationkey")["n_name"]
+    ab = agg["rev_ab_cents"].to_numpy(np.int64)
+    ba = agg["rev_ba_cents"].to_numpy(np.int64)
+    out = pd.DataFrame(
+        {
+            "nation_a": nat.loc[k // 25].to_numpy(object),
+            "nation_b": nat.loc[k % 25].to_numpy(object),
+            "rev_ab_cents": ab,
+            "rev_ba_cents": ba,
+            "balance_cents": ab - ba,
+        }
+    )
+    return out.sort_values(["nation_a", "nation_b"]).reset_index(drop=True)

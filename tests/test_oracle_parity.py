@@ -935,3 +935,18 @@ def test_part_min_cost_supplier_parity(ray_session, con):
 def test_embedding_covariance_parity(ray_session, con):
     """Exact integer Gram matrix via per-batch BLAS matmul partials."""
     _entry_parity("embedding_covariance", con)
+
+
+def test_orders_daily_open_count_parity(ray_session, con):
+    """Difference-array interval stabbing vs the inequality-join oracle."""
+    _entry_parity("orders_daily_open_count", con)
+
+
+def test_order_brand_list_parity(ray_session, con):
+    """Numeric-code-ordered string aggregation per order."""
+    _entry_parity("order_brand_list", con)
+
+
+def test_nation_trade_balance_parity(ray_session, con):
+    """Anti-symmetric unordered-pair trade matrix."""
+    _entry_parity("nation_trade_balance", con)
