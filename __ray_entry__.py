@@ -149,6 +149,10 @@ _WINDOW_R4 = [
 # (keep these immediately after the window so the next rotation is a
 # simple list swap).
 _BACKLOG = [
+    "custkey_prefix_rollup",
+    "orders_winsorized_total",
+    "orders_price_minmax_scaled",
+    "zorder_encode_lineitem",
     "orders_daily_open_count",
     "order_brand_list",
     "nation_trade_balance",
@@ -388,6 +392,10 @@ def oracle_sql() -> dict[str, str]:
         "geocode_orders_units": oracle.geocode_orders_units_sql(),
         "geocode_orders_highways": oracle.geocode_orders_highways_sql(),
         "q4_order_priority": oracle.q4_order_priority_sql(),
+        "custkey_prefix_rollup": oracle.custkey_prefix_rollup_sql(),
+        "orders_winsorized_total": oracle.orders_winsorized_total_sql(),
+        "orders_price_minmax_scaled": oracle.orders_price_minmax_scaled_sql(),
+        "zorder_encode_lineitem": oracle.zorder_encode_lineitem_sql(),
         "orders_daily_open_count": oracle.orders_daily_open_count_sql(),
         "order_brand_list": oracle.order_brand_list_sql(),
         "nation_trade_balance": oracle.nation_trade_balance_sql(),

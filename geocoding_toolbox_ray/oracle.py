@@ -3997,3 +3997,85 @@ FROM g JOIN nation na ON na.n_nationkey = g.lo
        JOIN nation nb ON nb.n_nationkey = g.hi
 ORDER BY 1, 2
 """
+
+
+def custkey_prefix_rollup_sql() -> str:
+    """Prefix-tree rollup via an explicit (level, divisor) values list
+    (10^k as exact integers, no float power); custkey positive ->
+    // is floor in both engines."""
+    from .queries import PREFIX_LEVELS
+
+    values = ", ".join(f"({k}, {10**k})" for k in range(PREFIX_LEVELS))
+    return f"""
+WITH lv(level, div) AS (VALUES {values})
+SELECT CAST(lv.level AS BIGINT) AS level,
+       CAST(c.c_custkey // lv.div AS BIGINT) AS prefix,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(floor(c.c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS bal_cents
+FROM customer c CROSS JOIN lv
+GROUP BY 1, 2
+"""
+
+
+def orders_winsorized_total_sql() -> str:
+    """Rank-selected 1% winsorization bounds + clamped sum (k-th order
+    statistics via ORDER BY ... OFFSET, fully deterministic on cents)."""
+    return """
+WITH t AS (
+    SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c FROM orders
+), p AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n, GREATEST(COUNT(*) // 100, 1) AS k FROM t
+), lo AS (
+    SELECT c FROM t ORDER BY c LIMIT 1 OFFSET (SELECT k - 1 FROM p)
+), hi AS (
+    SELECT c FROM t ORDER BY c DESC LIMIT 1 OFFSET (SELECT k - 1 FROM p)
+)
+SELECT (SELECT n FROM p) AS n,
+       (SELECT c FROM lo) AS lo_cents,
+       (SELECT c FROM hi) AS hi_cents,
+       CAST(SUM(LEAST(GREATEST(t.c, (SELECT c FROM lo)), (SELECT c FROM hi))) AS BIGINT)
+           AS winsorized_sum_cents
+FROM t
+"""
+
+
+def orders_price_minmax_scaled_sql() -> str:
+    """Per-priority min-max scaling to ppm; numerator >= 0 so DuckDB //
+    (trunc) == floor == the engine."""
+    return """
+WITH t AS (
+    SELECT o_orderkey, o_orderpriority,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c,
+           MIN(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+               OVER (PARTITION BY o_orderpriority) AS mn,
+           MAX(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+               OVER (PARTITION BY o_orderpriority) AS mx
+    FROM orders
+)
+SELECT o_orderkey, o_orderpriority, c AS price_cents,
+       CAST(CASE WHEN mx = mn THEN 0 ELSE (c - mn) * 1000000 // (mx - mn) END AS BIGINT)
+           AS scaled_ppm
+FROM t
+"""
+
+
+def zorder_encode_lineitem_sql() -> str:
+    """Morton interleave as an explicit per-bit sum, generated from the
+    same ZORDER_BITS constant as the engine kernel."""
+    from .queries import ZORDER_BITS
+
+    terms = " + ".join(
+        f"((ix // {1 << b}) % 2) * {1 << (2 * b)} + ((iy // {1 << b}) % 2) * {1 << (2 * b + 1)}"
+        for b in range(ZORDER_BITS)
+    )
+    return f"""
+WITH p AS (
+    SELECT l_orderkey * 10 + l_linenumber AS query_id,
+           (l_orderkey * 131 + l_linenumber * 17) % 4096 AS ix,
+           (l_orderkey * 241 + l_partkey * 13) % 4096 AS iy
+    FROM lineitem
+)
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST({terms} AS BIGINT) AS zcode
+FROM p
+"""

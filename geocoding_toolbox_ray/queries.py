@@ -9586,3 +9586,188 @@ def nation_trade_balance(sf_dir: str) -> pd.DataFrame:
         }
     )
     return out.sort_values(["nation_a", "nation_b"]).reset_index(drop=True)
+
+
+# ----------------------------- rollup / robust-stats wave (round 4)
+
+PREFIX_LEVELS = 7  # custkey base-10 prefix tree depth (level 0 = leaf)
+
+
+def custkey_prefix_rollup(sf_dir: str):
+    """Hierarchical rollup over the implicit base-10 prefix tree of
+    custkey: every customer's balance cents aggregates into ALL
+    ``PREFIX_LEVELS`` ancestors (custkey // 10^k).  The flat-map is one
+    np.repeat + division per batch; the prefix-keyed reduce is the
+    coarse-bucket pattern (prefix cardinality ~ 1.1n, never a raw Ray
+    groupby)."""
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_acctbal"])
+    divs = 10 ** np.arange(PREFIX_LEVELS, dtype=np.int64)
+
+    def _partial(t: pa.Table) -> pd.DataFrame:
+        ck = np.asarray(t["c_custkey"].to_numpy(zero_copy_only=False), np.int64)
+        bal = np.floor(
+            np.asarray(t["c_acctbal"].to_numpy(zero_copy_only=False), np.float64) * 100.0 + 0.5
+        ).astype(np.int64)
+        n = len(ck)
+        level = np.tile(np.arange(PREFIX_LEVELS, dtype=np.int64), n)
+        prefix = np.repeat(ck, PREFIX_LEVELS) // np.tile(divs, n)
+        df = pd.DataFrame(
+            {"level": level, "prefix": prefix, "bal": np.repeat(bal, PREFIX_LEVELS)}
+        )
+        agg = df.groupby(["level", "prefix"], sort=False).agg(
+            part_n=("bal", "size"), part_bal=("bal", "sum")
+        ).reset_index()
+        agg["bucket"] = (
+            (agg["prefix"].to_numpy(np.int64) * PREFIX_LEVELS + agg["level"].to_numpy(np.int64))
+            * 2654435761
+            % 2**32
+        ) % SESSION_BUCKETS
+        agg["part_n"] = agg["part_n"].astype(np.int64)
+        agg["part_bal"] = agg["part_bal"].astype(np.int64)
+        return agg
+
+    def _reduce(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby(["level", "prefix"], sort=False).agg(
+            n=("part_n", "sum"), bal_cents=("part_bal", "sum")
+        ).reset_index()
+        return s.astype({c: np.int64 for c in s.columns})
+
+    return (
+        cust.map_batches(_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_reduce, batch_format="pandas")
+    )
+
+
+def orders_winsorized_total(sf_dir: str) -> pd.DataFrame:
+    """Robust statistics: 1%%-winsorized total of order price cents, with
+    the exact rank-selected clamp bounds (k = max(n//100, 1); lo = k-th
+    smallest, hi = k-th largest).  The clamped sum is computed FROM the
+    bounded value histogram itself — a single pass over the data, no
+    re-scan after the bounds are known."""
+    import ray
+
+    from .stages.dedup import _sorted_kv_task
+
+    orders = _read(sf_dir, "orders", columns=["o_totalprice"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        c = np.floor(
+            np.asarray(t["o_totalprice"].to_numpy(zero_copy_only=False), np.float64) * 100.0 + 0.5
+        ).astype(np.int64)
+        ub, inv = np.unique(c, return_inverse=True)
+        return pa.table(
+            {
+                "bucket": pa.array(((ub * 2654435761) % 4294967296) % SESSION_BUCKETS),
+                "cents": pa.array(ub),
+                "part_n": pa.array(np.bincount(inv).astype(np.int64)),
+            }
+        )
+
+    def _reduce(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("cents", sort=False)["part_n"].sum()
+        return pd.DataFrame({"cents": s.index.to_numpy(np.int64), "n": s.to_numpy(np.int64)})
+
+    hist = (
+        orders.map_batches(_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_reduce, batch_format="pandas")
+    )
+    refs = [br for b in hist.iter_internal_ref_bundles() for br in b.block_refs]
+    vals, counts = ray.get(_sorted_kv_task.remote(refs, "cents", "n"))
+    cum = np.cumsum(counts)
+    n = int(cum[-1])
+    k = max(n // 100, 1)
+    lo = int(vals[np.searchsorted(cum, k, side="left")])
+    hi = int(vals[np.searchsorted(cum, n - k + 1, side="left")])
+    clipped = np.clip(vals, lo, hi)
+    total = int((clipped * counts).sum())
+    return pd.DataFrame(
+        {
+            "n": np.asarray([n], np.int64),
+            "lo_cents": np.asarray([lo], np.int64),
+            "hi_cents": np.asarray([hi], np.int64),
+            "winsorized_sum_cents": np.asarray([total], np.int64),
+        }
+    )
+
+
+def orders_price_minmax_scaled(sf_dir: str):
+    """Per-group min-max feature scaling to exact ppm: scaled_ppm =
+    (cents - group_min) * 1_000_000 // (group_max - group_min) within
+    each order priority (numerator >= 0 -> floor == trunc).  Group stats
+    come from one bounded Ray groupby of per-batch partials; the scale
+    pass streams with the 5-row stats table in the closure."""
+    from ray.data.aggregate import Max, Min
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority", "o_totalprice"])
+
+    def _cents(t: pa.Table) -> np.ndarray:
+        return np.floor(
+            np.asarray(t["o_totalprice"].to_numpy(zero_copy_only=False), np.float64) * 100.0 + 0.5
+        ).astype(np.int64)
+
+    def _partial(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {"o_orderpriority": t["o_orderpriority"].to_pandas().to_numpy(object), "c": _cents(t)}
+        )
+        agg = df.groupby("o_orderpriority", sort=False)["c"].agg(part_min="min", part_max="max").reset_index()
+        return agg
+
+    stats = (
+        orders.map_batches(_partial, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Min("part_min", alias_name="mn"), Max("part_max", alias_name="mx"))
+        .to_pandas()
+    )
+    mn = dict(zip(stats["o_orderpriority"], stats["mn"].astype(np.int64)))
+    mx = dict(zip(stats["o_orderpriority"], stats["mx"].astype(np.int64)))
+
+    def _scale(t: pa.Table) -> pa.Table:
+        pr = t["o_orderpriority"].to_pandas().to_numpy(object)
+        c = _cents(t)
+        gmn = np.asarray([mn[p] for p in pr], np.int64)
+        gmx = np.asarray([mx[p] for p in pr], np.int64)
+        den = gmx - gmn
+        scaled = np.where(den > 0, (c - gmn) * 1_000_000 // np.maximum(den, 1), 0)
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "o_orderpriority": t["o_orderpriority"],
+                "price_cents": pa.array(c),
+                "scaled_ppm": pa.array(scaled.astype(np.int64)),
+            }
+        )
+
+    return orders.map_batches(_scale, batch_format="pyarrow")
+
+
+ZORDER_BITS = 12  # lattice is 4096 x 4096
+
+
+def zorder_encode_lineitem(sf_dir: str):
+    """Z-order (Morton) space-filling-curve code per uniform lattice
+    point — the locality-clustering cell family member next to square
+    cells, geohash and ZXY tiles: z = sum_b bit_b(ix)*4^b + bit_b(iy)*2*4^b.
+    Pure integer arithmetic, identical term-by-term expression in the
+    oracle (built from the same ZORDER_BITS constant)."""
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_partkey"])
+
+    def _encode(t: pa.Table) -> pa.Table:
+        ok = np.asarray(t["l_orderkey"].to_numpy(zero_copy_only=False), np.int64)
+        ln = np.asarray(t["l_linenumber"].to_numpy(zero_copy_only=False), np.int64)
+        pk = np.asarray(t["l_partkey"].to_numpy(zero_copy_only=False), np.int64)
+        ix = (ok * 131 + ln * 17) % 4096
+        iy = (ok * 241 + pk * 13) % 4096
+        z = np.zeros(len(ix), np.int64)
+        for b in range(ZORDER_BITS):
+            z += ((ix >> b) & 1) << (2 * b)
+            z += ((iy >> b) & 1) << (2 * b + 1)
+        return pa.table(
+            {
+                "query_id": pa.array(ok * 10 + ln),
+                "zcode": pa.array(z),
+            }
+        )
+
+    return li.map_batches(_encode, batch_format="pyarrow")

@@ -950,3 +950,39 @@ def test_order_brand_list_parity(ray_session, con):
 def test_nation_trade_balance_parity(ray_session, con):
     """Anti-symmetric unordered-pair trade matrix."""
     _entry_parity("nation_trade_balance", con)
+
+
+def test_custkey_prefix_rollup_parity(ray_session, con):
+    """Hierarchical base-10 prefix-tree rollup."""
+    _entry_parity("custkey_prefix_rollup", con)
+
+
+def test_orders_winsorized_total_parity(ray_session, con):
+    """Rank-selected winsorization bounds + histogram-clamped sum."""
+    _entry_parity("orders_winsorized_total", con)
+
+
+def test_orders_price_minmax_scaled_parity(ray_session, con):
+    """Per-priority exact ppm min-max scaling."""
+    _entry_parity("orders_price_minmax_scaled", con)
+
+
+def test_zorder_encode_lineitem_parity(ray_session, con):
+    """Morton interleave, per-bit sum identical in engine and SQL."""
+    _entry_parity("zorder_encode_lineitem", con)
+
+
+def test_zorder_locality_property(ray_session):
+    """Adjacent lattice cells differ in few Morton bits: sanity that the
+    interleave really interleaves (x bit 0 -> z bit 0, y bit 0 -> z bit 1)."""
+    from geocoding_toolbox_ray.queries import ZORDER_BITS
+
+    def z(ix, iy):
+        out = 0
+        for b in range(ZORDER_BITS):
+            out += ((ix >> b) & 1) << (2 * b)
+            out += ((iy >> b) & 1) << (2 * b + 1)
+        return out
+
+    assert z(1, 0) == 1 and z(0, 1) == 2 and z(3, 3) == 15
+    assert z(4095, 4095) == (1 << (2 * ZORDER_BITS)) - 1
