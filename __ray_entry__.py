@@ -149,6 +149,10 @@ _WINDOW_R4 = [
 # (keep these immediately after the window so the next rotation is a
 # simple list swap).
 _BACKLOG = [
+    "embedding_dim_stats",
+    "orders_daily_autocorr",
+    "lineitem_price_mad",
+    "supplier_clustering_coeff",
     "custkey_prefix_rollup",
     "orders_winsorized_total",
     "orders_price_minmax_scaled",
@@ -392,6 +396,10 @@ def oracle_sql() -> dict[str, str]:
         "geocode_orders_units": oracle.geocode_orders_units_sql(),
         "geocode_orders_highways": oracle.geocode_orders_highways_sql(),
         "q4_order_priority": oracle.q4_order_priority_sql(),
+        "embedding_dim_stats": oracle.embedding_dim_stats_sql(),
+        "orders_daily_autocorr": oracle.orders_daily_autocorr_sql(),
+        "lineitem_price_mad": oracle.lineitem_price_mad_sql(),
+        "supplier_clustering_coeff": oracle.supplier_clustering_coeff_sql(),
         "custkey_prefix_rollup": oracle.custkey_prefix_rollup_sql(),
         "orders_winsorized_total": oracle.orders_winsorized_total_sql(),
         "orders_price_minmax_scaled": oracle.orders_price_minmax_scaled_sql(),

@@ -4079,3 +4079,112 @@ SELECT CAST(query_id AS BIGINT) AS query_id,
        CAST({terms} AS BIGINT) AS zcode
 FROM p
 """
+
+
+def embedding_dim_stats_sql() -> str:
+    """Per-dimension quantized stats; unnest and generate_subscripts must
+    sit in the SAME select list to zip element-wise (split across levels
+    they cross-product)."""
+    from .stages.ann import QUANT
+
+    q = f"CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {QUANT!r} + 0.5) AS BIGINT)"
+    return f"""
+SELECT CAST(i AS BIGINT) AS i,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(qv) AS BIGINT) AS qsum,
+       CAST(MIN(qv) AS BIGINT) AS qmin,
+       CAST(MAX(qv) AS BIGINT) AS qmax
+FROM (
+    SELECT generate_subscripts(embedding, 1) AS i, {q} AS qv
+    FROM embeddings
+)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def orders_daily_autocorr_sql() -> str:
+    """Dense zero-filled daily series; exact integer lag components via a
+    self-join on the generated day range."""
+    from .queries import AUTOCORR_MAX_LAG
+
+    return f"""
+WITH o AS (
+    SELECT epoch_us(o_orderdate) // 86400000000 AS day, CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders GROUP BY 1
+), days AS (
+    SELECT UNNEST(generate_series((SELECT MIN(day) FROM o), (SELECT MAX(day) FROM o))) AS day
+), dense AS (
+    SELECT d.day, COALESCE(o.n, 0) AS n FROM days d LEFT JOIN o USING (day)
+), lags AS (
+    SELECT UNNEST(generate_series(1, {AUTOCORR_MAX_LAG})) AS lag
+)
+SELECT CAST(l.lag AS BIGINT) AS lag,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(SUM(a.n * b.n) AS BIGINT) AS dot,
+       CAST(SUM(a.n) AS BIGINT) AS sum_a,
+       CAST(SUM(b.n) AS BIGINT) AS sum_b,
+       CAST(SUM(a.n * a.n) AS BIGINT) AS sumsq_a,
+       CAST(SUM(b.n * b.n) AS BIGINT) AS sumsq_b
+FROM lags l
+JOIN dense a ON TRUE
+JOIN dense b ON b.day = a.day + l.lag
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def lineitem_price_mad_sql() -> str:
+    """Lower-median MAD per return flag via two ROW_NUMBER rank picks —
+    the same (n+1)//2 rank rule as the engine."""
+    return """
+WITH t AS (
+    SELECT l_returnflag AS f,
+           CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c
+    FROM lineitem
+), m AS (
+    SELECT f, c,
+           ROW_NUMBER() OVER (PARTITION BY f ORDER BY c) AS rn,
+           COUNT(*) OVER (PARTITION BY f) AS n
+    FROM t
+), med AS (
+    SELECT f, c AS median_cents, CAST(n AS BIGINT) AS n FROM m WHERE rn = (n + 1) // 2
+), d AS (
+    SELECT t.f, ABS(t.c - med.median_cents) AS dc FROM t JOIN med USING (f)
+), m2 AS (
+    SELECT f, dc,
+           ROW_NUMBER() OVER (PARTITION BY f ORDER BY dc) AS rn,
+           COUNT(*) OVER (PARTITION BY f) AS n
+    FROM d
+)
+SELECT med.f AS l_returnflag, med.n, med.median_cents, m2.dc AS mad_cents
+FROM m2 JOIN med USING (f) WHERE m2.rn = (m2.n + 1) // 2
+ORDER BY 1
+"""
+
+
+def supplier_clustering_coeff_sql() -> str:
+    """Per-node degree + triangle count over the SAME thresholded edge
+    set as supplier_triangles; zero-triangle nodes kept via LEFT JOIN."""
+    return """
+WITH p AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+w AS (
+    SELECT a.l_suppkey AS sa, b.l_suppkey AS sb, CAST(COUNT(*) AS BIGINT) AS wt
+    FROM p a JOIN p b ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+    GROUP BY 1, 2
+),
+tot AS (SELECT COUNT(*) AS n FROM w),
+c AS (SELECT wt, COUNT(*) AS cnt FROM w GROUP BY 1),
+cum AS (SELECT wt, SUM(cnt) OVER (ORDER BY wt) AS cum FROM c),
+thr AS (SELECT MIN(wt) AS v FROM cum, tot WHERE cum >= (500 * n + 999) // 1000),
+e AS (SELECT sa, sb FROM w, thr WHERE w.wt > thr.v),
+u AS (SELECT sa AS s, sb AS t FROM e UNION ALL SELECT sb, sa FROM e),
+deg AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS deg FROM u GROUP BY 1),
+tri AS (
+    SELECT u1.s AS s, CAST(COUNT(*) AS BIGINT) AS n_tri
+    FROM u u1 JOIN u u2 ON u1.s = u2.s AND u1.t < u2.t
+    JOIN e ON e.sa = u1.t AND e.sb = u2.t
+    GROUP BY 1
+)
+SELECT deg.s AS s_suppkey, deg.deg, CAST(COALESCE(tri.n_tri, 0) AS BIGINT) AS n_tri
+FROM deg LEFT JOIN tri USING (s)
+ORDER BY 1
+"""

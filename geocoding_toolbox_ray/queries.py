@@ -4974,71 +4974,14 @@ def supplier_triangles(sf_dir: str) -> pd.DataFrame:
     """Triangle count over the supplier co-occurrence graph (the graph-
     analytics staple): distinct (order, supplier) incidence -> per-order
     supplier pairs (orders co-located per bucket, vectorized merge) ->
-    global pair weights via a second bucketed reduce -> edges = pairs
-    STRICTLY above the data-derived median weight (the shared integer
-    percentile rule, so the op self-calibrates across scales) -> exact
-    triangle count as trace(A^3)/6 over the supplier-bounded adjacency.
-    Shuffles are bounded by incidence and supplier-pair cardinality;
-    only the tiny weights table ever reaches the driver."""
-    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
-
-    def _inc(t: pa.Table) -> pd.DataFrame:
-        ok = np.asarray(t["l_orderkey"].to_numpy(zero_copy_only=False), np.int64)
-        sk = np.asarray(t["l_suppkey"].to_numpy(zero_copy_only=False), np.int64)
-        assert len(sk) == 0 or sk.max() < SUPP_PACK, "widen SUPP_PACK"
-        key = ok * SUPP_PACK + sk  # packed (order, supplier) distinct
-        u = np.unique(key)
-        ok_u, sk_u = u // SUPP_PACK, u % SUPP_PACK
-        return pd.DataFrame(
-            {
-                "bucket": ((ok_u * 2654435761) % 4294967296) % SESSION_BUCKETS,
-                "ok": ok_u,
-                "sk": sk_u,
-            }
-        )
-
-    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates(["ok", "sk"])
-        m = g.merge(g, on="ok")
-        m = m[m["sk_x"] < m["sk_y"]]
-        if m.empty:
-            return pd.DataFrame(
-                {"pbucket": pd.array([], "int64"), "sa": pd.array([], "int64"),
-                 "sb": pd.array([], "int64"), "part_w": pd.array([], "int64")}
-            )
-        s = m.groupby(["sk_x", "sk_y"], sort=False).size()
-        idx = s.index.to_frame(index=False)
-        pk = idx["sk_x"].to_numpy(np.int64) * SUPP_PACK + idx["sk_y"].to_numpy(np.int64)
-        return pd.DataFrame(
-            {
-                "pbucket": ((pk * 2654435761) % 4294967296) % SESSION_BUCKETS,
-                "sa": idx["sk_x"].to_numpy(np.int64),
-                "sb": idx["sk_y"].to_numpy(np.int64),
-                "part_w": s.to_numpy(np.int64),
-            }
-        )
-
-    def _wreduce(g: pd.DataFrame) -> pd.DataFrame:
-        s = g.groupby(["sa", "sb"], sort=False)["part_w"].sum()
-        idx = s.index.to_frame(index=False)
-        return pd.DataFrame(
-            {
-                "sa": idx["sa"].to_numpy(np.int64),
-                "sb": idx["sb"].to_numpy(np.int64),
-                "wt": s.to_numpy(np.int64),
-            }
-        )
-
-    # weights table is bounded by supplier-pair cardinality (the small
-    # dimension squared) — safe to finish on the driver
-    w = (
-        li.map_batches(_inc, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(_pairs, batch_format="pandas")
-        .groupby("pbucket")
-        .map_groups(_wreduce, batch_format="pandas")
-        .to_pandas()
-    )
+    global pair weights via a second bucketed reduce (shared
+    _cosupply_weights pipeline) -> edges = pairs STRICTLY above the
+    data-derived median weight (the shared integer percentile rule, so
+    the op self-calibrates across scales) -> exact triangle count as
+    trace(A^3)/6 over the supplier-bounded adjacency.  Shuffles are
+    bounded by incidence and supplier-pair cardinality; only the tiny
+    weights table ever reaches the driver."""
+    w = _cosupply_weights(sf_dir)
     ws = np.sort(w["wt"].to_numpy(np.int64))
     need = (500 * len(ws) + 999) // 1000
     thr = int(ws[need - 1]) if len(ws) else 0
@@ -9771,3 +9714,250 @@ def zorder_encode_lineitem(sf_dir: str):
         )
 
     return li.map_batches(_encode, batch_format="pyarrow")
+
+
+# ------------------------- stats / time-series / graph wave (round 4)
+
+def embedding_dim_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-dimension column statistics over the quantized embedding list
+    column (1-based dims): count, sum, min, max of q = floor(e*QUANT+0.5).
+    One pass; per-batch partials are a single reshape + axis-0 reduce;
+    the Ray groupby is bounded by D."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    from .stages.ann import QUANT
+
+    emb = _read(sf_dir, "embeddings", columns=["embedding"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        col = t["embedding"].combine_chunks()
+        flat = np.asarray(col.values.to_numpy(zero_copy_only=False), np.float64)
+        n = len(col)
+        d = len(flat) // n if n else 0
+        q = np.floor(flat.reshape(n, d) * QUANT + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "i": pa.array(np.arange(1, d + 1, dtype=np.int64)),
+                "part_n": pa.array(np.full(d, n, np.int64)),
+                "part_sum": pa.array(q.sum(axis=0)),
+                "part_min": pa.array(q.min(axis=0)),
+                "part_max": pa.array(q.max(axis=0)),
+            }
+        )
+
+    out = (
+        emb.map_batches(_partial, batch_format="pyarrow")
+        .groupby("i")
+        .aggregate(
+            Sum("part_n", alias_name="n"),
+            Sum("part_sum", alias_name="qsum"),
+            Min("part_min", alias_name="qmin"),
+            Max("part_max", alias_name="qmax"),
+        )
+        .to_pandas()
+        .sort_values("i")
+        .reset_index(drop=True)
+    )
+    return out.astype({c: np.int64 for c in out.columns})
+
+
+AUTOCORR_MAX_LAG = 14
+
+
+def orders_daily_autocorr(sf_dir: str) -> pd.DataFrame:
+    """Time-series autocorrelation of the DENSE daily order-count series
+    (zero-filled gaps) at lags 1..AUTOCORR_MAX_LAG, carried as the exact
+    integer components (n_days, dot, sum_a, sum_b, sumsq_a, sumsq_b) —
+    the caller can form Pearson r; the engine never divides.  The series
+    itself is a bounded day-keyed reduce; lag products are computed on
+    the dense (driver-held, #days-sized) vector."""
+    from ray.data.aggregate import Sum
+
+    orders = _read(sf_dir, "orders", columns=["o_orderdate"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        day = (
+            t["o_orderdate"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+            // 86_400_000_000
+        )
+        u, c = np.unique(day, return_counts=True)
+        return pa.table({"day": pa.array(u), "part_n": pa.array(c.astype(np.int64))})
+
+    agg = (
+        orders.map_batches(_partial, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("part_n", alias_name="n"))
+        .to_pandas()
+        .sort_values("day")
+    )
+    day = agg["day"].to_numpy(np.int64)
+    cnt = agg["n"].to_numpy(np.int64)
+    lo, hi = int(day.min()), int(day.max())
+    dense = np.zeros(hi - lo + 1, np.int64)
+    dense[day - lo] = cnt
+    rows = []
+    for lag in range(1, AUTOCORR_MAX_LAG + 1):
+        a, b = dense[:-lag], dense[lag:]
+        rows.append(
+            (
+                lag,
+                len(a),
+                int((a * b).sum()),
+                int(a.sum()),
+                int(b.sum()),
+                int((a * a).sum()),
+                int((b * b).sum()),
+            )
+        )
+    return pd.DataFrame(
+        rows, columns=["lag", "n_days", "dot", "sum_a", "sum_b", "sumsq_a", "sumsq_b"]
+    ).astype(np.int64)
+
+
+def lineitem_price_mad(sf_dir: str) -> pd.DataFrame:
+    """Median absolute deviation per return flag — robust dispersion,
+    fully exact: median = value at rank (n+1)//2 (lower median), MAD =
+    same rank rule over |c - median|, BOTH computed from the bounded
+    per-flag value histogram (one data pass; the |c-m| histogram is a
+    re-bin of the same histogram, never a second scan)."""
+    from ray.data.aggregate import Sum
+
+    li = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"])
+
+    def _partial(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "f": t["l_returnflag"].to_pandas().to_numpy(object),
+                "c": np.floor(
+                    np.asarray(t["l_extendedprice"].to_numpy(zero_copy_only=False), np.float64)
+                    * 100.0
+                    + 0.5
+                ).astype(np.int64),
+            }
+        )
+        s = df.groupby(["f", "c"], sort=False).size().reset_index(name="part_n")
+        s["bucket"] = (s["c"].to_numpy(np.int64) * 2654435761 % 2**32) % SESSION_BUCKETS
+        s["part_n"] = s["part_n"].astype(np.int64)
+        return s
+
+    def _reduce(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby(["f", "c"], sort=False)["part_n"].sum().reset_index(name="n")
+        s["n"] = s["n"].astype(np.int64)
+        return s
+
+    hist = (
+        li.map_batches(_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_reduce, batch_format="pandas")
+        .to_pandas()
+    )
+
+    def _rank_value(vals: np.ndarray, counts: np.ndarray, rank: int) -> int:
+        order = np.argsort(vals, kind="stable")
+        v, c = vals[order], counts[order]
+        return int(v[np.searchsorted(np.cumsum(c), rank, side="left")])
+
+    rows = []
+    for f, grp in hist.groupby("f", sort=True):
+        vals = grp["c"].to_numpy(np.int64)
+        counts = grp["n"].to_numpy(np.int64)
+        n = int(counts.sum())
+        med = _rank_value(vals, counts, (n + 1) // 2)
+        dev = np.abs(vals - med)
+        mad = _rank_value(dev, counts, (n + 1) // 2)
+        rows.append((f, n, med, mad))
+    out = pd.DataFrame(rows, columns=["l_returnflag", "n", "median_cents", "mad_cents"])
+    for c in ("n", "median_cents", "mad_cents"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("l_returnflag").reset_index(drop=True)
+
+
+def supplier_clustering_coeff(sf_dir: str) -> pd.DataFrame:
+    """Per-node clustering over the thresholded co-supply graph (same
+    incidence -> pair weights -> strict-median-threshold edges as
+    supplier_triangles): degree and triangle count per supplier, the
+    local clustering coefficient's exact integer components
+    (cc = n_tri / (deg*(deg-1)/2)).  tri_v = diag(A^3)/2 — float64
+    matmul exact at supplier-bounded node counts."""
+    w = _cosupply_weights(sf_dir)
+    ws = np.sort(w["wt"].to_numpy(np.int64))
+    need = (500 * len(ws) + 999) // 1000
+    thr = int(ws[need - 1]) if len(ws) else 0
+    e = w[w["wt"] > thr]
+    nodes = np.unique(np.concatenate([e["sa"].to_numpy(np.int64), e["sb"].to_numpy(np.int64)]))
+    A = np.zeros((max(len(nodes), 1), max(len(nodes), 1)), np.float64)
+    ia = np.searchsorted(nodes, e["sa"].to_numpy(np.int64))
+    ib = np.searchsorted(nodes, e["sb"].to_numpy(np.int64))
+    A[ia, ib] = 1.0
+    A[ib, ia] = 1.0
+    deg = A.sum(axis=1).astype(np.int64)
+    tri = (np.diag(A @ A @ A) / 2.0 + 0.25).astype(np.int64)
+    return pd.DataFrame(
+        {
+            "s_suppkey": nodes.astype(np.int64),
+            "deg": deg,
+            "n_tri": tri,
+        }
+    )
+
+
+def _cosupply_weights(sf_dir: str) -> pd.DataFrame:
+    """Shared incidence -> per-order pairs -> global pair weights
+    pipeline (the supplier_triangles front half); weights table is
+    bounded by supplier-pair cardinality."""
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
+
+    def _inc(t: pa.Table) -> pd.DataFrame:
+        ok = np.asarray(t["l_orderkey"].to_numpy(zero_copy_only=False), np.int64)
+        sk = np.asarray(t["l_suppkey"].to_numpy(zero_copy_only=False), np.int64)
+        assert len(sk) == 0 or sk.max() < SUPP_PACK, "widen SUPP_PACK"
+        u = np.unique(ok * SUPP_PACK + sk)
+        ok_u, sk_u = u // SUPP_PACK, u % SUPP_PACK
+        return pd.DataFrame(
+            {
+                "bucket": ((ok_u * 2654435761) % 4294967296) % SESSION_BUCKETS,
+                "ok": ok_u,
+                "sk": sk_u,
+            }
+        )
+
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["ok", "sk"])
+        m = g.merge(g, on="ok")
+        m = m[m["sk_x"] < m["sk_y"]]
+        if m.empty:
+            return pd.DataFrame(
+                {"pbucket": pd.array([], "int64"), "sa": pd.array([], "int64"),
+                 "sb": pd.array([], "int64"), "part_w": pd.array([], "int64")}
+            )
+        s = m.groupby(["sk_x", "sk_y"], sort=False).size()
+        idx = s.index.to_frame(index=False)
+        pk = idx["sk_x"].to_numpy(np.int64) * SUPP_PACK + idx["sk_y"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "pbucket": ((pk * 2654435761) % 4294967296) % SESSION_BUCKETS,
+                "sa": idx["sk_x"].to_numpy(np.int64),
+                "sb": idx["sk_y"].to_numpy(np.int64),
+                "part_w": s.to_numpy(np.int64),
+            }
+        )
+
+    def _wreduce(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby(["sa", "sb"], sort=False)["part_w"].sum()
+        idx = s.index.to_frame(index=False)
+        return pd.DataFrame(
+            {
+                "sa": idx["sa"].to_numpy(np.int64),
+                "sb": idx["sb"].to_numpy(np.int64),
+                "wt": s.to_numpy(np.int64),
+            }
+        )
+
+    return (
+        li.map_batches(_inc, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_pairs, batch_format="pandas")
+        .groupby("pbucket")
+        .map_groups(_wreduce, batch_format="pandas")
+        .to_pandas()
+    )

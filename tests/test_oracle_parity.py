@@ -986,3 +986,23 @@ def test_zorder_locality_property(ray_session):
 
     assert z(1, 0) == 1 and z(0, 1) == 2 and z(3, 3) == 15
     assert z(4095, 4095) == (1 << (2 * ZORDER_BITS)) - 1
+
+
+def test_embedding_dim_stats_parity(ray_session, con):
+    """Per-dimension quantized column stats over the list column."""
+    _entry_parity("embedding_dim_stats", con)
+
+
+def test_orders_daily_autocorr_parity(ray_session, con):
+    """Exact integer lag components over the dense daily series."""
+    _entry_parity("orders_daily_autocorr", con)
+
+
+def test_lineitem_price_mad_parity(ray_session, con):
+    """Lower-median MAD from one bounded value histogram."""
+    _entry_parity("lineitem_price_mad", con)
+
+
+def test_supplier_clustering_coeff_parity(ray_session, con):
+    """Per-node degree + triangles over the thresholded co-supply graph."""
+    _entry_parity("supplier_clustering_coeff", con)
