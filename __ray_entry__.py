@@ -149,6 +149,8 @@ _WINDOW_R4 = [
 # (keep these immediately after the window so the next rotation is a
 # simple list swap).
 _BACKLOG = [
+    "split_leakage_pairs",
+    "dedup_cluster_size_histogram",
     "embedding_dim_stats",
     "orders_daily_autocorr",
     "lineitem_price_mad",
@@ -396,6 +398,8 @@ def oracle_sql() -> dict[str, str]:
         "geocode_orders_units": oracle.geocode_orders_units_sql(),
         "geocode_orders_highways": oracle.geocode_orders_highways_sql(),
         "q4_order_priority": oracle.q4_order_priority_sql(),
+        "split_leakage_pairs": oracle.split_leakage_pairs_sql(),
+        "dedup_cluster_size_histogram": oracle.dedup_cluster_size_histogram_sql(),
         "embedding_dim_stats": oracle.embedding_dim_stats_sql(),
         "orders_daily_autocorr": oracle.orders_daily_autocorr_sql(),
         "lineitem_price_mad": oracle.lineitem_price_mad_sql(),

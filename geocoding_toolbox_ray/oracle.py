@@ -4188,3 +4188,33 @@ SELECT deg.s AS s_suppkey, deg.deg, CAST(COALESCE(tri.n_tri, 0) AS BIGINT) AS n_
 FROM deg LEFT JOIN tri USING (s)
 ORDER BY 1
 """
+
+
+def split_leakage_pairs_sql() -> str:
+    """Near-dup pairs x split labels; the split CASE is the same
+    multiplicative-hash rule as split_assignment_sql."""
+    case = (
+        "CASE WHEN (({col} * 2654435761) % 4294967296) % 100 < 80 THEN 'train' "
+        "WHEN (({col} * 2654435761) % 4294967296) % 100 < 90 THEN 'val' "
+        "ELSE 'test' END"
+    )
+    return f"""
+WITH pairs AS ({minhash_dup_pairs_sql()})
+SELECT {case.format(col='doc_a')} AS split_a,
+       {case.format(col='doc_b')} AS split_b,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM pairs GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def dedup_cluster_size_histogram_sql() -> str:
+    """Cluster-size histogram over the recursive-CTE component labels."""
+    return f"""
+WITH labels AS ({dedup_clusters_sql()}),
+sizes AS (
+    SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+    FROM labels GROUP BY 1
+)
+SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+FROM sizes GROUP BY 1 ORDER BY 1
+"""

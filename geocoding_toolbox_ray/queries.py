@@ -9961,3 +9961,73 @@ def _cosupply_weights(sf_dir: str) -> pd.DataFrame:
         .map_groups(_wreduce, batch_format="pandas")
         .to_pandas()
     )
+
+
+# ----------------------- curation-hygiene compositions (round 4)
+
+def _split_of(ids: np.ndarray) -> np.ndarray:
+    """Shared 80/10/10 multiplicative-hash split rule (split_assignment)."""
+    h = (ids * 2654435761 % 2**32) % 100
+    return np.where(h < 80, "train", np.where(h < 90, "val", "test"))
+
+
+def split_leakage_pairs(sf_dir: str) -> pd.DataFrame:
+    """Train/test contamination via NEAR-duplication: MinHash+LSH
+    near-dup pairs labeled with each side's deterministic split, counted
+    per (split_a, split_b) — off-diagonal cells are leakage a contamination
+    check on exact strings would miss.  Composition of two oracle-checked
+    operators; the split label is pure arithmetic on doc_id (no join)."""
+    from ray.data.aggregate import Sum
+
+    pairs = minhash_dup_pairs(sf_dir)
+
+    def _partial(t: pa.Table) -> pd.DataFrame:
+        a = np.asarray(t["doc_a"].to_numpy(zero_copy_only=False), np.int64)
+        b = np.asarray(t["doc_b"].to_numpy(zero_copy_only=False), np.int64)
+        df = pd.DataFrame({"split_a": _split_of(a), "split_b": _split_of(b)})
+        agg = df.groupby(["split_a", "split_b"], sort=False).size().reset_index(name="part_n")
+        agg["part_n"] = agg["part_n"].astype(np.int64)
+        return agg
+
+    out = (
+        pairs.map_batches(_partial, batch_format="pyarrow")
+        .groupby(["split_a", "split_b"])
+        .aggregate(Sum("part_n", alias_name="n_pairs"))
+        .to_pandas()
+    )
+    out["n_pairs"] = out["n_pairs"].astype(np.int64)
+    return out.sort_values(["split_a", "split_b"]).reset_index(drop=True)
+
+
+def dedup_cluster_size_histogram(sf_dir: str) -> pd.DataFrame:
+    """Duplication-structure report: histogram of near-dup cluster sizes
+    (how much of the corpus sits in 2-doc pairs vs large star clusters)
+    from the connected-components labels — the summary a curation run
+    reads before choosing keep-one-per-cluster policies."""
+    from ray.data.aggregate import Sum
+
+    labels = dedup_clusters(sf_dir)
+
+    def _partial(t: pa.Table) -> pd.DataFrame:
+        cid = np.asarray(t["cluster_id"].to_numpy(zero_copy_only=False), np.int64)
+        u, c = np.unique(cid, return_counts=True)
+        df = pd.DataFrame({"cluster_id": u, "part_n": c.astype(np.int64)})
+        df["bucket"] = (u * 2654435761 % 2**32) % SESSION_BUCKETS
+        return df
+
+    def _sizes(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("cluster_id", sort=False)["part_n"].sum()
+        sz, cnt = np.unique(s.to_numpy(np.int64), return_counts=True)
+        return pd.DataFrame({"cluster_size": sz, "part_c": cnt.astype(np.int64)})
+
+    out = (
+        labels.map_batches(_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_sizes, batch_format="pandas")
+        .groupby("cluster_size")
+        .aggregate(Sum("part_c", alias_name="n_clusters"))
+        .to_pandas()
+    )
+    out["cluster_size"] = out["cluster_size"].astype(np.int64)
+    out["n_clusters"] = out["n_clusters"].astype(np.int64)
+    return out.sort_values("cluster_size").reset_index(drop=True)

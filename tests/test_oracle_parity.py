@@ -1006,3 +1006,13 @@ def test_lineitem_price_mad_parity(ray_session, con):
 def test_supplier_clustering_coeff_parity(ray_session, con):
     """Per-node degree + triangles over the thresholded co-supply graph."""
     _entry_parity("supplier_clustering_coeff", con)
+
+
+def test_split_leakage_pairs_parity(ray_session, con):
+    """Near-dup pairs crossing train/val/test splits."""
+    _entry_parity("split_leakage_pairs", con)
+
+
+def test_dedup_cluster_size_histogram_parity(ray_session, con):
+    """Cluster-size histogram over CC labels."""
+    _entry_parity("dedup_cluster_size_histogram", con)
