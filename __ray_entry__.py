@@ -149,6 +149,8 @@ _WINDOW_R4 = [
 # (keep these immediately after the window so the next rotation is a
 # simple list swap).
 _BACKLOG = [
+    "prefix_count_share",
+    "events_value_percentrank_by_type",
     "split_leakage_pairs",
     "dedup_cluster_size_histogram",
     "embedding_dim_stats",
@@ -398,6 +400,8 @@ def oracle_sql() -> dict[str, str]:
         "geocode_orders_units": oracle.geocode_orders_units_sql(),
         "geocode_orders_highways": oracle.geocode_orders_highways_sql(),
         "q4_order_priority": oracle.q4_order_priority_sql(),
+        "prefix_count_share": oracle.prefix_count_share_sql(),
+        "events_value_percentrank_by_type": oracle.events_value_percentrank_by_type_sql(),
         "split_leakage_pairs": oracle.split_leakage_pairs_sql(),
         "dedup_cluster_size_histogram": oracle.dedup_cluster_size_histogram_sql(),
         "embedding_dim_stats": oracle.embedding_dim_stats_sql(),

@@ -4218,3 +4218,40 @@ sizes AS (
 SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
 FROM sizes GROUP BY 1 ORDER BY 1
 """
+
+
+def prefix_count_share_sql() -> str:
+    """Percent-of-parent over the prefix rollup (root level excluded);
+    counts positive -> // is floor in both engines."""
+    from .queries import PREFIX_LEVELS
+
+    values = ", ".join(f"({k}, {10**k})" for k in range(PREFIX_LEVELS))
+    return f"""
+WITH lv(level, div) AS (VALUES {values}),
+r AS (
+    SELECT lv.level, c.c_custkey // lv.div AS prefix, CAST(COUNT(*) AS BIGINT) AS n
+    FROM customer c CROSS JOIN lv
+    GROUP BY 1, 2
+)
+SELECT CAST(ch.level AS BIGINT) AS level,
+       CAST(ch.prefix AS BIGINT) AS prefix,
+       ch.n,
+       pa.n AS parent_n,
+       CAST(ch.n * 1000000 // pa.n AS BIGINT) AS share_ppm
+FROM r ch JOIN r pa
+  ON pa.level = ch.level + 1 AND pa.prefix = ch.prefix // 10
+WHERE ch.level < {PREFIX_LEVELS - 1}
+"""
+
+
+def events_value_percentrank_by_type_sql() -> str:
+    """Per-type RANK (ties = min) + partition size — the exact integer
+    components of percent_rank."""
+    return """
+SELECT event_id, event_type,
+       CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_cents,
+       CAST(RANK() OVER (PARTITION BY event_type
+                         ORDER BY CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rnk,
+       CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_type
+FROM events
+"""

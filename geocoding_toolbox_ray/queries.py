@@ -10031,3 +10031,144 @@ def dedup_cluster_size_histogram(sf_dir: str) -> pd.DataFrame:
     out["cluster_size"] = out["cluster_size"].astype(np.int64)
     out["n_clusters"] = out["n_clusters"].astype(np.int64)
     return out.sort_values("cluster_size").reset_index(drop=True)
+
+
+def prefix_count_share(sf_dir: str):
+    """Percent-of-parent in the custkey prefix hierarchy: every level-k
+    node's customer count as exact ppm of its level-(k+1) parent's count
+    (root level excluded — no parent).  Child and parent rollup rows
+    co-locate via ONE bucketed shuffle keyed on the PARENT prefix, then
+    join vectorized inside each bounded bucket — shares never require
+    driver-held hierarchies."""
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+    divs = 10 ** np.arange(PREFIX_LEVELS, dtype=np.int64)
+
+    def _partial(t: pa.Table) -> pd.DataFrame:
+        ck = np.asarray(t["c_custkey"].to_numpy(zero_copy_only=False), np.int64)
+        n = len(ck)
+        level = np.tile(np.arange(PREFIX_LEVELS, dtype=np.int64), n)
+        prefix = np.repeat(ck, PREFIX_LEVELS) // np.tile(divs, n)
+        df = pd.DataFrame({"level": level, "prefix": prefix})
+        agg = df.groupby(["level", "prefix"], sort=False).size().reset_index(name="part_n")
+        agg["part_n"] = agg["part_n"].astype(np.int64)
+        # bucket by the PARENT prefix so child rows (level k, prefix p)
+        # and parent rows (level k+1, prefix p//10) land together
+        parent_for_child = agg["prefix"].to_numpy(np.int64) // 10
+        agg["bucket"] = (parent_for_child * 2654435761 % 2**32) % SESSION_BUCKETS
+        # parent rows must ALSO appear in every bucket one of their
+        # children hashes to — they hash by their own prefix as parents
+        own = agg.copy()
+        own["bucket"] = (own["prefix"].to_numpy(np.int64) * 2654435761 % 2**32) % SESSION_BUCKETS
+        return pd.concat([agg.assign(role=np.int64(0)), own.assign(role=np.int64(1))])
+
+    def _share(g: pd.DataFrame) -> pd.DataFrame:
+        child = g[g["role"] == 0]
+        parent = g[g["role"] == 1]
+        c = child.groupby(["level", "prefix"], sort=False)["part_n"].sum().reset_index(name="n")
+        p = parent.groupby(["level", "prefix"], sort=False)["part_n"].sum().reset_index(name="pn")
+        c = c[c["level"] < PREFIX_LEVELS - 1]
+        c["plevel"] = c["level"] + 1
+        c["pprefix"] = c["prefix"] // 10
+        m = c.merge(p, left_on=["plevel", "pprefix"], right_on=["level", "prefix"], suffixes=("", "_p"))
+        n = m["n"].to_numpy(np.int64)
+        pn = m["pn"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "level": m["level"].to_numpy(np.int64),
+                "prefix": m["prefix"].to_numpy(np.int64),
+                "n": n,
+                "parent_n": pn,
+                "share_ppm": n * 1_000_000 // pn,
+            }
+        )
+
+    return (
+        cust.map_batches(_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_share, batch_format="pandas")
+    )
+
+
+def events_value_percentrank_by_type(sf_dir: str):
+    """Partitioned distributed ranking: every event's RANK (ties = min)
+    and partition size within its event_type, from per-type bounded
+    value histograms broadcast once — no global or per-partition sort of
+    the data.  rank/n are the exact integer components of percent_rank."""
+    import ray
+
+    from .stages.dedup import _sorted_kv_task
+
+    ev = _read(sf_dir, "events", columns=["event_id", "event_type", "value"])
+
+    def _cents(t: pa.Table) -> np.ndarray:
+        return np.floor(
+            np.asarray(t["value"].to_numpy(zero_copy_only=False), np.float64) * 100.0 + 0.5
+        ).astype(np.int64)
+
+    # deterministic dense type codes from the (small) type alphabet
+    import pyarrow.parquet as pq
+    import pyarrow.compute as pc
+
+    types = sorted(
+        set(
+            pc.unique(
+                pq.read_table(f"{sf_dir}/events.parquet", columns=["event_type"])["event_type"]
+            ).to_pylist()
+        )
+    )
+    code_of = {s: i for i, s in enumerate(types)}
+    TYPE_PACK = 1 << 40  # cents < 2^40 asserted
+
+    def _partial(t: pa.Table) -> pa.Table:
+        c = _cents(t)
+        assert len(c) == 0 or c.max() < TYPE_PACK
+        codes = np.asarray([code_of[s] for s in t["event_type"].to_pylist()], np.int64)
+        key = codes * TYPE_PACK + c
+        ub, inv = np.unique(key, return_inverse=True)
+        return pa.table(
+            {
+                "bucket": pa.array(((ub * 2654435761) % 4294967296) % SESSION_BUCKETS),
+                "k": pa.array(ub),
+                "part_n": pa.array(np.bincount(inv).astype(np.int64)),
+            }
+        )
+
+    def _reduce(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("k", sort=False)["part_n"].sum()
+        return pd.DataFrame({"k": s.index.to_numpy(np.int64), "n": s.to_numpy(np.int64)})
+
+    hist = (
+        ev.map_batches(_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_reduce, batch_format="pandas")
+    )
+    refs = [br for b in hist.iter_internal_ref_bundles() for br in b.block_refs]
+    kv_ref = _sorted_kv_task.remote(refs, "k", "n")
+
+    def _rank(t: pa.Table) -> pa.Table:
+        keys, counts = ray.get(kv_ref)  # sorted by (type, cents)
+        cum = np.cumsum(counts)
+        tcodes = keys // TYPE_PACK
+        # per-type exclusive-prefix base: rows of earlier types
+        type_start = np.searchsorted(tcodes, np.arange(len(types)), side="left")
+        type_base = np.concatenate([[0], cum])[type_start]
+        type_total = np.concatenate([[0], cum])[
+            np.searchsorted(tcodes, np.arange(len(types)), side="right")
+        ] - type_base
+        c = _cents(t)
+        codes = np.asarray([code_of[s] for s in t["event_type"].to_pylist()], np.int64)
+        key = codes * TYPE_PACK + c
+        pos = np.searchsorted(keys, key)
+        cum_excl = np.concatenate([[0], cum])[pos]
+        rank = cum_excl - type_base[codes] + 1
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "event_type": t["event_type"],
+                "value_cents": pa.array(c),
+                "rnk": pa.array(rank.astype(np.int64)),
+                "n_type": pa.array(type_total[codes].astype(np.int64)),
+            }
+        )
+
+    return ev.map_batches(_rank, batch_format="pyarrow")

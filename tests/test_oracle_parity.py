@@ -1016,3 +1016,13 @@ def test_split_leakage_pairs_parity(ray_session, con):
 def test_dedup_cluster_size_histogram_parity(ray_session, con):
     """Cluster-size histogram over CC labels."""
     _entry_parity("dedup_cluster_size_histogram", con)
+
+
+def test_prefix_count_share_parity(ray_session, con):
+    """Percent-of-parent shares over the prefix hierarchy."""
+    _entry_parity("prefix_count_share", con)
+
+
+def test_events_value_percentrank_by_type_parity(ray_session, con):
+    """Partitioned min-rank + partition size via per-type histograms."""
+    _entry_parity("events_value_percentrank_by_type", con)
