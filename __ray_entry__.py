@@ -149,6 +149,8 @@ _WINDOW_R4 = [
 # (keep these immediately after the window so the next rotation is a
 # simple list swap).
 _BACKLOG = [
+    "session_stats",
+    "radius_pair_distance_histogram",
     "prefix_count_share",
     "events_value_percentrank_by_type",
     "split_leakage_pairs",
@@ -400,6 +402,8 @@ def oracle_sql() -> dict[str, str]:
         "geocode_orders_units": oracle.geocode_orders_units_sql(),
         "geocode_orders_highways": oracle.geocode_orders_highways_sql(),
         "q4_order_priority": oracle.q4_order_priority_sql(),
+        "session_stats": oracle.session_stats_sql(),
+        "radius_pair_distance_histogram": oracle.radius_pair_distance_histogram_sql(),
         "prefix_count_share": oracle.prefix_count_share_sql(),
         "events_value_percentrank_by_type": oracle.events_value_percentrank_by_type_sql(),
         "split_leakage_pairs": oracle.split_leakage_pairs_sql(),

@@ -4255,3 +4255,41 @@ SELECT event_id, event_type,
        CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_type
 FROM events
 """
+
+
+def session_stats_sql() -> str:
+    """Per-session gaps-and-islands: LAG gap > 30 min starts a session;
+    session_idx is the 0-based per-user running count."""
+    from .queries import SESSION_GAP_US
+
+    return f"""
+WITH e AS (
+    SELECT user_id, epoch_us(ts) AS t,
+           CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                    PARTITION BY user_id ORDER BY ts) > {SESSION_GAP_US}
+                THEN 1 ELSE 0 END AS brk
+    FROM events
+), s AS (
+    SELECT user_id, t,
+           SUM(brk) OVER (PARTITION BY user_id ORDER BY t
+                          ROWS UNBOUNDED PRECEDING) AS session_idx
+    FROM e
+)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MAX(t) - MIN(t) AS BIGINT) AS duration_us
+FROM s GROUP BY 1, 2
+"""
+
+
+def radius_pair_distance_histogram_sql() -> str:
+    """floor(d2/125^2) ring histogram over the within-radius pair set;
+    d2 is bit-identical in both engines, so floor matches exactly."""
+    from .queries import LATTICE_D2_DIV
+
+    return f"""
+WITH pairs AS ({points_within_radius_sql()})
+SELECT CAST(floor(d2 / {LATTICE_D2_DIV!r}) AS BIGINT) AS ring_d2,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM pairs GROUP BY 1 ORDER BY 1
+"""

@@ -10172,3 +10172,87 @@ def events_value_percentrank_by_type(sf_dir: str):
         )
 
     return ev.map_batches(_rank, batch_format="pyarrow")
+
+
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+def session_stats(sf_dir: str):
+    """PER-SESSION rows (finer than sessionize's per-user rollup): each
+    (user, session_idx) with its event count and exact duration_us —
+    gaps-and-islands at session granularity, one user-bucket shuffle,
+    per-session reductions via bincount/reduceat inside the bucket."""
+    ev = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        uid = np.asarray(t["user_id"].to_numpy(zero_copy_only=False), np.int64)
+        return t.append_column(
+            "bucket", pa.array((uid * 2654435761 % 2**32) % SESSION_BUCKETS, pa.int64())
+        )
+
+    def _f(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"], kind="mergesort")
+        uid = g["user_id"].to_numpy(np.int64)
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        n = len(g)
+        new_user = np.empty(n, bool)
+        new_user[0] = True
+        new_user[1:] = uid[1:] != uid[:-1]
+        gaps = np.empty(n, np.int64)
+        gaps[0] = 0
+        gaps[1:] = ts[1:] - ts[:-1]
+        new_sess = new_user | ((~new_user) & (gaps > SESSION_GAP_US))
+        sess = np.cumsum(new_sess) - 1  # global session code in this bucket
+        # session_idx: 0-based per user in time order
+        user_code = np.cumsum(new_user) - 1
+        first_sess_of_user = sess[new_user]  # sess code at each user's first row
+        sess_idx_at_start = np.where(new_sess, sess - first_sess_of_user[user_code], 0)
+        starts = np.flatnonzero(new_sess)
+        counts = np.diff(np.concatenate([starts, [n]]))
+        dur = ts[np.concatenate([starts[1:] - 1, [n - 1]])] - ts[starts]
+        return pd.DataFrame(
+            {
+                "user_id": uid[starts],
+                "session_idx": sess_idx_at_start[starts].astype(np.int64),
+                "n_events": counts.astype(np.int64),
+                "duration_us": dur.astype(np.int64),
+            }
+        )
+
+    return (
+        ev.map_batches(_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_f, batch_format="pandas")
+    )
+
+
+LATTICE_D2_DIV = 125.0 * 125.0  # ring width: one 125 m lattice step squared
+
+
+def radius_pair_distance_histogram(sf_dir: str) -> pd.DataFrame:
+    """Spatial pair-correlation spectrum (the Ripley's-K ingredient):
+    histogram of floor(d2 / 125^2) distance rings over all within-radius
+    pairs.  d2 is the IDENTICAL IEEE expression in engine and oracle (the
+    radius join hash-matches it), so floor of the same double is exact
+    parity; the reduce is bounded by the ring alphabet, never by pairs."""
+    from ray.data.aggregate import Sum
+
+    pairs = points_within_radius(sf_dir)
+
+    def _partial(t: pa.Table) -> pa.Table:
+        d2 = np.asarray(t["d2"].to_numpy(zero_copy_only=False), np.float64)
+        lat = np.floor(d2 / LATTICE_D2_DIV).astype(np.int64)
+        u, c = np.unique(lat, return_counts=True)
+        return pa.table(
+            {"ring_d2": pa.array(u), "part_n": pa.array(c.astype(np.int64))}
+        )
+
+    out = (
+        pairs.map_batches(_partial, batch_format="pyarrow")
+        .groupby("ring_d2")
+        .aggregate(Sum("part_n", alias_name="n_pairs"))
+        .to_pandas()
+        .sort_values("ring_d2")
+        .reset_index(drop=True)
+    )
+    return out.astype({"ring_d2": np.int64, "n_pairs": np.int64})

@@ -1026,3 +1026,13 @@ def test_prefix_count_share_parity(ray_session, con):
 def test_events_value_percentrank_by_type_parity(ray_session, con):
     """Partitioned min-rank + partition size via per-type histograms."""
     _entry_parity("events_value_percentrank_by_type", con)
+
+
+def test_session_stats_parity(ray_session, con):
+    """Per-session gaps-and-islands rows (idx, count, duration)."""
+    _entry_parity("session_stats", con)
+
+
+def test_radius_pair_distance_histogram_parity(ray_session, con):
+    """floor(d2/125^2) ring histogram over within-radius pairs."""
+    _entry_parity("radius_pair_distance_histogram", con)
