@@ -149,6 +149,8 @@ _WINDOW_R4 = [
 # (keep these immediately after the window so the next rotation is a
 # simple list swap).
 _BACKLOG = [
+    "docs_with_all_tokens",
+    "tile_choropleth_classes",
     "session_stats",
     "radius_pair_distance_histogram",
     "prefix_count_share",
@@ -402,6 +404,8 @@ def oracle_sql() -> dict[str, str]:
         "geocode_orders_units": oracle.geocode_orders_units_sql(),
         "geocode_orders_highways": oracle.geocode_orders_highways_sql(),
         "q4_order_priority": oracle.q4_order_priority_sql(),
+        "docs_with_all_tokens": oracle.docs_with_all_tokens_sql(),
+        "tile_choropleth_classes": oracle.tile_choropleth_classes_sql(),
         "session_stats": oracle.session_stats_sql(),
         "radius_pair_distance_histogram": oracle.radius_pair_distance_histogram_sql(),
         "prefix_count_share": oracle.prefix_count_share_sql(),

@@ -234,6 +234,10 @@ def run_bench() -> dict:
         # dims broadcast) and focal 3x3 map algebra over the sparse raster
         timed("q5_nation_revenue", lambda: q.q5_nation_revenue(SF_DIR))
         timed("raster_focal_sum", lambda: q.raster_focal_sum(SF_DIR))
+        # round-4 additions: 6-way join with per-year share (q8 plan) and
+        # market-basket pair mining (order-bucket pair generation)
+        timed("q7_volume_shipping", lambda: q.q7_volume_shipping(SF_DIR))
+        timed("basket_brand_pairs", lambda: q.basket_brand_pairs(SF_DIR))
 
     total = round(sum(timings.values()), 3)
     geocode_rows_per_s = (

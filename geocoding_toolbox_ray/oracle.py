@@ -4293,3 +4293,46 @@ SELECT CAST(floor(d2 / {LATTICE_D2_DIV!r}) AS BIGINT) AS ring_d2,
        CAST(COUNT(*) AS BIGINT) AS n_pairs
 FROM pairs GROUP BY 1 ORDER BY 1
 """
+
+
+def docs_with_all_tokens_sql() -> str:
+    """Inverted-index AND: docs containing every query token."""
+    from .functions.text import WS_SPLIT_PATTERN
+    from .queries import BOOL_QUERY_TOKENS
+
+    toks = ", ".join(f"'{t}'" for t in BOOL_QUERY_TOKENS)
+    return f"""
+WITH toks AS (
+    SELECT doc_id,
+           unnest(list_filter(regexp_split_to_array(lower(text), '{WS_SPLIT_PATTERN}'),
+                              x -> x <> '')) AS t
+    FROM documents
+)
+SELECT doc_id FROM toks
+WHERE t IN ({toks})
+GROUP BY 1 HAVING COUNT(DISTINCT t) = {len(BOOL_QUERY_TOKENS)}
+"""
+
+
+def tile_choropleth_classes_sql() -> str:
+    """Quantile classing against equi-depth boundaries computed with the
+    same (tot//K)*i + LEAST(i, tot%K) cumulative-rank rule; class =
+    1 + #boundaries strictly below the value (tie-deterministic)."""
+    from .queries import CHORO_CLASSES
+
+    ks = ", ".join(f"({i})" for i in range(1, CHORO_CLASSES))
+    return f"""
+WITH tc AS ({tile_counts_sql()}),
+ord AS (
+    SELECT n, ROW_NUMBER() OVER (ORDER BY n) AS rn, COUNT(*) OVER () AS tot FROM tc
+),
+ks(i) AS (VALUES {ks}),
+bounds AS (
+    SELECT o.n AS ub
+    FROM ks JOIN ord o
+      ON o.rn = (o.tot // {CHORO_CLASSES}) * ks.i + LEAST(ks.i, o.tot % {CHORO_CLASSES})
+)
+SELECT tc.tile_x, tc.tile_y, tc.n,
+       CAST(1 + (SELECT COUNT(*) FROM bounds b WHERE b.ub < tc.n) AS BIGINT) AS cls
+FROM tc
+"""

@@ -10256,3 +10256,59 @@ def radius_pair_distance_histogram(sf_dir: str) -> pd.DataFrame:
         .reset_index(drop=True)
     )
     return out.astype({"ring_d2": np.int64, "n_pairs": np.int64})
+
+
+BOOL_QUERY_TOKENS = ("merge", "join", "scan")
+
+
+def docs_with_all_tokens(sf_dir: str):
+    """Boolean AND retrieval: doc_ids containing EVERY query token (the
+    inverted-index intersection primitive next to tfidf's ranked OR).
+    Per-batch: tokenize, mask against the tiny query set, count DISTINCT
+    query tokens per doc; docs never shuffle — a doc's rows stay in its
+    batch, so the filter completes per batch with zero exchanges."""
+    from .functions.text import ws_tokens
+
+    k = len(BOOL_QUERY_TOKENS)
+    qset = set(BOOL_QUERY_TOKENS)
+
+    def _f(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(np.int64)
+        keep = []
+        for i, txt in enumerate(df["text"]):
+            hits = qset.intersection(ws_tokens(txt.lower()))
+            if len(hits) == k:
+                keep.append(ids[i])
+        return pd.DataFrame({"doc_id": np.asarray(keep, np.int64)})
+
+    return _docs(sf_dir).map_batches(_f, batch_format="pandas")
+
+
+CHORO_CLASSES = 5
+
+
+def tile_choropleth_classes(sf_dir: str) -> pd.DataFrame:
+    """Cartographic quantile classing: tile counts bucketed into
+    ``CHORO_CLASSES`` classes by VALUE against exact equi-depth
+    boundaries (class = 1 + number of boundaries strictly below the
+    count — deterministic under ties, unlike raw NTILE labels).
+    Composition over the oracle-checked tile_counts."""
+    tc = tile_counts(sf_dir)
+    df = tc.to_pandas() if hasattr(tc, "to_pandas") else tc
+    cnt = np.sort(df["n"].to_numpy(np.int64))
+    n = len(cnt)
+    base, extra = n // CHORO_CLASSES, n % CHORO_CLASSES
+    i = np.arange(1, CHORO_CLASSES + 1)
+    targets = base * i + np.minimum(i, extra)
+    bounds = cnt[targets[:-1] - 1]  # upper bound of classes 1..K-1
+    c = df["n"].to_numpy(np.int64)
+    cls = 1 + (c[:, None] > bounds[None, :]).sum(axis=1)
+    out = pd.DataFrame(
+        {
+            "tile_x": df["tile_x"].to_numpy(np.int64),
+            "tile_y": df["tile_y"].to_numpy(np.int64),
+            "n": c,
+            "cls": cls.astype(np.int64),
+        }
+    )
+    return out.sort_values(["tile_x", "tile_y"]).reset_index(drop=True)

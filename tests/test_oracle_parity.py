@@ -1036,3 +1036,13 @@ def test_session_stats_parity(ray_session, con):
 def test_radius_pair_distance_histogram_parity(ray_session, con):
     """floor(d2/125^2) ring histogram over within-radius pairs."""
     _entry_parity("radius_pair_distance_histogram", con)
+
+
+def test_docs_with_all_tokens_parity(ray_session, con):
+    """Inverted-index AND retrieval."""
+    _entry_parity("docs_with_all_tokens", con)
+
+
+def test_tile_choropleth_classes_parity(ray_session, con):
+    """Tie-deterministic quantile classing of tile counts."""
+    _entry_parity("tile_choropleth_classes", con)
