@@ -149,6 +149,8 @@ _WINDOW_R4 = [
 # (keep these immediately after the window so the next rotation is a
 # simple list swap).
 _BACKLOG = [
+    "user_burst_peak",
+    "documents_ipc_roundtrip",
     "docs_with_all_tokens",
     "tile_choropleth_classes",
     "session_stats",
@@ -404,6 +406,8 @@ def oracle_sql() -> dict[str, str]:
         "geocode_orders_units": oracle.geocode_orders_units_sql(),
         "geocode_orders_highways": oracle.geocode_orders_highways_sql(),
         "q4_order_priority": oracle.q4_order_priority_sql(),
+        "user_burst_peak": oracle.user_burst_peak_sql(),
+        "documents_ipc_roundtrip": oracle.documents_ipc_roundtrip_sql(),
         "docs_with_all_tokens": oracle.docs_with_all_tokens_sql(),
         "tile_choropleth_classes": oracle.tile_choropleth_classes_sql(),
         "session_stats": oracle.session_stats_sql(),

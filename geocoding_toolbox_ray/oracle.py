@@ -4336,3 +4336,34 @@ SELECT tc.tile_x, tc.tile_y, tc.n,
        CAST(1 + (SELECT COUNT(*) FROM bounds b WHERE b.ub < tc.n) AS BIGINT) AS cls
 FROM tc
 """
+
+
+def user_burst_peak_sql() -> str:
+    """Max 5-minute anchored-window event count per user (self-join count
+    per anchor, MAX per user) — the engine's two-pointer sweep, paid
+    quadratically."""
+    from .queries import BURST_WINDOW_US
+
+    return f"""
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t FROM events),
+c AS (
+    SELECT a.user_id, a.event_id, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM e a JOIN e b
+      ON a.user_id = b.user_id AND b.t >= a.t AND b.t < a.t + {BURST_WINDOW_US}
+    GROUP BY 1, 2
+)
+SELECT user_id, CAST(MAX(cnt) AS BIGINT) AS peak_5min FROM c GROUP BY 1
+"""
+
+
+def documents_ipc_roundtrip_sql() -> str:
+    """Roundtrip identity: the same order-independent checksum over the
+    ORIGINAL documents table."""
+    from .queries import CHECKSUM_K, CHECKSUM_M
+
+    return f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(((doc_id % {CHECKSUM_M}) * {CHECKSUM_K}
+                 + length(text) % {CHECKSUM_M}) % {CHECKSUM_M}) AS BIGINT) AS checksum
+FROM documents
+"""

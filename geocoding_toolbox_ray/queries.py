@@ -10312,3 +10312,111 @@ def tile_choropleth_classes(sf_dir: str) -> pd.DataFrame:
         }
     )
     return out.sort_values(["tile_x", "tile_y"]).reset_index(drop=True)
+
+
+BURST_WINDOW_US = 300 * 1_000_000  # 5-minute sliding window
+
+
+def user_burst_peak(sf_dir: str):
+    """Peak activity rate: each user's maximum event count inside ANY
+    5-minute sliding window anchored at an event.  One user-bucket
+    shuffle; inside the bucket a single searchsorted over per-user-lifted
+    timestamps implements the two-pointer sweep for EVERY user at once
+    (the lift offset exceeds the window, so windows never cross users)."""
+    ev = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def _partial(t: pa.Table) -> pd.DataFrame:
+        uid = np.asarray(t["user_id"].to_numpy(zero_copy_only=False), np.int64)
+        return pd.DataFrame(
+            {
+                "user_id": uid,
+                "ts_us": t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64),
+                "bucket": (uid * 2654435761 % 2**32) % SESSION_BUCKETS,
+            }
+        )
+
+    def _peak(g: pd.DataFrame) -> pd.DataFrame:
+        df = g.sort_values(["user_id", "ts_us"], kind="mergesort")
+        uid = df["user_id"].to_numpy(np.int64)
+        ts = df["ts_us"].to_numpy(np.int64)
+        codes = np.unique(uid, return_inverse=True)[1]
+        rel = ts - ts.min()
+        span = int(rel.max()) + BURST_WINDOW_US + 1
+        lifted = codes * span + rel
+        j = np.searchsorted(lifted, lifted + BURST_WINDOW_US)
+        burst = j - np.arange(len(lifted))
+        out = pd.DataFrame({"user_id": uid, "b": burst})
+        m = out.groupby("user_id", sort=False)["b"].max()
+        return pd.DataFrame(
+            {"user_id": m.index.to_numpy(np.int64), "peak_5min": m.to_numpy(np.int64)}
+        )
+
+    return (
+        ev.map_batches(_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_peak, batch_format="pandas")
+    )
+
+
+def documents_ipc_roundtrip(sf_dir: str) -> pd.DataFrame:
+    """Custom binary source plumbing: documents -> per-block Arrow IPC
+    stream files under /tmp -> read back via read_binary_files + the IPC
+    reader inside map_batches (the pattern for any container format Ray
+    lacks a native reader for) -> order-independent content checksum.
+    The oracle computes the same checksum on the original table — a
+    lossless-roundtrip proof."""
+    import os
+    import tempfile
+
+    import ray.data as rd
+
+    docs = _docs(sf_dir, columns=("doc_id", "text"))
+    out_dir = tempfile.mkdtemp(prefix="graft_ipc_", dir="/tmp")
+
+    def _write(t: pa.Table) -> pa.Table:
+        import uuid
+
+        path = os.path.join(out_dir, f"{uuid.uuid4().hex}.arrows")
+        with open(path, "wb") as f:
+            with pa.ipc.new_stream(f, t.schema) as w:
+                w.write_table(t)
+        return pa.table({"path": pa.array([path])})
+
+    docs.map_batches(_write, batch_format="pyarrow").materialize()
+
+    files = rd.read_binary_files(os.path.join(out_dir, ""))
+
+    def _read_ipc(t: pa.Table) -> pa.Table:
+        parts = []
+        for buf in t["bytes"].to_pylist():
+            with pa.ipc.open_stream(pa.BufferReader(buf)) as r:
+                parts.append(r.read_all())
+        return pa.concat_tables(parts) if parts else pa.table({"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())})
+
+    back = files.map_batches(_read_ipc, batch_format="pyarrow")
+
+    def _partial(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"].to_numpy(zero_copy_only=False), np.int64)
+        nch = np.asarray([len(s) for s in t["text"].to_pylist()], np.int64)
+        chk = ((ids % CHECKSUM_M) * CHECKSUM_K + nch % CHECKSUM_M) % CHECKSUM_M
+        return pa.table(
+            {
+                "part_n": pa.array([len(ids)], pa.int64()),
+                "part_chk": pa.array([int(chk.sum())], pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = back.map_batches(_partial, batch_format="pyarrow").aggregate(
+        Sum("part_n", alias_name="n_rows"), Sum("part_chk", alias_name="checksum")
+    )
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)  # scratch store fully consumed
+    return pd.DataFrame(
+        {
+            "n_rows": np.asarray([int(agg["n_rows"])], np.int64),
+            "checksum": np.asarray([int(agg["checksum"])], np.int64),
+        }
+    )

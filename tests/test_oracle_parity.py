@@ -1046,3 +1046,13 @@ def test_docs_with_all_tokens_parity(ray_session, con):
 def test_tile_choropleth_classes_parity(ray_session, con):
     """Tie-deterministic quantile classing of tile counts."""
     _entry_parity("tile_choropleth_classes", con)
+
+
+def test_user_burst_peak_parity(ray_session, con):
+    """Lifted-timestamp two-pointer sliding-window peak."""
+    _entry_parity("user_burst_peak", con)
+
+
+def test_documents_ipc_roundtrip_parity(ray_session, con):
+    """Arrow IPC shard write + read_binary_files read-back checksum."""
+    _entry_parity("documents_ipc_roundtrip", con)
