@@ -149,6 +149,15 @@ _WINDOW_R4 = [
 # (keep these immediately after the window so the next rotation is a
 # simple list swap).
 _BACKLOG = [
+    "events_ohlc_6h",
+    "parts_discovery_curve",
+    "events_hour_weekday_heatmap",
+    "doc_top_tokens",
+    "segment_nation_contingency",
+    "orders_benford_digits",
+    "customer_revenue_pareto",
+    "tile_quadkey_lineitem",
+    "partkey_f2_moment",
     "user_burst_peak",
     "documents_ipc_roundtrip",
     "docs_with_all_tokens",
@@ -406,6 +415,15 @@ def oracle_sql() -> dict[str, str]:
         "geocode_orders_units": oracle.geocode_orders_units_sql(),
         "geocode_orders_highways": oracle.geocode_orders_highways_sql(),
         "q4_order_priority": oracle.q4_order_priority_sql(),
+        "events_ohlc_6h": oracle.events_ohlc_6h_sql(),
+        "parts_discovery_curve": oracle.parts_discovery_curve_sql(),
+        "events_hour_weekday_heatmap": oracle.events_hour_weekday_heatmap_sql(),
+        "doc_top_tokens": oracle.doc_top_tokens_sql(),
+        "segment_nation_contingency": oracle.segment_nation_contingency_sql(),
+        "orders_benford_digits": oracle.orders_benford_digits_sql(),
+        "customer_revenue_pareto": oracle.customer_revenue_pareto_sql(),
+        "tile_quadkey_lineitem": oracle.tile_quadkey_lineitem_sql(),
+        "partkey_f2_moment": oracle.partkey_f2_moment_sql(),
         "user_burst_peak": oracle.user_burst_peak_sql(),
         "documents_ipc_roundtrip": oracle.documents_ipc_roundtrip_sql(),
         "docs_with_all_tokens": oracle.docs_with_all_tokens_sql(),

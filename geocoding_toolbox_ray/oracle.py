@@ -4367,3 +4367,170 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
                  + length(text) % {CHECKSUM_M}) % {CHECKSUM_M}) AS BIGINT) AS checksum
 FROM documents
 """
+
+
+def tile_quadkey_lineitem_sql() -> str:
+    """Quadkey strings: per-bit digit concatenation from the same
+    DEFAULT_ZOOM constant and tile expressions as the engine."""
+    from .functions.tiles import DEFAULT_ZOOM, tile_assign_sql
+
+    tx, ty = tile_assign_sql("qx", "qy")
+    digits = " || ".join(
+        f"CAST(((tx // {1 << b}) % 2) + 2 * ((ty // {1 << b}) % 2) AS VARCHAR)"
+        for b in range(DEFAULT_ZOOM - 1, -1, -1)
+    )
+    return (
+        "WITH qpts AS (" + _uniform_points_select() + "), "
+        f"t AS (SELECT query_id, {tx} AS tx, {ty} AS ty FROM qpts) "
+        f"SELECT query_id, {digits} AS quadkey FROM t"
+    )
+
+
+def partkey_f2_moment_sql() -> str:
+    """F0/F1/F2 of the partkey stream; F2 == exact self-join size."""
+    return """
+WITH c AS (
+    SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n FROM lineitem GROUP BY 1
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(n) AS BIGINT) AS n_rows,
+       CAST(SUM(n * n) AS BIGINT) AS selfjoin_pairs
+FROM c
+"""
+
+
+def orders_benford_digits_sql() -> str:
+    """Leading decimal digit via substr of the integer string — exact."""
+    return """
+SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR), 1, 1)
+            AS BIGINT) AS digit,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders GROUP BY 1 ORDER BY 1
+"""
+
+
+def customer_revenue_pareto_sql() -> str:
+    """Smallest prefix of (revenue DESC, custkey ASC)-ordered customers
+    reaching >= 80% of total revenue, cross-multiplied."""
+    from .queries import PARETO_DEN, PARETO_NUM
+
+    return f"""
+WITH r AS (
+    SELECT o_custkey,
+           CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+    FROM orders GROUP BY 1
+), o AS (
+    SELECT cents,
+           SUM(cents) OVER (ORDER BY cents DESC, o_custkey ASC
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+           ROW_NUMBER() OVER (ORDER BY cents DESC, o_custkey ASC) AS rn,
+           SUM(cents) OVER () AS total,
+           COUNT(*) OVER () AS n
+    FROM r
+), hit AS (
+    SELECT MIN(rn) AS k FROM o WHERE cum * {PARETO_DEN} >= total * {PARETO_NUM}
+)
+SELECT CAST((SELECT k FROM hit) AS BIGINT) AS n_customers_80,
+       CAST((SELECT MAX(n) FROM o) AS BIGINT) AS n_customers,
+       CAST((SELECT MAX(total) FROM o) AS BIGINT) AS total_cents,
+       CAST((SELECT cum FROM o, hit WHERE o.rn = hit.k) AS BIGINT) AS top_cents
+"""
+
+
+def doc_top_tokens_sql() -> str:
+    """Per-doc top-k tokens (count DESC, token ASC) comma-joined."""
+    from .functions.text import WS_SPLIT_PATTERN
+    from .queries import DOC_TOP_K
+
+    return f"""
+WITH toks AS (
+    SELECT doc_id,
+           unnest(list_filter(regexp_split_to_array(lower(text), '{WS_SPLIT_PATTERN}'),
+                              x -> x <> '')) AS t
+    FROM documents
+), c AS (
+    SELECT doc_id, t, COUNT(*) AS n FROM toks GROUP BY 1, 2
+), r AS (
+    SELECT doc_id, t,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY n DESC, t ASC) AS rn
+    FROM c
+), agg AS (
+    SELECT doc_id, string_agg(t, ',' ORDER BY rn) AS top_tokens
+    FROM r WHERE rn <= {DOC_TOP_K} GROUP BY 1
+)
+SELECT d.doc_id, COALESCE(agg.top_tokens, '') AS top_tokens
+FROM documents d LEFT JOIN agg USING (doc_id)
+"""
+
+
+def segment_nation_contingency_sql() -> str:
+    """Contingency cells with row/column/grand totals (exact chi-square
+    components)."""
+    return """
+WITH cells AS (
+    SELECT c_mktsegment, CAST(c_nationkey AS BIGINT) AS n_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_cell
+    FROM customer GROUP BY 1, 2
+)
+SELECT c_mktsegment, n_nationkey, n_cell,
+       CAST(SUM(n_cell) OVER (PARTITION BY c_mktsegment) AS BIGINT) AS n_segment,
+       CAST(SUM(n_cell) OVER (PARTITION BY n_nationkey) AS BIGINT) AS n_nation,
+       CAST(SUM(n_cell) OVER () AS BIGINT) AS n_total
+FROM cells ORDER BY 1, 2
+"""
+
+
+def parts_discovery_curve_sql() -> str:
+    """First-seen week per part -> dense weekly new/cumulative counts."""
+    return """
+WITH f AS (
+    SELECT l_partkey, MIN(epoch_us(l_shipdate) // 604800000000) AS w
+    FROM lineitem GROUP BY 1
+), per AS (
+    SELECT w, CAST(COUNT(*) AS BIGINT) AS new_parts FROM f GROUP BY 1
+), weeks AS (
+    SELECT UNNEST(generate_series((SELECT MIN(w) FROM per), (SELECT MAX(w) FROM per))) AS week
+)
+SELECT CAST(weeks.week AS BIGINT) AS week,
+       CAST(COALESCE(per.new_parts, 0) AS BIGINT) AS new_parts,
+       CAST(SUM(COALESCE(per.new_parts, 0)) OVER (ORDER BY weeks.week
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_parts
+FROM weeks LEFT JOIN per ON per.w = weeks.week
+ORDER BY 1
+"""
+
+
+def events_hour_weekday_heatmap_sql() -> str:
+    """(weekday, hour) heatmap from raw epoch integer arithmetic."""
+    return """
+SELECT CAST((epoch_us(ts) // 86400000000 + 4) % 7 AS BIGINT) AS dow,
+       CAST((epoch_us(ts) // 3600000000) % 24 AS BIGINT) AS hour,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def events_ohlc_6h_sql() -> str:
+    """OHLC per 6-hour bin; open/close via ROW_NUMBER over the total
+    (ts, event_id) order."""
+    from .queries import OHLC_BIN_US
+
+    return f"""
+WITH e AS (
+    SELECT epoch_us(ts) // {OHLC_BIN_US} AS bin, epoch_us(ts) AS t, event_id,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+    FROM events
+), r AS (
+    SELECT *,
+           ROW_NUMBER() OVER (PARTITION BY bin ORDER BY t, event_id) AS rf,
+           ROW_NUMBER() OVER (PARTITION BY bin ORDER BY t DESC, event_id DESC) AS rl
+    FROM e
+)
+SELECT CAST(bin AS BIGINT) AS bin,
+       CAST(MAX(CASE WHEN rf = 1 THEN v END) AS BIGINT) AS open_cents,
+       CAST(MAX(v) AS BIGINT) AS high_cents,
+       CAST(MIN(v) AS BIGINT) AS low_cents,
+       CAST(MAX(CASE WHEN rl = 1 THEN v END) AS BIGINT) AS close_cents,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM r GROUP BY 1 ORDER BY 1
+"""

@@ -10420,3 +10420,361 @@ def documents_ipc_roundtrip(sf_dir: str) -> pd.DataFrame:
             "checksum": np.asarray([int(agg["checksum"])], np.int64),
         }
     )
+
+
+def tile_quadkey_lineitem(sf_dir: str):
+    """Bing-style quadkey strings (zoom-length base-4, digit =
+    bit(tx) + 2*bit(ty), most-significant first) for every uniform
+    lattice point — the string-keyed member of the cell-code family
+    (square cells / geohash / ZXY / Morton).  Digits are vectorized
+    np.char concatenation over the shared DEFAULT_ZOOM bit loop; the
+    oracle concatenates the SAME per-bit expressions."""
+    from .functions.tiles import DEFAULT_ZOOM, tile_assign
+    from .pipelines.spatial import derive_uniform_points
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_partkey"])
+
+    def _f(t: pa.Table) -> pa.Table:
+        pts = derive_uniform_points(t)
+        qx = np.asarray(pts["qx"].to_numpy(zero_copy_only=False), np.float64)
+        qy = np.asarray(pts["qy"].to_numpy(zero_copy_only=False), np.float64)
+        tx, ty = tile_assign(qx, qy)
+        qk = np.full(len(tx), "", dtype=f"U{DEFAULT_ZOOM}")
+        for b in range(DEFAULT_ZOOM - 1, -1, -1):
+            digit = ((tx >> b) & 1) + 2 * ((ty >> b) & 1)
+            qk = np.char.add(qk, digit.astype("U1"))
+        return pa.table(
+            {
+                "query_id": pts["query_id"],
+                "quadkey": pa.array(qk.astype(object), pa.string()),
+            }
+        )
+
+    return li.map_batches(_f, batch_format="pyarrow")
+
+
+def partkey_f2_moment(sf_dir: str) -> pd.DataFrame:
+    """Frequency-moment statistics of the l_partkey stream — the numbers
+    a distributed planner keeps: F0 (distinct keys), F1 (rows), and F2
+    (sum of squared frequencies == the EXACT self-join size on the key).
+    Per-batch partial counts + one coarse-bucket reduce; the F2 partial
+    squares only fully-reduced per-key counts (cnt^2 is not mergeable
+    across partials)."""
+    from ray.data.aggregate import Sum
+
+    li = _read(sf_dir, "lineitem", columns=["l_partkey"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        pk = np.asarray(t["l_partkey"].to_numpy(zero_copy_only=False), np.int64)
+        u, c = np.unique(pk, return_counts=True)
+        return pa.table(
+            {
+                "bucket": pa.array(((u * 2654435761) % 4294967296) % SESSION_BUCKETS),
+                "k": pa.array(u),
+                "part_n": pa.array(c.astype(np.int64)),
+            }
+        )
+
+    def _reduce(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("k", sort=False)["part_n"].sum()
+        cnt = s.to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "part_keys": np.asarray([len(cnt)], np.int64),
+                "part_rows": np.asarray([int(cnt.sum())], np.int64),
+                "part_f2": np.asarray([int((cnt * cnt).sum())], np.int64),
+            }
+        )
+
+    agg = (
+        li.map_batches(_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_reduce, batch_format="pandas")
+        .aggregate(
+            Sum("part_keys", alias_name="n_keys"),
+            Sum("part_rows", alias_name="n_rows"),
+            Sum("part_f2", alias_name="selfjoin_pairs"),
+        )
+    )
+    return pd.DataFrame(
+        {
+            "n_keys": np.asarray([int(agg["n_keys"])], np.int64),
+            "n_rows": np.asarray([int(agg["n_rows"])], np.int64),
+            "selfjoin_pairs": np.asarray([int(agg["selfjoin_pairs"])], np.int64),
+        }
+    )
+
+
+def orders_benford_digits(sf_dir: str) -> pd.DataFrame:
+    """Benford first-digit audit of price cents (the data-quality /
+    fraud-screening staple): count per leading digit 1..9, exact via
+    decimal-string truncation (no float log10 — exact at every power of
+    ten).  Per-batch bincount partials; 9-group reduce."""
+    from ray.data.aggregate import Sum
+
+    orders = _read(sf_dir, "orders", columns=["o_totalprice"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        c = np.floor(
+            np.asarray(t["o_totalprice"].to_numpy(zero_copy_only=False), np.float64) * 100.0 + 0.5
+        ).astype(np.int64)
+        first = np.char.ljust(c.astype("U20"), 1)  # first decimal digit
+        digit = first.astype(np.int64)
+        u, n = np.unique(digit, return_counts=True)
+        return pa.table({"digit": pa.array(u), "part_n": pa.array(n.astype(np.int64))})
+
+    out = (
+        orders.map_batches(_partial, batch_format="pyarrow")
+        .groupby("digit")
+        .aggregate(Sum("part_n", alias_name="n"))
+        .to_pandas()
+        .sort_values("digit")
+        .reset_index(drop=True)
+    )
+    return out.astype({"digit": np.int64, "n": np.int64})
+
+
+PARETO_NUM, PARETO_DEN = 4, 5  # 80% revenue coverage
+
+
+def customer_revenue_pareto(sf_dir: str) -> pd.DataFrame:
+    """Pareto concentration: the smallest number of customers (taken in
+    exact (revenue DESC, custkey ASC) order) whose revenue reaches 80%
+    of the total, compared cross-multiplied (cum*5 >= total*4 — no
+    division).  Per-customer revenue via per-batch partials + a
+    customer-bounded groupby; only the (dimension-sized) revenue table
+    reaches the driver."""
+    from ray.data.aggregate import Sum
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        ck = np.asarray(t["o_custkey"].to_numpy(zero_copy_only=False), np.int64)
+        c = np.floor(
+            np.asarray(t["o_totalprice"].to_numpy(zero_copy_only=False), np.float64) * 100.0 + 0.5
+        ).astype(np.int64)
+        u, inv = np.unique(ck, return_inverse=True)
+        return pa.table(
+            {
+                "o_custkey": pa.array(u),
+                "part_cents": pa.array(np.bincount(inv, weights=c.astype(np.float64)).astype(np.int64)),
+            }
+        )
+
+    rev = (
+        orders.map_batches(_partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("part_cents", alias_name="cents"))
+        .to_pandas()
+    )
+    cents = rev["cents"].to_numpy(np.int64)
+    ck = rev["o_custkey"].to_numpy(np.int64)
+    order = np.lexsort((ck, -cents))  # revenue DESC, custkey ASC
+    cum = np.cumsum(cents[order])
+    total = int(cum[-1]) if len(cum) else 0
+    k = int(np.searchsorted(cum * PARETO_DEN, total * PARETO_NUM, side="left")) + 1 if total else 0
+    return pd.DataFrame(
+        {
+            "n_customers_80": np.asarray([k], np.int64),
+            "n_customers": np.asarray([len(cents)], np.int64),
+            "total_cents": np.asarray([total], np.int64),
+            "top_cents": np.asarray([int(cum[k - 1]) if k else 0], np.int64),
+        }
+    )
+
+
+DOC_TOP_K = 3
+
+
+def doc_top_tokens(sf_dir: str):
+    """Grouped top-k where the group IS the row: each document's
+    ``DOC_TOP_K`` most frequent tokens (count DESC, token ASC), joined
+    comma-separated.  Entirely per-batch — a doc's text never leaves its
+    block, so the op runs with ZERO shuffles at any corpus size."""
+    from .functions.text import ws_tokens
+
+    def _f(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(np.int64)
+        tops = []
+        for txt in df["text"]:
+            toks = ws_tokens(txt.lower())
+            if not toks:
+                tops.append("")
+                continue
+            vals, counts = np.unique(np.asarray(toks, object), return_counts=True)
+            order = np.lexsort((vals, -counts))[:DOC_TOP_K]
+            tops.append(",".join(vals[order]))
+        return pd.DataFrame({"doc_id": ids, "top_tokens": np.asarray(tops, object)})
+
+    return _docs(sf_dir).map_batches(_f, batch_format="pandas")
+
+
+def segment_nation_contingency(sf_dir: str):
+    """Categorical-association contingency components over customer
+    (mktsegment x nation): per-cell count plus its row, column and grand
+    totals — the exact integer ingredients of chi-square / lift, no
+    division.  Cell partials reduce on the bounded (segment, nation)
+    alphabet; margins broadcast back from the driver-held (tiny) cell
+    table."""
+    from ray.data.aggregate import Sum
+
+    cust = _read(sf_dir, "customer", columns=["c_mktsegment", "c_nationkey"])
+
+    def _partial(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "c_mktsegment": t["c_mktsegment"].to_pandas().to_numpy(object),
+                "n_nationkey": np.asarray(t["c_nationkey"].to_numpy(zero_copy_only=False), np.int64),
+            }
+        )
+        agg = df.groupby(["c_mktsegment", "n_nationkey"], sort=False).size().reset_index(name="part_n")
+        agg["part_n"] = agg["part_n"].astype(np.int64)
+        return agg
+
+    cells = (
+        cust.map_batches(_partial, batch_format="pyarrow")
+        .groupby(["c_mktsegment", "n_nationkey"])
+        .aggregate(Sum("part_n", alias_name="n_cell"))
+        .to_pandas()
+    )
+    cells["n_cell"] = cells["n_cell"].astype(np.int64)
+    cells["n_nationkey"] = cells["n_nationkey"].astype(np.int64)
+    row_tot = cells.groupby("c_mktsegment")["n_cell"].transform("sum").astype(np.int64)
+    col_tot = cells.groupby("n_nationkey")["n_cell"].transform("sum").astype(np.int64)
+    cells["n_segment"] = row_tot
+    cells["n_nation"] = col_tot
+    cells["n_total"] = np.int64(cells["n_cell"].sum())
+    return cells.sort_values(["c_mktsegment", "n_nationkey"]).reset_index(drop=True)
+
+
+def parts_discovery_curve(sf_dir: str) -> pd.DataFrame:
+    """Vocabulary-growth (Heaps-law) curve over the catalog: parts FIRST
+    shipped in each epoch week, plus the running cumulative — exact
+    'running distinct' without any global state: distinct-ness reduces
+    to MIN(week) per part (a bounded-key reduce), and the cumsum runs on
+    the dense driver-held week axis."""
+    from ray.data.aggregate import Min
+
+    li = _read(sf_dir, "lineitem", columns=["l_partkey", "l_shipdate"])
+
+    def _partial(t: pa.Table) -> pd.DataFrame:
+        pk = np.asarray(t["l_partkey"].to_numpy(zero_copy_only=False), np.int64)
+        week = (
+            t["l_shipdate"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+            // (7 * 86_400_000_000)
+        )
+        df = pd.DataFrame({"l_partkey": pk, "w": week})
+        m = df.groupby("l_partkey", sort=False)["w"].min().reset_index(name="part_w")
+        return m
+
+    first = (
+        li.map_batches(_partial, batch_format="pyarrow")
+        .groupby("l_partkey")
+        .aggregate(Min("part_w", alias_name="w"))
+        .to_pandas()
+    )
+    w = first["w"].to_numpy(np.int64)
+    u, c = np.unique(w, return_counts=True)
+    lo, hi = int(u.min()), int(u.max())
+    dense_new = np.zeros(hi - lo + 1, np.int64)
+    dense_new[u - lo] = c
+    return pd.DataFrame(
+        {
+            "week": np.arange(lo, hi + 1, dtype=np.int64),
+            "new_parts": dense_new,
+            "cum_parts": np.cumsum(dense_new),
+        }
+    )
+
+
+def events_hour_weekday_heatmap(sf_dir: str) -> pd.DataFrame:
+    """Seasonality heatmap: event counts per (weekday, hour-of-day) cell,
+    both computed from raw epoch arithmetic ((day+4)%7 — 1970-01-01 was
+    a Thursday — and (us // 3600e6) % 24) so engine and SQL share the
+    identical integer expressions, no calendar-function semantics."""
+    from ray.data.aggregate import Sum
+
+    ev = _read(sf_dir, "events", columns=["ts"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        us = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        day = us // 86_400_000_000
+        dow = (day + 4) % 7  # 0 = Monday
+        hour = (us // 3_600_000_000) % 24
+        key = dow * 24 + hour
+        u, c = np.unique(key, return_counts=True)
+        return pa.table({"k": pa.array(u), "part_n": pa.array(c.astype(np.int64))})
+
+    agg = (
+        ev.map_batches(_partial, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(Sum("part_n", alias_name="n"))
+        .to_pandas()
+    )
+    k = agg["k"].to_numpy(np.int64)
+    out = pd.DataFrame({"dow": k // 24, "hour": k % 24, "n": agg["n"].to_numpy(np.int64)})
+    return out.sort_values(["dow", "hour"]).reset_index(drop=True)
+
+
+OHLC_BIN_US = 6 * 3600 * 1_000_000
+
+
+def events_ohlc_6h(sf_dir: str) -> pd.DataFrame:
+    """Financial-style OHLC bars: per 6-hour bin the open (value at the
+    lexicographically first (ts, event_id)), close (last), high, low and
+    count — open/close are ARGMIN/ARGMAX aggregates, merged exactly
+    because lexicographic (ts, event_id) min/max is associative: each
+    partial carries the candidate triple, the bounded per-bin merge
+    re-picks.  Value cents exact."""
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "value"])
+
+    def _partial(t: pa.Table) -> pd.DataFrame:
+        us = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        eid = np.asarray(t["event_id"].to_numpy(zero_copy_only=False), np.int64)
+        val = np.floor(
+            np.asarray(t["value"].to_numpy(zero_copy_only=False), np.float64) * 100.0 + 0.5
+        ).astype(np.int64)
+        df = pd.DataFrame({"bin": us // OHLC_BIN_US, "ts_us": us, "event_id": eid, "v": val})
+        df = df.sort_values(["bin", "ts_us", "event_id"], kind="mergesort")
+        g = df.groupby("bin", sort=False)
+        first = g.head(1).set_index("bin")
+        last = g.tail(1).set_index("bin")
+        agg = g.agg(hi=("v", "max"), lo=("v", "min"), n=("v", "size"))
+        out = pd.DataFrame(
+            {
+                "bin": agg.index.to_numpy(np.int64),
+                "o_ts": first["ts_us"].to_numpy(np.int64),
+                "o_id": first["event_id"].to_numpy(np.int64),
+                "o_v": first["v"].to_numpy(np.int64),
+                "c_ts": last["ts_us"].to_numpy(np.int64),
+                "c_id": last["event_id"].to_numpy(np.int64),
+                "c_v": last["v"].to_numpy(np.int64),
+                "hi": agg["hi"].to_numpy(np.int64),
+                "lo": agg["lo"].to_numpy(np.int64),
+                "part_n": agg["n"].to_numpy(np.int64),
+            }
+        )
+        return out
+
+    def _merge(g: pd.DataFrame) -> pd.DataFrame:
+        b = int(g["bin"].iloc[0])
+        fo = g.sort_values(["o_ts", "o_id"], kind="mergesort").iloc[0]
+        fc = g.sort_values(["c_ts", "c_id"], kind="mergesort").iloc[-1]
+        return pd.DataFrame(
+            {
+                "bin": np.asarray([b], np.int64),
+                "open_cents": np.asarray([fo["o_v"]], np.int64),
+                "high_cents": np.asarray([g["hi"].max()], np.int64),
+                "low_cents": np.asarray([g["lo"].min()], np.int64),
+                "close_cents": np.asarray([fc["c_v"]], np.int64),
+                "n": np.asarray([g["part_n"].sum()], np.int64),
+            }
+        )
+
+    out = (
+        ev.map_batches(_partial, batch_format="pyarrow")
+        .groupby("bin")
+        .map_groups(_merge, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("bin").reset_index(drop=True)

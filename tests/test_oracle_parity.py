@@ -1056,3 +1056,48 @@ def test_user_burst_peak_parity(ray_session, con):
 def test_documents_ipc_roundtrip_parity(ray_session, con):
     """Arrow IPC shard write + read_binary_files read-back checksum."""
     _entry_parity("documents_ipc_roundtrip", con)
+
+
+def test_tile_quadkey_lineitem_parity(ray_session, con):
+    """Base-4 quadkey strings from shared per-bit expressions."""
+    _entry_parity("tile_quadkey_lineitem", con)
+
+
+def test_partkey_f2_moment_parity(ray_session, con):
+    """Exact F0/F1/F2 frequency moments (self-join size)."""
+    _entry_parity("partkey_f2_moment", con)
+
+
+def test_orders_benford_digits_parity(ray_session, con):
+    """Exact leading-digit distribution (string truncation, no log10)."""
+    _entry_parity("orders_benford_digits", con)
+
+
+def test_customer_revenue_pareto_parity(ray_session, con):
+    """Cross-multiplied 80% Pareto coverage prefix."""
+    _entry_parity("customer_revenue_pareto", con)
+
+
+def test_doc_top_tokens_parity(ray_session, con):
+    """Per-doc top-k tokens, zero-shuffle."""
+    _entry_parity("doc_top_tokens", con)
+
+
+def test_segment_nation_contingency_parity(ray_session, con):
+    """Contingency cells + margins (chi-square components)."""
+    _entry_parity("segment_nation_contingency", con)
+
+
+def test_parts_discovery_curve_parity(ray_session, con):
+    """Heaps-law discovery curve (running distinct via MIN-week)."""
+    _entry_parity("parts_discovery_curve", con)
+
+
+def test_events_hour_weekday_heatmap_parity(ray_session, con):
+    """Epoch-arithmetic (dow, hour) seasonality heatmap."""
+    _entry_parity("events_hour_weekday_heatmap", con)
+
+
+def test_events_ohlc_6h_parity(ray_session, con):
+    """Associative argmin/argmax OHLC bars."""
+    _entry_parity("events_ohlc_6h", con)
