@@ -149,6 +149,10 @@ _WINDOW_R4 = [
 # (keep these immediately after the window so the next rotation is a
 # simple list swap).
 _BACKLOG = [
+    "nation_revenue_hhi",
+    "road_segment_load",
+    "supplier_portfolio_jaccard",
+    "orders_price_drift_deciles",
     "events_ohlc_6h",
     "parts_discovery_curve",
     "events_hour_weekday_heatmap",
@@ -415,6 +419,10 @@ def oracle_sql() -> dict[str, str]:
         "geocode_orders_units": oracle.geocode_orders_units_sql(),
         "geocode_orders_highways": oracle.geocode_orders_highways_sql(),
         "q4_order_priority": oracle.q4_order_priority_sql(),
+        "nation_revenue_hhi": oracle.nation_revenue_hhi_sql(),
+        "road_segment_load": oracle.road_segment_load_sql(),
+        "supplier_portfolio_jaccard": oracle.supplier_portfolio_jaccard_sql(),
+        "orders_price_drift_deciles": oracle.orders_price_drift_deciles_sql(),
         "events_ohlc_6h": oracle.events_ohlc_6h_sql(),
         "parts_discovery_curve": oracle.parts_discovery_curve_sql(),
         "events_hour_weekday_heatmap": oracle.events_hour_weekday_heatmap_sql(),

@@ -4534,3 +4534,82 @@ SELECT CAST(bin AS BIGINT) AS bin,
        CAST(COUNT(*) AS BIGINT) AS n
 FROM r GROUP BY 1 ORDER BY 1
 """
+
+
+def supplier_portfolio_jaccard_sql() -> str:
+    """Exact portfolio Jaccard per supplier pair sharing >= 1 part."""
+    return """
+WITH inc AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+sz AS (SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS sz FROM inc GROUP BY 1),
+p AS (
+    SELECT a.l_suppkey AS sa, b.l_suppkey AS sb, CAST(COUNT(*) AS BIGINT) AS inter
+    FROM inc a JOIN inc b ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+    GROUP BY 1, 2
+)
+SELECT p.sa, p.sb, p.inter,
+       CAST(za.sz + zb.sz - p.inter AS BIGINT) AS n_union,
+       CAST(p.inter * 1000 // (za.sz + zb.sz - p.inter) AS BIGINT) AS jac_permille
+FROM p JOIN sz za ON za.l_suppkey = p.sa
+       JOIN sz zb ON zb.l_suppkey = p.sb
+ORDER BY 1, 2
+"""
+
+
+def orders_price_drift_deciles_sql() -> str:
+    """Early/late decile boundaries + signed shift; identical rank rule."""
+    from .queries import DRIFT_DECILES
+
+    ks = ", ".join(f"({i})" for i in range(1, DRIFT_DECILES + 1))
+    half = """
+    SELECT c, ROW_NUMBER() OVER (ORDER BY c) AS rn, COUNT(*) OVER () AS tot
+    FROM (SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+          FROM orders WHERE o_orderdate {op} TIMESTAMP '1998-01-01')
+"""
+    return f"""
+WITH ks(i) AS (VALUES {ks}),
+e AS ({half.format(op='<')}),
+l AS ({half.format(op='>=')}),
+be AS (
+    SELECT ks.i, e.c FROM ks JOIN e
+      ON e.rn = (e.tot // {DRIFT_DECILES}) * ks.i + LEAST(ks.i, e.tot % {DRIFT_DECILES})
+),
+bl AS (
+    SELECT ks.i, l.c FROM ks JOIN l
+      ON l.rn = (l.tot // {DRIFT_DECILES}) * ks.i + LEAST(ks.i, l.tot % {DRIFT_DECILES})
+)
+SELECT CAST(be.i AS BIGINT) AS decile,
+       be.c AS bound_early, bl.c AS bound_late,
+       CAST(bl.c - be.c AS BIGINT) AS shift_cents
+FROM be JOIN bl USING (i) ORDER BY 1
+"""
+
+
+def road_segment_load_sql() -> str:
+    """Per-segment snapped-point load over the map-matching output."""
+    return f"""
+WITH snapped AS ({snap_points_to_roads_sql()})
+SELECT seg_id,
+       CAST(COUNT(*) AS BIGINT) AS n_points,
+       CAST(SUM(d2_num) AS BIGINT) AS sum_d2_num,
+       CAST(MIN(len2) AS BIGINT) AS len2
+FROM snapped GROUP BY 1 ORDER BY 1
+"""
+
+
+def nation_revenue_hhi_sql() -> str:
+    """HHI via HUGEINT arithmetic (SUM of BIGINT products), floor-exact."""
+    return """
+WITH r AS (
+    SELECT o_custkey,
+           CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+    FROM orders GROUP BY 1
+), n AS (
+    SELECT CAST(c.c_nationkey AS BIGINT) AS n_nationkey, r.cents
+    FROM r JOIN customer c ON c.c_custkey = r.o_custkey
+)
+SELECT n_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(cents) AS BIGINT) AS total_cents,
+       CAST(SUM(cents * cents) * 1000000 // (SUM(cents) * SUM(cents)) AS BIGINT) AS hhi_ppm
+FROM n GROUP BY 1 ORDER BY 1
+"""

@@ -10778,3 +10778,295 @@ def events_ohlc_6h(sf_dir: str) -> pd.DataFrame:
         .to_pandas()
     )
     return out.sort_values("bin").reset_index(drop=True)
+
+
+def supplier_portfolio_jaccard(sf_dir: str) -> pd.DataFrame:
+    """Exact set-similarity join between entities: Jaccard of supplier
+    part-portfolios (distinct parts supplied), for every supplier pair
+    sharing at least one part.  Intersections come from per-part
+    supplier pairs (the co-supply bucket pattern keyed by part);
+    portfolio sizes are a supplier-bounded reduce; jac_permille =
+    inter*1000 // union exact."""
+    from ray.data.aggregate import Sum
+
+    li = _read(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+
+    def _inc(t: pa.Table) -> pd.DataFrame:
+        pk = np.asarray(t["l_partkey"].to_numpy(zero_copy_only=False), np.int64)
+        sk = np.asarray(t["l_suppkey"].to_numpy(zero_copy_only=False), np.int64)
+        assert len(sk) == 0 or sk.max() < SUPP_PACK, "widen SUPP_PACK"
+        u = np.unique(pk * SUPP_PACK + sk)
+        pk_u, sk_u = u // SUPP_PACK, u % SUPP_PACK
+        return pd.DataFrame(
+            {
+                "bucket": ((pk_u * 2654435761) % 4294967296) % SESSION_BUCKETS,
+                "pk": pk_u,
+                "sk": sk_u,
+            }
+        )
+
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["pk", "sk"])
+        m = g.merge(g, on="pk")
+        m = m[m["sk_x"] < m["sk_y"]]
+        if m.empty:
+            return pd.DataFrame(
+                {"sa": pd.array([], "int64"), "sb": pd.array([], "int64"),
+                 "part_inter": pd.array([], "int64")}
+            )
+        s = m.groupby(["sk_x", "sk_y"], sort=False).size()
+        idx = s.index.to_frame(index=False)
+        return pd.DataFrame(
+            {
+                "sa": idx["sk_x"].to_numpy(np.int64),
+                "sb": idx["sk_y"].to_numpy(np.int64),
+                "part_inter": s.to_numpy(np.int64),
+            }
+        )
+
+    inc = li.map_batches(_inc, batch_format="pyarrow")
+    inter = (
+        inc.groupby("bucket")
+        .map_groups(_pairs, batch_format="pandas")
+        .map_batches(
+            lambda t: t.append_column(
+                "k",
+                pa.array(
+                    np.asarray(t["sa"].to_numpy(zero_copy_only=False), np.int64) * SUPP_PACK
+                    + np.asarray(t["sb"].to_numpy(zero_copy_only=False), np.int64)
+                ),
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("k")
+        .aggregate(Sum("part_inter", alias_name="inter"))
+        .to_pandas()
+    )
+
+    def _sizes(g: pd.DataFrame) -> pd.DataFrame:
+        # bucket is keyed by pk, so (pk, sk) dedup inside the bucket is
+        # GLOBAL (per-batch dedup alone overcounts cross-batch repeats)
+        u = g[["sk", "pk"]].drop_duplicates()
+        s = u.groupby("sk", sort=False).size().reset_index(name="part_sz")
+        s["part_sz"] = s["part_sz"].astype(np.int64)
+        return s
+
+    sizes = (
+        inc.groupby("bucket")
+        .map_groups(_sizes, batch_format="pandas")
+        .groupby("sk")
+        .aggregate(Sum("part_sz", alias_name="sz"))
+        .to_pandas()
+    )
+    sz = dict(zip(sizes["sk"].astype(np.int64), sizes["sz"].astype(np.int64)))
+    k = inter["k"].to_numpy(np.int64)
+    sa, sb = k // SUPP_PACK, k % SUPP_PACK
+    iv = inter["inter"].to_numpy(np.int64)
+    sza = np.asarray([sz[x] for x in sa], np.int64)
+    szb = np.asarray([sz[x] for x in sb], np.int64)
+    union = sza + szb - iv
+    out = pd.DataFrame(
+        {
+            "sa": sa,
+            "sb": sb,
+            "inter": iv,
+            "n_union": union,
+            "jac_permille": iv * 1000 // union,
+        }
+    )
+    return out.sort_values(["sa", "sb"]).reset_index(drop=True)
+
+
+DRIFT_CUTOFF = np.datetime64("1998-01-01")
+DRIFT_DECILES = 10
+
+
+def orders_price_drift_deciles(sf_dir: str) -> pd.DataFrame:
+    """Distribution-drift monitor (the ML-data health check): exact
+    decile boundaries of price cents for orders BEFORE vs AFTER a cutoff
+    date, with the signed shift per decile — two bounded value
+    histograms, the same (tot//K)*i + LEAST rank rule as equi-depth."""
+    import ray
+
+    from .stages.dedup import _sorted_kv_task
+
+    orders = _read(sf_dir, "orders", columns=["o_totalprice", "o_orderdate"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        c = np.floor(
+            np.asarray(t["o_totalprice"].to_numpy(zero_copy_only=False), np.float64) * 100.0 + 0.5
+        ).astype(np.int64)
+        late = (t["o_orderdate"].to_numpy(zero_copy_only=False) >= DRIFT_CUTOFF).astype(np.int64)
+        key = c * 2 + late
+        ub, inv = np.unique(key, return_inverse=True)
+        return pa.table(
+            {
+                "bucket": pa.array(((ub * 2654435761) % 4294967296) % SESSION_BUCKETS),
+                "k": pa.array(ub),
+                "part_n": pa.array(np.bincount(inv).astype(np.int64)),
+            }
+        )
+
+    def _reduce(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("k", sort=False)["part_n"].sum()
+        return pd.DataFrame({"k": s.index.to_numpy(np.int64), "n": s.to_numpy(np.int64)})
+
+    hist = (
+        orders.map_batches(_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_reduce, batch_format="pandas")
+    )
+    refs = [br for b in hist.iter_internal_ref_bundles() for br in b.block_refs]
+    keys, counts = ray.get(_sorted_kv_task.remote(refs, "k", "n"))
+
+    def _bounds(half: int) -> np.ndarray:
+        m = (keys % 2) == half
+        vals, cnt = keys[m] // 2, counts[m]
+        cum = np.cumsum(cnt)
+        n = int(cum[-1]) if len(cum) else 0
+        base, extra = n // DRIFT_DECILES, n % DRIFT_DECILES
+        i = np.arange(1, DRIFT_DECILES + 1)
+        targets = base * i + np.minimum(i, extra)
+        return (
+            vals[np.searchsorted(cum, targets, side="left")]
+            if n
+            else np.zeros(DRIFT_DECILES, np.int64)
+        )
+
+    early, late = _bounds(0), _bounds(1)
+    return pd.DataFrame(
+        {
+            "decile": np.arange(1, DRIFT_DECILES + 1, dtype=np.int64),
+            "bound_early": early.astype(np.int64),
+            "bound_late": late.astype(np.int64),
+            "shift_cents": (late - early).astype(np.int64),
+        }
+    )
+
+
+def road_segment_load(sf_dir: str) -> pd.DataFrame:
+    """Road-network load profile: per road segment the count of snapped
+    points and the exact rational mean squared distance components
+    (sum_d2_num, len2 — every snapped row of a segment shares its len2,
+    so the mean is sum_d2_num / (n*len2) with no rounding).  Composition
+    over the oracle-checked map-matching snap; segments are a bounded
+    dimension, so the final groupby is safe."""
+    from ray.data.aggregate import Sum
+
+    snapped = snap_points_to_roads(sf_dir)
+
+    def _partial(t) -> pa.Table:
+        if isinstance(t, pd.DataFrame):
+            sid = t["seg_id"].to_numpy(np.int64)
+            num = t["d2_num"].to_numpy(np.int64)
+            l2 = t["len2"].to_numpy(np.int64)
+        else:
+            sid = np.asarray(t["seg_id"].to_numpy(zero_copy_only=False), np.int64)
+            num = np.asarray(t["d2_num"].to_numpy(zero_copy_only=False), np.int64)
+            l2 = np.asarray(t["len2"].to_numpy(zero_copy_only=False), np.int64)
+        u, inv = np.unique(sid, return_inverse=True)
+        first = np.zeros(len(u), np.int64)
+        first[inv] = l2  # all rows of a segment share len2
+        return pa.table(
+            {
+                "seg_id": pa.array(u),
+                "part_n": pa.array(np.bincount(inv).astype(np.int64)),
+                "part_num": pa.array(np.bincount(inv, weights=num.astype(np.float64)).astype(np.int64)),
+                "len2": pa.array(first),
+            }
+        )
+
+    agg = (
+        snapped.map_batches(_partial, batch_format="pandas")
+        .groupby("seg_id")
+        .aggregate(
+            Sum("part_n", alias_name="n_points"),
+            Sum("part_num", alias_name="sum_d2_num"),
+        )
+        .to_pandas()
+    )
+    from .sources.synthetic import _road_segment_rows
+
+    len2_of = {r["seg_id"]: r["len2"] for r in _road_segment_rows()}
+    agg["seg_id"] = agg["seg_id"].astype(np.int64)
+    agg["n_points"] = agg["n_points"].astype(np.int64)
+    agg["sum_d2_num"] = agg["sum_d2_num"].astype(np.int64)
+    agg["len2"] = np.asarray([len2_of[s] for s in agg["seg_id"]], np.int64)
+    return agg.sort_values("seg_id").reset_index(drop=True)
+
+
+def nation_revenue_hhi(sf_dir: str) -> pd.DataFrame:
+    """Market concentration per nation: the Herfindahl-Hirschman index of
+    customer revenue shares as exact hhi_ppm = (sum rev_c^2) * 1e6 //
+    (total^2).  Distributed part: per-customer revenue (one bounded
+    reduce) + per-nation (sum, sum-of-squares, n) partials; the final
+    division runs driver-side in PYTHON INTS (sum_rev2*1e6 exceeds
+    int64; DuckDB's HUGEINT matches arbitrary-precision exactly).
+    rev_c^2 is asserted < 2^63."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    nat_ref = _nat_kv_ref(sf_dir, "customer", "c_custkey", "c_nationkey")
+
+    def _per_cust(t: pa.Table) -> pa.Table:
+        ck = np.asarray(t["o_custkey"].to_numpy(zero_copy_only=False), np.int64)
+        c = np.floor(
+            np.asarray(t["o_totalprice"].to_numpy(zero_copy_only=False), np.float64) * 100.0 + 0.5
+        ).astype(np.int64)
+        u, inv = np.unique(ck, return_inverse=True)
+        return pa.table(
+            {
+                "o_custkey": pa.array(u),
+                "part_cents": pa.array(np.bincount(inv, weights=c.astype(np.float64)).astype(np.int64)),
+            }
+        )
+
+    def _per_nation(t: pa.Table) -> pa.Table:
+        nk, nv = ray.get(nat_ref)
+        ck = np.asarray(t["o_custkey"].to_numpy(zero_copy_only=False), np.int64)
+        rev = np.asarray(t["cents"].to_numpy(zero_copy_only=False), np.int64)
+        assert len(rev) == 0 or rev.max() < np.int64(3_000_000_000), "rev^2 overflow guard"
+        nat = nv[np.searchsorted(nk, ck)]
+        # int64 pandas sums (NOT float bincount weights: rev^2 partials can
+        # exceed 2^53, where float64 accumulation silently rounds)
+        df = pd.DataFrame({"n": nat, "rev": rev, "sq": rev * rev})
+        agg = df.groupby("n", sort=True).agg(
+            part_n=("rev", "size"), part_sum=("rev", "sum"), part_sq=("sq", "sum")
+        )
+        return pa.table(
+            {
+                "n_nationkey": pa.array(agg.index.to_numpy(np.int64)),
+                "part_n": pa.array(agg["part_n"].to_numpy(np.int64)),
+                "part_sum": pa.array(agg["part_sum"].to_numpy(np.int64)),
+                "part_sq": pa.array(agg["part_sq"].to_numpy(np.int64)),
+            }
+        )
+
+    agg = (
+        orders.map_batches(_per_cust, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("part_cents", alias_name="cents"))
+        .map_batches(_per_nation, batch_format="pyarrow")
+        .groupby("n_nationkey")
+        .aggregate(
+            Sum("part_n", alias_name="n_customers"),
+            Sum("part_sum", alias_name="total_cents"),
+            Sum("part_sq", alias_name="sum_sq"),
+        )
+        .to_pandas()
+        .sort_values("n_nationkey")
+        .reset_index(drop=True)
+    )
+    hhi = [
+        int(int(sq) * 1_000_000 // (int(tot) * int(tot))) if tot else 0
+        for sq, tot in zip(agg["sum_sq"], agg["total_cents"])
+    ]
+    return pd.DataFrame(
+        {
+            "n_nationkey": agg["n_nationkey"].astype(np.int64),
+            "n_customers": agg["n_customers"].astype(np.int64),
+            "total_cents": agg["total_cents"].astype(np.int64),
+            "hhi_ppm": np.asarray(hhi, np.int64),
+        }
+    )

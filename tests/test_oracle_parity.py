@@ -1101,3 +1101,23 @@ def test_events_hour_weekday_heatmap_parity(ray_session, con):
 def test_events_ohlc_6h_parity(ray_session, con):
     """Associative argmin/argmax OHLC bars."""
     _entry_parity("events_ohlc_6h", con)
+
+
+def test_supplier_portfolio_jaccard_parity(ray_session, con):
+    """Exact entity set-similarity join."""
+    _entry_parity("supplier_portfolio_jaccard", con)
+
+
+def test_orders_price_drift_deciles_parity(ray_session, con):
+    """Early/late decile drift with shared rank rule."""
+    _entry_parity("orders_price_drift_deciles", con)
+
+
+def test_road_segment_load_parity(ray_session, con):
+    """Per-segment load + exact rational mean-distance components."""
+    _entry_parity("road_segment_load", con)
+
+
+def test_nation_revenue_hhi_parity(ray_session, con):
+    """Exact HHI via HUGEINT / Python-int cross-check."""
+    _entry_parity("nation_revenue_hhi", con)
