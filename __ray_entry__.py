@@ -149,6 +149,8 @@ _WINDOW_R4 = [
 # (keep these immediately after the window so the next rotation is a
 # simple list swap).
 _BACKLOG = [
+    "supplier_kcore",
+    "tile_anomalies",
     "nation_revenue_hhi",
     "road_segment_load",
     "supplier_portfolio_jaccard",
@@ -419,6 +421,8 @@ def oracle_sql() -> dict[str, str]:
         "geocode_orders_units": oracle.geocode_orders_units_sql(),
         "geocode_orders_highways": oracle.geocode_orders_highways_sql(),
         "q4_order_priority": oracle.q4_order_priority_sql(),
+        "supplier_kcore": oracle.supplier_kcore_sql(),
+        "tile_anomalies": oracle.tile_anomalies_sql(),
         "nation_revenue_hhi": oracle.nation_revenue_hhi_sql(),
         "road_segment_load": oracle.road_segment_load_sql(),
         "supplier_portfolio_jaccard": oracle.supplier_portfolio_jaccard_sql(),

@@ -4613,3 +4613,67 @@ SELECT n_nationkey,
        CAST(SUM(cents * cents) * 1000000 // (SUM(cents) * SUM(cents)) AS BIGINT) AS hhi_ppm
 FROM n GROUP BY 1 ORDER BY 1
 """
+
+
+def tile_anomalies_sql() -> str:
+    """Child-vs-parent hotspot ratio over the exact halving rollup."""
+    from .queries import ANOMALY_RATIO_PPM
+
+    return f"""
+WITH tc AS ({tile_counts_sql()}),
+p AS (
+    SELECT tile_x // 2 AS px, tile_y // 2 AS py, CAST(SUM(n) AS BIGINT) AS parent_n
+    FROM tc GROUP BY 1, 2
+)
+SELECT tc.tile_x, tc.tile_y, tc.n, p.parent_n,
+       CAST(tc.n * 4 * 1000000 // p.parent_n AS BIGINT) AS ratio_ppm
+FROM tc JOIN p ON p.px = tc.tile_x // 2 AND p.py = tc.tile_y // 2
+WHERE tc.n * 4 * 1000000 // p.parent_n >= {ANOMALY_RATIO_PPM}
+ORDER BY 1, 2
+"""
+
+
+def supplier_kcore_sql() -> str:
+    """Unrolled simultaneous-peel k-core (KCORE_ROUNDS rounds, the
+    PageRank unrolled-CTE discipline — the engine asserts it converges
+    within the same round budget): e_{i+1} keeps edges whose BOTH
+    endpoints have degree >= k in e_i.  Every per-round CTE is
+    MATERIALIZED — each round references the previous THREE times, so
+    un-materialized CTE inlining re-expands the base lineitem self-join
+    3^rounds times (measured: fd exhaustion at rounds=6)."""
+    from .queries import KCORE_K, KCORE_ROUNDS
+
+    parts = [
+        """
+WITH p AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+w AS MATERIALIZED (
+    SELECT a.l_suppkey AS sa, b.l_suppkey AS sb, CAST(COUNT(*) AS BIGINT) AS wt
+    FROM p a JOIN p b ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+    GROUP BY 1, 2
+),
+tot AS (SELECT COUNT(*) AS n FROM w),
+c AS (SELECT wt, COUNT(*) AS cnt FROM w GROUP BY 1),
+cum AS (SELECT wt, SUM(cnt) OVER (ORDER BY wt) AS cum FROM c),
+thr AS (SELECT MIN(wt) AS v FROM cum, tot WHERE cum >= (500 * n + 999) // 1000),
+e0 AS MATERIALIZED (SELECT sa, sb FROM w, thr WHERE w.wt > thr.v)"""
+    ]
+    for i in range(KCORE_ROUNDS):
+        parts.append(f""",
+d{i} AS MATERIALIZED (
+    SELECT s, CAST(COUNT(*) AS BIGINT) AS deg
+    FROM (SELECT sa AS s FROM e{i} UNION ALL SELECT sb FROM e{i})
+    GROUP BY 1
+),
+ok{i} AS MATERIALIZED (SELECT s FROM d{i} WHERE deg >= {KCORE_K}),
+e{i + 1} AS MATERIALIZED (
+    SELECT e.sa, e.sb FROM e{i} e
+    JOIN ok{i} a ON a.s = e.sa
+    JOIN ok{i} b ON b.s = e.sb
+)""")
+    last = KCORE_ROUNDS
+    parts.append(f"""
+SELECT s AS s_suppkey, CAST(COUNT(*) AS BIGINT) AS core_deg
+FROM (SELECT sa AS s FROM e{last} UNION ALL SELECT sb FROM e{last})
+GROUP BY 1 ORDER BY 1
+""")
+    return "".join(parts)

@@ -11070,3 +11070,72 @@ def nation_revenue_hhi(sf_dir: str) -> pd.DataFrame:
             "hhi_ppm": np.asarray(hhi, np.int64),
         }
     )
+
+
+ANOMALY_RATIO_PPM = 3_000_000  # child holds >= 3x its uniform quarter share
+
+
+def tile_anomalies(sf_dir: str) -> pd.DataFrame:
+    """Drill-down hotspot detection over the tile pyramid: child tiles
+    holding at least ANOMALY_RATIO_PPM/1e6 times their uniform quarter
+    of the parent's count (ratio_ppm = child*4*1e6 // parent, exact).
+    One tile_counts pass at the leaf zoom; parent counts are the exact
+    integer halving rollup; both tables are tile-grid-bounded so the
+    final join runs driver-side on dimension-sized frames."""
+    tc = tile_counts(sf_dir)
+    df = tc.to_pandas() if hasattr(tc, "to_pandas") else tc
+    tx = df["tile_x"].to_numpy(np.int64)
+    ty = df["tile_y"].to_numpy(np.int64)
+    n = df["n"].to_numpy(np.int64)
+    # parent rollup: exact halving
+    pk = (tx // 2) * (1 << 21) + (ty // 2)
+    u, inv = np.unique(pk, return_inverse=True)
+    pn = np.bincount(inv, weights=n.astype(np.float64)).astype(np.int64)
+    parent_n = pn[inv]
+    ratio = n * 4 * 1_000_000 // parent_n
+    keep = ratio >= ANOMALY_RATIO_PPM
+    out = pd.DataFrame(
+        {
+            "tile_x": tx[keep],
+            "tile_y": ty[keep],
+            "n": n[keep],
+            "parent_n": parent_n[keep],
+            "ratio_ppm": ratio[keep],
+        }
+    )
+    return out.sort_values(["tile_x", "tile_y"]).reset_index(drop=True)
+
+
+KCORE_K = 2
+KCORE_ROUNDS = 6  # unrolled oracle rounds; engine asserts convergence
+
+
+def supplier_kcore(sf_dir: str) -> pd.DataFrame:
+    """k-core decomposition (k=KCORE_K) of the thresholded co-supply
+    graph: iteratively peel nodes of degree < k until fixpoint; output
+    the surviving core members with their in-core degree.  The peel runs
+    on the supplier-bounded edge list (the distributed part is the
+    incidence -> weights pipeline); convergence within KCORE_ROUNDS is
+    ASSERTED because the oracle unrolls exactly that many rounds (the
+    PageRank unrolled-CTE discipline)."""
+    w = _cosupply_weights(sf_dir)
+    ws = np.sort(w["wt"].to_numpy(np.int64))
+    need = (500 * len(ws) + 999) // 1000
+    thr = int(ws[need - 1]) if len(ws) else 0
+    e = w[w["wt"] > thr]
+    sa = e["sa"].to_numpy(np.int64)
+    sb = e["sb"].to_numpy(np.int64)
+    for _ in range(KCORE_ROUNDS):
+        nodes, counts = np.unique(np.concatenate([sa, sb]), return_counts=True)
+        bad = nodes[counts < KCORE_K]
+        if len(bad) == 0:
+            break
+        m = ~(np.isin(sa, bad) | np.isin(sb, bad))
+        sa, sb = sa[m], sb[m]
+    nodes, counts = np.unique(np.concatenate([sa, sb]), return_counts=True)
+    assert len(nodes) == 0 or counts.min() >= KCORE_K, (
+        f"k-core did not converge in {KCORE_ROUNDS} rounds — widen KCORE_ROUNDS"
+    )
+    return pd.DataFrame(
+        {"s_suppkey": nodes.astype(np.int64), "core_deg": counts.astype(np.int64)}
+    )

@@ -1121,3 +1121,13 @@ def test_road_segment_load_parity(ray_session, con):
 def test_nation_revenue_hhi_parity(ray_session, con):
     """Exact HHI via HUGEINT / Python-int cross-check."""
     _entry_parity("nation_revenue_hhi", con)
+
+
+def test_tile_anomalies_parity(ray_session, con):
+    """Drill-down hotspot ratio over the pyramid halving."""
+    _entry_parity("tile_anomalies", con)
+
+
+def test_supplier_kcore_parity(ray_session, con):
+    """Unrolled simultaneous-peel 2-core of the co-supply graph."""
+    _entry_parity("supplier_kcore", con)
