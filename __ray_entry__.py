@@ -149,6 +149,8 @@ _WINDOW_R4 = [
 # (keep these immediately after the window so the next rotation is a
 # simple list swap).
 _BACKLOG = [
+    "lang_confusion_matrix",
+    "cosupply_edge_churn",
     "supplier_kcore",
     "tile_anomalies",
     "nation_revenue_hhi",
@@ -421,6 +423,8 @@ def oracle_sql() -> dict[str, str]:
         "geocode_orders_units": oracle.geocode_orders_units_sql(),
         "geocode_orders_highways": oracle.geocode_orders_highways_sql(),
         "q4_order_priority": oracle.q4_order_priority_sql(),
+        "lang_confusion_matrix": oracle.lang_confusion_matrix_sql(),
+        "cosupply_edge_churn": oracle.cosupply_edge_churn_sql(),
         "supplier_kcore": oracle.supplier_kcore_sql(),
         "tile_anomalies": oracle.tile_anomalies_sql(),
         "nation_revenue_hhi": oracle.nation_revenue_hhi_sql(),

@@ -4677,3 +4677,39 @@ FROM (SELECT sa AS s FROM e{last} UNION ALL SELECT sb FROM e{last})
 GROUP BY 1 ORDER BY 1
 """)
     return "".join(parts)
+
+
+def lang_confusion_matrix_sql() -> str:
+    """Confusion cells over the same lang_id expression."""
+    from .functions.text import lang_id_sql
+
+    return f"""
+SELECT lang AS lang_true, {lang_id_sql('text')} AS lang_pred,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM documents GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def cosupply_edge_churn_sql() -> str:
+    """Edge churn between the before/after-cutoff co-supply snapshots
+    (pairs must co-occur on an order WITHIN the same period)."""
+    return """
+WITH inc AS (
+    SELECT DISTINCT l_orderkey, l_suppkey,
+           CASE WHEN l_shipdate >= TIMESTAMP '1998-01-01' THEN 1 ELSE 0 END AS late
+    FROM lineitem
+), p AS (
+    SELECT DISTINCT a.l_suppkey AS sa, b.l_suppkey AS sb, a.late
+    FROM inc a JOIN inc b
+      ON a.l_orderkey = b.l_orderkey AND a.late = b.late AND a.l_suppkey < b.l_suppkey
+), f AS (
+    SELECT sa, sb,
+           MAX(CASE WHEN late = 0 THEN 1 ELSE 0 END) AS e,
+           MAX(late) AS l
+    FROM p GROUP BY 1, 2
+)
+SELECT CAST(SUM(CASE WHEN e = 1 AND l = 0 THEN 1 ELSE 0 END) AS BIGINT) AS only_early,
+       CAST(SUM(CASE WHEN e = 0 AND l = 1 THEN 1 ELSE 0 END) AS BIGINT) AS only_late,
+       CAST(SUM(CASE WHEN e = 1 AND l = 1 THEN 1 ELSE 0 END) AS BIGINT) AS both_periods
+FROM f
+"""

@@ -11139,3 +11139,105 @@ def supplier_kcore(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame(
         {"s_suppkey": nodes.astype(np.int64), "core_deg": counts.astype(np.int64)}
     )
+
+
+def lang_confusion_matrix(sf_dir: str) -> pd.DataFrame:
+    """Model-evaluation confusion matrix: stored ``lang`` label vs the
+    engine's stopword lang_id prediction, counted per (true, pred) cell
+    — the eval-harness shape every classifier stage needs.  Per-batch
+    prediction + partial cell counts; the reduce is bounded by the
+    (langs+1)^2 alphabet."""
+    from ray.data.aggregate import Sum
+
+    from .functions.text import lang_id
+
+    docs = _docs(sf_dir, columns=("doc_id", "text", "lang"))
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        pred = lang_id(df["text"])
+        out = pd.DataFrame({"lang_true": df["lang"].to_numpy(object), "lang_pred": pred})
+        agg = out.groupby(["lang_true", "lang_pred"], sort=False).size().reset_index(name="part_n")
+        agg["part_n"] = agg["part_n"].astype(np.int64)
+        return agg
+
+    out = (
+        docs.map_batches(_partial, batch_format="pandas")
+        .groupby(["lang_true", "lang_pred"])
+        .aggregate(Sum("part_n", alias_name="n"))
+        .to_pandas()
+    )
+    out["n"] = out["n"].astype(np.int64)
+    return out.sort_values(["lang_true", "lang_pred"]).reset_index(drop=True)
+
+
+CHURN_CUTOFF = np.datetime64("1998-01-01")
+
+
+def cosupply_edge_churn(sf_dir: str) -> pd.DataFrame:
+    """Temporal graph diff: co-supply pairs observed only before the
+    cutoff, only after, or in both periods (edge churn between two
+    snapshots).  Each half's distinct pair set comes from the SAME
+    bucketed incidence pipeline with the period flag carried through —
+    one pass over the fact, no threshold (raw co-occurrence)."""
+    from ray.data.aggregate import Max
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey", "l_shipdate"])
+
+    def _inc(t: pa.Table) -> pd.DataFrame:
+        ok = np.asarray(t["l_orderkey"].to_numpy(zero_copy_only=False), np.int64)
+        sk = np.asarray(t["l_suppkey"].to_numpy(zero_copy_only=False), np.int64)
+        late = (t["l_shipdate"].to_numpy(zero_copy_only=False) >= CHURN_CUTOFF).astype(np.int64)
+        assert len(sk) == 0 or sk.max() < SUPP_PACK, "widen SUPP_PACK"
+        key = (ok * SUPP_PACK + sk) * 2 + late
+        u = np.unique(key)
+        packed = u // 2
+        return pd.DataFrame(
+            {
+                "bucket": (((packed // SUPP_PACK) * 2654435761) % 4294967296) % SESSION_BUCKETS,
+                "ok": packed // SUPP_PACK,
+                "sk": packed % SUPP_PACK,
+                "late": u % 2,
+            }
+        )
+
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for late, gg in g.groupby("late", sort=False):
+            gg = gg.drop_duplicates(["ok", "sk"])
+            m = gg.merge(gg, on="ok")
+            m = m[m["sk_x"] < m["sk_y"]]
+            if m.empty:
+                continue
+            pk = np.unique(m["sk_x"].to_numpy(np.int64) * SUPP_PACK + m["sk_y"].to_numpy(np.int64))
+            out.append(pd.DataFrame({"pk": pk, "late": np.int64(late)}))
+        if not out:
+            return pd.DataFrame({"pk": pd.array([], "int64"), "early": pd.array([], "int64"),
+                                 "late_f": pd.array([], "int64")})
+        df = pd.concat(out)
+        flags = df.groupby("pk", sort=False)["late"].agg(["min", "max"])
+        # within this bucket a pair may appear in either/both periods
+        return pd.DataFrame(
+            {
+                "pk": flags.index.to_numpy(np.int64),
+                "early": (flags["min"].to_numpy(np.int64) == 0).astype(np.int64),
+                "late_f": (flags["max"].to_numpy(np.int64) == 1).astype(np.int64),
+            }
+        )
+
+    pairs = (
+        li.map_batches(_inc, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_pairs, batch_format="pandas")
+        .groupby("pk")
+        .aggregate(Max("early", alias_name="e"), Max("late_f", alias_name="l"))
+        .to_pandas()
+    )
+    e = pairs["e"].to_numpy(np.int64)
+    l = pairs["l"].to_numpy(np.int64)
+    return pd.DataFrame(
+        {
+            "only_early": np.asarray([int(((e == 1) & (l == 0)).sum())], np.int64),
+            "only_late": np.asarray([int(((e == 0) & (l == 1)).sum())], np.int64),
+            "both_periods": np.asarray([int(((e == 1) & (l == 1)).sum())], np.int64),
+        }
+    )

@@ -1131,3 +1131,13 @@ def test_tile_anomalies_parity(ray_session, con):
 def test_supplier_kcore_parity(ray_session, con):
     """Unrolled simultaneous-peel 2-core of the co-supply graph."""
     _entry_parity("supplier_kcore", con)
+
+
+def test_lang_confusion_matrix_parity(ray_session, con):
+    """Eval-harness confusion matrix over the lang_id expression."""
+    _entry_parity("lang_confusion_matrix", con)
+
+
+def test_cosupply_edge_churn_parity(ray_session, con):
+    """Temporal graph snapshot diff."""
+    _entry_parity("cosupply_edge_churn", con)
