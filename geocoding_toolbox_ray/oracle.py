@@ -4713,3 +4713,30 @@ SELECT CAST(SUM(CASE WHEN e = 1 AND l = 0 THEN 1 ELSE 0 END) AS BIGINT) AS only_
        CAST(SUM(CASE WHEN e = 1 AND l = 1 THEN 1 ELSE 0 END) AS BIGINT) AS both_periods
 FROM f
 """
+
+
+def documents_dedup_keep_longest_sql() -> str:
+    """Keep-longest (tie -> min doc_id) per exact-content group."""
+    return """
+WITH r AS (
+    SELECT doc_id, n_chars, md5(text) AS fp,
+           ROW_NUMBER() OVER (PARTITION BY md5(text)
+                              ORDER BY n_chars DESC, doc_id ASC) AS rn,
+           COUNT(*) OVER (PARTITION BY md5(text)) AS dup_count
+    FROM documents
+)
+SELECT doc_id AS keep_doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(dup_count AS BIGINT) AS dup_count
+FROM r WHERE rn = 1
+"""
+
+
+def near_threshold_pairs_sql() -> str:
+    """Exact-Jaccard band audit via the LOWER-theta complete pair set."""
+    from .queries import NEAR_THETA_HI, NEAR_THETA_LO
+
+    return f"""
+WITH pairs AS ({ngram_jaccard_exact_pairs_sql(NEAR_THETA_LO)})
+SELECT doc_a, doc_b, jaccard_permille
+FROM pairs WHERE jaccard_permille < {NEAR_THETA_HI}
+"""

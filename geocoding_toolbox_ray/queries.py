@@ -11241,3 +11241,75 @@ def cosupply_edge_churn(sf_dir: str) -> pd.DataFrame:
             "both_periods": np.asarray([int(((e == 1) & (l == 1)).sum())], np.int64),
         }
     )
+
+
+KEEP_LONGEST_PACK = 1 << 33  # doc_id and n_chars bounds, asserted
+
+
+def documents_dedup_keep_longest(sf_dir: str):
+    """Alternative dedup resolution policy: within each exact-content
+    group keep the LONGEST document (tie -> smallest doc_id) instead of
+    keep-first — the policy choice curation runs actually tune.  Winner
+    selection packs (n_chars, -doc_id) into one int64 so per-bucket
+    argmax merges exactly (max is associative); same coarse-bucket
+    content-hash reduce as dedup_exact."""
+    from .functions.text import md5_hex
+
+    def _f(df: pd.DataFrame) -> pd.DataFrame:
+        fp = md5_hex(df["text"])
+        ids = df["doc_id"].to_numpy(np.int64)
+        nch = df["n_chars"].to_numpy(np.int64)
+        assert len(ids) == 0 or (ids.max() < KEEP_LONGEST_PACK and nch.max() < KEEP_LONGEST_PACK)
+        return pd.DataFrame(
+            {
+                "bucket": _crc_bucket(fp),
+                "fp": fp,
+                "lifted": nch * KEEP_LONGEST_PACK + (KEEP_LONGEST_PACK - 1 - ids),
+            }
+        )
+
+    def _reduce(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby("fp", sort=False)["lifted"].agg(["max", "size"])
+        lifted = m["max"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "keep_doc_id": KEEP_LONGEST_PACK - 1 - lifted % KEEP_LONGEST_PACK,
+                "n_chars": lifted // KEEP_LONGEST_PACK,
+                "dup_count": m["size"].to_numpy(np.int64),
+            }
+        )
+
+    return (
+        _docs(sf_dir, columns=("doc_id", "text", "n_chars"))
+        .map_batches(_f, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(_reduce, batch_format="pandas")
+    )
+
+
+NEAR_THETA_LO = 600  # audit band [LO, HI): near-dups a tighter threshold drops
+NEAR_THETA_HI = 980
+
+
+def near_threshold_pairs(sf_dir: str):
+    """Dedup-threshold sensitivity audit: the exact-Jaccard pairs inside
+    a tuning band (jaccard in [600, 980) permille) — the pairs a TIGHTER
+    production threshold would stop merging.  Runs the complete
+    prefix-filtered AllPairs at the band's LOWER theta (its completeness
+    guarantee covers the whole band) and keeps the band."""
+    from .stages.dedup import ngram_jaccard_exact_pairs
+
+    pairs = ngram_jaccard_exact_pairs(_docs(sf_dir), theta_permille=NEAR_THETA_LO)
+
+    def _band(t: pa.Table) -> pa.Table:
+        j = np.asarray(t["jaccard_permille"].to_numpy(zero_copy_only=False), np.int64)
+        keep = j < NEAR_THETA_HI
+        return pa.table(
+            {
+                "doc_a": pa.array(np.asarray(t["doc_a"].to_numpy(zero_copy_only=False), np.int64)[keep]),
+                "doc_b": pa.array(np.asarray(t["doc_b"].to_numpy(zero_copy_only=False), np.int64)[keep]),
+                "jaccard_permille": pa.array(j[keep]),
+            }
+        )
+
+    return pairs.map_batches(_band, batch_format="pyarrow")

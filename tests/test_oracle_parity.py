@@ -1141,3 +1141,13 @@ def test_lang_confusion_matrix_parity(ray_session, con):
 def test_cosupply_edge_churn_parity(ray_session, con):
     """Temporal graph snapshot diff."""
     _entry_parity("cosupply_edge_churn", con)
+
+
+def test_documents_dedup_keep_longest_parity(ray_session, con):
+    """Keep-longest resolution policy via packed argmax."""
+    _entry_parity("documents_dedup_keep_longest", con)
+
+
+def test_near_threshold_pairs_parity(ray_session, con):
+    """Threshold-band sensitivity audit over complete AllPairs."""
+    _entry_parity("near_threshold_pairs", con)
