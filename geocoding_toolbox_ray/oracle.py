@@ -4740,3 +4740,20 @@ WITH pairs AS ({ngram_jaccard_exact_pairs_sql(NEAR_THETA_LO)})
 SELECT doc_a, doc_b, jaccard_permille
 FROM pairs WHERE jaccard_permille < {NEAR_THETA_HI}
 """
+
+
+def geohash_prefix_rollup_sql() -> str:
+    """Prefix rollup over the same term-by-term geohash expression."""
+    from .queries import GH_ROLLUP_LEVELS
+
+    values = ", ".join(f"({lv})" for lv in GH_ROLLUP_LEVELS)
+    inner = geohash_lineitem_sql()
+    return f"""
+WITH gh AS ({inner}),
+lv(level) AS (VALUES {values})
+SELECT CAST(lv.level AS BIGINT) AS level,
+       substr(gh.geohash, 1, lv.level) AS prefix,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM gh CROSS JOIN lv
+GROUP BY 1, 2 ORDER BY 1, 2
+"""

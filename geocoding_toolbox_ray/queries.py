@@ -11313,3 +11313,50 @@ def near_threshold_pairs(sf_dir: str):
         )
 
     return pairs.map_batches(_band, batch_format="pyarrow")
+
+
+GH_ROLLUP_LEVELS = (1, 2, 3, 4)
+
+
+def geohash_prefix_rollup(sf_dir: str) -> pd.DataFrame:
+    """Geohash prefix pyramid: point counts per geohash prefix at levels
+    1-4 chars — the string-cell-code analog of the ZXY tile pyramid
+    (geohash prefixes nest exactly like tile halvings).  One pass: each
+    batch emits partial counts per (level, prefix); the reduce is
+    bounded by the prefix alphabet per level."""
+    from ray.data.aggregate import Sum
+
+    from .functions.cells import geohash_encode
+    from .pipelines.spatial import derive_uniform_points
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_partkey"])
+
+    def _partial(t: pa.Table) -> pd.DataFrame:
+        pts = derive_uniform_points(t)
+        gh = geohash_encode(
+            pts["qx"].to_numpy(zero_copy_only=False), pts["qy"].to_numpy(zero_copy_only=False)
+        ).astype("U8")
+        frames = []
+        for lv in GH_ROLLUP_LEVELS:
+            pre = gh.astype(f"U{lv}")  # numpy U-truncation = prefix
+            u, c = np.unique(pre, return_counts=True)
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "level": np.full(len(u), lv, np.int64),
+                        "prefix": u.astype(object),
+                        "part_n": c.astype(np.int64),
+                    }
+                )
+            )
+        return pd.concat(frames)
+
+    out = (
+        li.map_batches(_partial, batch_format="pyarrow")
+        .groupby(["level", "prefix"])
+        .aggregate(Sum("part_n", alias_name="n"))
+        .to_pandas()
+    )
+    out["level"] = out["level"].astype(np.int64)
+    out["n"] = out["n"].astype(np.int64)
+    return out.sort_values(["level", "prefix"]).reset_index(drop=True)

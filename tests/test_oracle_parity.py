@@ -1151,3 +1151,8 @@ def test_documents_dedup_keep_longest_parity(ray_session, con):
 def test_near_threshold_pairs_parity(ray_session, con):
     """Threshold-band sensitivity audit over complete AllPairs."""
     _entry_parity("near_threshold_pairs", con)
+
+
+def test_geohash_prefix_rollup_parity(ray_session, con):
+    """Geohash prefix pyramid (string cell-code rollup)."""
+    _entry_parity("geohash_prefix_rollup", con)
