@@ -149,6 +149,7 @@ _WINDOW_R4 = [
 # (keep these immediately after the window so the next rotation is a
 # simple list swap).
 _BACKLOG = [
+    "nation_brand_weighted_jaccard",
     "geohash_prefix_rollup",
     "documents_dedup_keep_longest",
     "near_threshold_pairs",
@@ -426,6 +427,7 @@ def oracle_sql() -> dict[str, str]:
         "geocode_orders_units": oracle.geocode_orders_units_sql(),
         "geocode_orders_highways": oracle.geocode_orders_highways_sql(),
         "q4_order_priority": oracle.q4_order_priority_sql(),
+        "nation_brand_weighted_jaccard": oracle.nation_brand_weighted_jaccard_sql(),
         "geohash_prefix_rollup": oracle.geohash_prefix_rollup_sql(),
         "documents_dedup_keep_longest": oracle.documents_dedup_keep_longest_sql(),
         "near_threshold_pairs": oracle.near_threshold_pairs_sql(),

@@ -4757,3 +4757,33 @@ SELECT CAST(lv.level AS BIGINT) AS level,
 FROM gh CROSS JOIN lv
 GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+def nation_brand_weighted_jaccard_sql() -> str:
+    """Weighted Jaccard via a dense (nation-pair x brand) grid with
+    COALESCE-0 counts (missing brands contribute min 0 / max present)."""
+    return """
+WITH cells AS (
+    SELECT CAST(c.c_nationkey AS BIGINT) AS nat, p.p_brand AS brand,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    GROUP BY 1, 2
+), nats AS (SELECT DISTINCT nat FROM cells),
+brands AS (SELECT DISTINCT brand FROM cells),
+grid AS (
+    SELECT a.nat AS nat_a, b.nat AS nat_b, br.brand,
+           COALESCE(ca.n, 0) AS na, COALESCE(cb.n, 0) AS nb
+    FROM nats a JOIN nats b ON a.nat < b.nat
+    CROSS JOIN brands br
+    LEFT JOIN cells ca ON ca.nat = a.nat AND ca.brand = br.brand
+    LEFT JOIN cells cb ON cb.nat = b.nat AND cb.brand = br.brand
+)
+SELECT nat_a, nat_b,
+       CAST(SUM(LEAST(na, nb)) AS BIGINT) AS sum_min,
+       CAST(SUM(GREATEST(na, nb)) AS BIGINT) AS sum_max,
+       CAST(SUM(LEAST(na, nb)) * 1000 // SUM(GREATEST(na, nb)) AS BIGINT) AS wj_permille
+FROM grid GROUP BY 1, 2 ORDER BY 1, 2
+"""

@@ -11360,3 +11360,58 @@ def geohash_prefix_rollup(sf_dir: str) -> pd.DataFrame:
     out["level"] = out["level"].astype(np.int64)
     out["n"] = out["n"].astype(np.int64)
     return out.sort_values(["level", "prefix"]).reset_index(drop=True)
+
+
+def nation_brand_weighted_jaccard(sf_dir: str) -> pd.DataFrame:
+    """Weighted Jaccard between nations' brand-mix count vectors:
+    wj_permille = sum(min(c_a, c_b)) * 1000 // sum(max(c_a, c_b)) — the
+    exact multiset-overlap similarity (histogram intersection's
+    normalized form).  Distributed part: (nation, brand) cell counts
+    (bounded alphabet); the 25x25 pair sweep runs on the driver-held
+    dense matrix."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .stages.join import hash_join
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"]).map_batches(
+        lambda t: t.rename_columns(["l_orderkey", "o_custkey"]), batch_format="pyarrow"
+    )
+    joined = hash_join(
+        li, orders, "l_orderkey", ["o_custkey"], right_rows=_nrows(sf_dir, "orders")
+    )
+    cust_ref = _nat_kv_ref(sf_dir, "customer", "c_custkey", "c_nationkey")
+    brand_ref = _brand_num_ref(sf_dir)
+
+    def _partial(t: pa.Table) -> pa.Table:
+        ck, cn = ray.get(cust_ref)
+        bk, bv = ray.get(brand_ref)
+        nat = cn[np.searchsorted(ck, np.asarray(t["o_custkey"].to_numpy(zero_copy_only=False), np.int64))]
+        brand = bv[np.searchsorted(bk, np.asarray(t["l_partkey"].to_numpy(zero_copy_only=False), np.int64))]
+        key = nat * BASKET_BRAND_PACK + brand
+        u, c = np.unique(key, return_counts=True)
+        return pa.table({"k": pa.array(u), "part_n": pa.array(c.astype(np.int64))})
+
+    cells = (
+        joined.map_batches(_partial, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(Sum("part_n", alias_name="n"))
+        .to_pandas()
+    )
+    k = cells["k"].to_numpy(np.int64)
+    n = cells["n"].to_numpy(np.int64)
+    nats = np.unique(k // BASKET_BRAND_PACK)
+    dense = np.zeros((int(nats.max()) + 1, BASKET_BRAND_PACK), np.int64)
+    dense[k // BASKET_BRAND_PACK, k % BASKET_BRAND_PACK] = n
+    rows = []
+    for i in range(len(nats)):
+        for j in range(i + 1, len(nats)):
+            a, b = dense[nats[i]], dense[nats[j]]
+            smin = int(np.minimum(a, b).sum())
+            smax = int(np.maximum(a, b).sum())
+            rows.append((int(nats[i]), int(nats[j]), smin, smax, smin * 1000 // smax))
+    out = pd.DataFrame(
+        rows, columns=["nat_a", "nat_b", "sum_min", "sum_max", "wj_permille"]
+    ).astype(np.int64)
+    return out.sort_values(["nat_a", "nat_b"]).reset_index(drop=True)

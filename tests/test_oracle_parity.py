@@ -1156,3 +1156,8 @@ def test_near_threshold_pairs_parity(ray_session, con):
 def test_geohash_prefix_rollup_parity(ray_session, con):
     """Geohash prefix pyramid (string cell-code rollup)."""
     _entry_parity("geohash_prefix_rollup", con)
+
+
+def test_nation_brand_weighted_jaccard_parity(ray_session, con):
+    """Exact multiset-overlap similarity between brand-mix vectors."""
+    _entry_parity("nation_brand_weighted_jaccard", con)
