@@ -149,6 +149,8 @@ _WINDOW_R4 = [
 # (keep these immediately after the window so the next rotation is a
 # simple list swap).
 _BACKLOG = [
+    "revenue_longest_rise",
+    "nation_top3_share",
     "nation_brand_weighted_jaccard",
     "geohash_prefix_rollup",
     "documents_dedup_keep_longest",
@@ -427,6 +429,8 @@ def oracle_sql() -> dict[str, str]:
         "geocode_orders_units": oracle.geocode_orders_units_sql(),
         "geocode_orders_highways": oracle.geocode_orders_highways_sql(),
         "q4_order_priority": oracle.q4_order_priority_sql(),
+        "revenue_longest_rise": oracle.revenue_longest_rise_sql(),
+        "nation_top3_share": oracle.nation_top3_share_sql(),
         "nation_brand_weighted_jaccard": oracle.nation_brand_weighted_jaccard_sql(),
         "geohash_prefix_rollup": oracle.geohash_prefix_rollup_sql(),
         "documents_dedup_keep_longest": oracle.documents_dedup_keep_longest_sql(),

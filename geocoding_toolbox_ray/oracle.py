@@ -4787,3 +4787,54 @@ SELECT nat_a, nat_b,
        CAST(SUM(LEAST(na, nb)) * 1000 // SUM(GREATEST(na, nb)) AS BIGINT) AS wj_permille
 FROM grid GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+def revenue_longest_rise_sql() -> str:
+    """Longest strictly-rising dense-daily-revenue run (gaps = 0), tie ->
+    earliest start, via gaps-and-islands on the rise flag."""
+    return """
+WITH d AS (
+    SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+           CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+    FROM orders GROUP BY 1
+), days AS (
+    SELECT UNNEST(generate_series((SELECT MIN(day) FROM d), (SELECT MAX(day) FROM d))) AS day
+), dense AS (
+    SELECT days.day, COALESCE(d.cents, 0) AS cents FROM days LEFT JOIN d USING (day)
+), f AS (
+    SELECT day, cents,
+           CASE WHEN cents > LAG(cents) OVER (ORDER BY day) THEN 0 ELSE 1 END AS brk
+    FROM dense
+), g AS (
+    SELECT day, SUM(brk) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS grp FROM f
+), runs AS (
+    SELECT grp, MIN(day) AS start_day, CAST(COUNT(*) AS BIGINT) AS run_days
+    FROM g GROUP BY 1
+)
+SELECT start_day, run_days FROM runs
+ORDER BY run_days DESC, start_day ASC LIMIT 1
+"""
+
+
+def nation_top3_share_sql() -> str:
+    """Top-k customer revenue share per nation, exact permille."""
+    from .queries import NATION_TOPK
+
+    return f"""
+WITH r AS (
+    SELECT o_custkey,
+           CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+    FROM orders GROUP BY 1
+), n AS (
+    SELECT CAST(c.c_nationkey AS BIGINT) AS n_nationkey, r.o_custkey, r.cents,
+           ROW_NUMBER() OVER (PARTITION BY c.c_nationkey
+                              ORDER BY r.cents DESC, r.o_custkey ASC) AS rn
+    FROM r JOIN customer c ON c.c_custkey = r.o_custkey
+)
+SELECT n_nationkey,
+       CAST(SUM(cents) AS BIGINT) AS total_cents,
+       CAST(SUM(CASE WHEN rn <= {NATION_TOPK} THEN cents ELSE 0 END) AS BIGINT) AS top3_cents,
+       CAST(SUM(CASE WHEN rn <= {NATION_TOPK} THEN cents ELSE 0 END) * 1000
+            // SUM(cents) AS BIGINT) AS top3_share_permille
+FROM n GROUP BY 1 ORDER BY 1
+"""

@@ -11415,3 +11415,107 @@ def nation_brand_weighted_jaccard(sf_dir: str) -> pd.DataFrame:
         rows, columns=["nat_a", "nat_b", "sum_min", "sum_max", "wj_permille"]
     ).astype(np.int64)
     return out.sort_values(["nat_a", "nat_b"]).reset_index(drop=True)
+
+
+def revenue_longest_rise(sf_dir: str) -> pd.DataFrame:
+    """Longest strictly-increasing run of DENSE daily revenue (zero-filled
+    gaps), tie -> earliest start — sequence-run detection over a bounded
+    aggregate: the distributed part is the day-keyed cents reduce; the
+    run scan is one vectorized pass on the driver-held series."""
+    from ray.data.aggregate import Sum
+
+    orders = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        day = (
+            t["o_orderdate"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+            // 86_400_000_000
+        )
+        c = np.floor(
+            np.asarray(t["o_totalprice"].to_numpy(zero_copy_only=False), np.float64) * 100.0 + 0.5
+        ).astype(np.int64)
+        u, inv = np.unique(day, return_inverse=True)
+        return pa.table(
+            {
+                "day": pa.array(u),
+                "part_cents": pa.array(np.bincount(inv, weights=c.astype(np.float64)).astype(np.int64)),
+            }
+        )
+
+    agg = (
+        orders.map_batches(_partial, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(Sum("part_cents", alias_name="cents"))
+        .to_pandas()
+        .sort_values("day")
+    )
+    day = agg["day"].to_numpy(np.int64)
+    cents = agg["cents"].to_numpy(np.int64)
+    lo, hi = int(day.min()), int(day.max())
+    dense = np.zeros(hi - lo + 1, np.int64)
+    dense[day - lo] = cents
+    rising = dense[1:] > dense[:-1]
+    # run lengths: runs of consecutive True in `rising`
+    best_len, best_start, cur = 0, 0, 0
+    for i, r in enumerate(rising):
+        cur = cur + 1 if r else 0
+        if cur > best_len:
+            best_len, best_start = cur, i - cur + 1
+    return pd.DataFrame(
+        {
+            "start_day": np.asarray([lo + best_start], np.int64),
+            "run_days": np.asarray([best_len + 1 if best_len else 1], np.int64),
+        }
+    )
+
+
+NATION_TOPK = 3
+
+
+def nation_top3_share(sf_dir: str) -> pd.DataFrame:
+    """Revenue concentration per nation: exact permille share held by the
+    top-NATION_TOPK customers (revenue DESC, custkey ASC).  Per-customer
+    revenue reduces distributed (customer-bounded); the per-nation top-k
+    + share runs on the dimension-sized frame."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    nat_ref = _nat_kv_ref(sf_dir, "customer", "c_custkey", "c_nationkey")
+
+    def _per_cust(t: pa.Table) -> pa.Table:
+        ck = np.asarray(t["o_custkey"].to_numpy(zero_copy_only=False), np.int64)
+        c = np.floor(
+            np.asarray(t["o_totalprice"].to_numpy(zero_copy_only=False), np.float64) * 100.0 + 0.5
+        ).astype(np.int64)
+        u, inv = np.unique(ck, return_inverse=True)
+        return pa.table(
+            {
+                "o_custkey": pa.array(u),
+                "part_cents": pa.array(np.bincount(inv, weights=c.astype(np.float64)).astype(np.int64)),
+            }
+        )
+
+    rev = (
+        orders.map_batches(_per_cust, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("part_cents", alias_name="cents"))
+        .to_pandas()
+    )
+    nk, nv = ray.get(nat_ref)
+    ck = rev["o_custkey"].to_numpy(np.int64)
+    cents = rev["cents"].to_numpy(np.int64)
+    nat = nv[np.searchsorted(nk, ck)]
+    df = pd.DataFrame({"nat": nat, "ck": ck, "cents": cents})
+    df = df.sort_values(["nat", "cents", "ck"], ascending=[True, False, True], kind="mergesort")
+    top = df.groupby("nat", sort=True).head(NATION_TOPK).groupby("nat", sort=True)["cents"].sum()
+    tot = df.groupby("nat", sort=True)["cents"].sum()
+    out = pd.DataFrame(
+        {
+            "n_nationkey": tot.index.to_numpy(np.int64),
+            "total_cents": tot.to_numpy(np.int64),
+            "top3_cents": top.reindex(tot.index).fillna(0).to_numpy(np.int64),
+        }
+    )
+    out["top3_share_permille"] = out["top3_cents"] * 1000 // out["total_cents"]
+    return out

@@ -1161,3 +1161,13 @@ def test_geohash_prefix_rollup_parity(ray_session, con):
 def test_nation_brand_weighted_jaccard_parity(ray_session, con):
     """Exact multiset-overlap similarity between brand-mix vectors."""
     _entry_parity("nation_brand_weighted_jaccard", con)
+
+
+def test_revenue_longest_rise_parity(ray_session, con):
+    """Longest strictly-rising run over the dense daily series."""
+    _entry_parity("revenue_longest_rise", con)
+
+
+def test_nation_top3_share_parity(ray_session, con):
+    """Top-k customer revenue concentration per nation."""
+    _entry_parity("nation_top3_share", con)
