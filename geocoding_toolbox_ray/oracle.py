@@ -4838,3 +4838,62 @@ SELECT n_nationkey,
             // SUM(cents) AS BIGINT) AS top3_share_permille
 FROM n GROUP BY 1 ORDER BY 1
 """
+
+
+def customer_rfm_segments_sql() -> str:
+    """RFM classes via the shared (tot//K)*i + LEAST rank-boundary rule
+    and strict-below counting (tie-deterministic, unlike NTILE labels)."""
+    from .queries import RFM_CLASSES
+
+    ks = ", ".join(f"({i})" for i in range(1, RFM_CLASSES))
+
+    def _cls(col: str, cte: str) -> str:
+        return f"""
+{cte}_ord AS (
+    SELECT {col} AS v, ROW_NUMBER() OVER (ORDER BY {col}) AS rn, COUNT(*) OVER () AS tot
+    FROM rfm
+),
+{cte}_b AS (
+    SELECT o.v AS ub FROM ks JOIN {cte}_ord o
+      ON o.rn = (o.tot // {RFM_CLASSES}) * ks.i + LEAST(ks.i, o.tot % {RFM_CLASSES})
+)"""
+
+    return f"""
+WITH rfm AS (
+    SELECT o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents,
+           CAST(MAX(epoch_us(o_orderdate) // 86400000000) AS BIGINT) AS last_day
+    FROM orders GROUP BY 1
+),
+ks(i) AS (VALUES {ks}),{_cls('last_day', 'r')},{_cls('n_orders', 'f')},{_cls('cents', 'm')}
+SELECT o_custkey,
+       CAST(1 + (SELECT COUNT(*) FROM r_b WHERE r_b.ub < rfm.last_day) AS BIGINT) AS r_class,
+       CAST(1 + (SELECT COUNT(*) FROM f_b WHERE f_b.ub < rfm.n_orders) AS BIGINT) AS f_class,
+       CAST(1 + (SELECT COUNT(*) FROM m_b WHERE m_b.ub < rfm.cents) AS BIGINT) AS m_class
+FROM rfm
+"""
+
+
+def route_bearing_octants_sql() -> str:
+    """Heading-class histogram: the same quadrant x dominant-axis CASE
+    ladder over per-order consecutive-stop deltas."""
+    return """
+WITH p AS (
+    SELECT l_orderkey,
+           (l_orderkey * 131 + l_linenumber * 17) % 4096 AS ix,
+           (l_orderkey * 241 + l_partkey * 13) % 4096 AS iy,
+           ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                              ORDER BY l_linenumber, l_partkey) AS rn
+    FROM lineitem
+), legs AS (
+    SELECT b.ix - a.ix AS dx, b.iy - a.iy AS dy
+    FROM p a JOIN p b ON b.l_orderkey = a.l_orderkey AND b.rn = a.rn + 1
+)
+SELECT CAST(CASE WHEN dx = 0 AND dy = 0 THEN 8 ELSE
+         (CASE WHEN dy < 0 THEN 4 ELSE 0 END)
+       + (CASE WHEN dx < 0 THEN 2 ELSE 0 END)
+       + (CASE WHEN ABS(dx) >= ABS(dy) THEN 1 ELSE 0 END) END AS BIGINT) AS octant,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM legs GROUP BY 1 ORDER BY 1
+"""

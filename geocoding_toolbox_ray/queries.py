@@ -11519,3 +11519,129 @@ def nation_top3_share(sf_dir: str) -> pd.DataFrame:
     )
     out["top3_share_permille"] = out["top3_cents"] * 1000 // out["total_cents"]
     return out
+
+
+RFM_CLASSES = 4
+
+
+def customer_rfm_segments(sf_dir: str) -> pd.DataFrame:
+    """RFM segmentation (the classic BI/ML customer scoring): per
+    customer the recency day-number (last order), frequency (order
+    count) and monetary cents, each classed 1..RFM_CLASSES against exact
+    equi-depth boundaries with the tie-deterministic strict-below rule
+    (choropleth classing — raw NTILE labels are tie-nondeterministic).
+    Distributed part: one customer-bounded reduce; boundaries + classing
+    run on the dimension-sized frame."""
+    from ray.data.aggregate import Max, Sum
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice", "o_orderdate"])
+
+    def _partial(t: pa.Table) -> pd.DataFrame:
+        ck = np.asarray(t["o_custkey"].to_numpy(zero_copy_only=False), np.int64)
+        c = np.floor(
+            np.asarray(t["o_totalprice"].to_numpy(zero_copy_only=False), np.float64) * 100.0 + 0.5
+        ).astype(np.int64)
+        day = (
+            t["o_orderdate"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+            // 86_400_000_000
+        )
+        df = pd.DataFrame({"o_custkey": ck, "c": c, "day": day})
+        agg = df.groupby("o_custkey", sort=False).agg(
+            part_n=("c", "size"), part_cents=("c", "sum"), part_last=("day", "max")
+        ).reset_index()
+        return agg.astype({k: np.int64 for k in agg.columns})
+
+    rfm = (
+        orders.map_batches(_partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(
+            Sum("part_n", alias_name="n_orders"),
+            Sum("part_cents", alias_name="cents"),
+            Max("part_last", alias_name="last_day"),
+        )
+        .to_pandas()
+    )
+
+    def _classes(vals: np.ndarray) -> np.ndarray:
+        s = np.sort(vals)
+        n = len(s)
+        base, extra = n // RFM_CLASSES, n % RFM_CLASSES
+        i = np.arange(1, RFM_CLASSES + 1)
+        targets = base * i + np.minimum(i, extra)
+        bounds = s[targets[:-1] - 1]
+        return (1 + (vals[:, None] > bounds[None, :]).sum(axis=1)).astype(np.int64)
+
+    out = pd.DataFrame(
+        {
+            "o_custkey": rfm["o_custkey"].astype(np.int64),
+            "r_class": _classes(rfm["last_day"].to_numpy(np.int64)),
+            "f_class": _classes(rfm["n_orders"].to_numpy(np.int64)),
+            "m_class": _classes(rfm["cents"].to_numpy(np.int64)),
+        }
+    )
+    return out.sort_values("o_custkey").reset_index(drop=True)
+
+
+def route_bearing_octants(sf_dir: str) -> pd.DataFrame:
+    """Trajectory heading distribution: every route leg (consecutive
+    stops per order in (linenumber, partkey) order, the order_route_l1
+    derivation) classified into 8 heading classes (quadrant x dominant
+    axis) by PURE sign / |dx|-vs-|dy| comparisons — no trig anywhere, so
+    engine and SQL agree exactly.  Zero-length legs are class 8."""
+    from ray.data.aggregate import Sum
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_partkey"])
+
+    def _prep(t: pa.Table) -> pa.Table:
+        ok = np.asarray(t["l_orderkey"].to_numpy(zero_copy_only=False), np.int64)
+        ln = np.asarray(t["l_linenumber"].to_numpy(zero_copy_only=False), np.int64)
+        pk = np.asarray(t["l_partkey"].to_numpy(zero_copy_only=False), np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(((ok * 2654435761) % 4294967296) % SESSION_BUCKETS),
+                "l_orderkey": pa.array(ok),
+                "ln": pa.array(ln),
+                "pk": pa.array(pk),
+                "ix": pa.array((ok * 131 + ln * 17) % 4096),
+                "iy": pa.array((ok * 241 + pk * 13) % 4096),
+            }
+        )
+
+    def _octant(dx: np.ndarray, dy: np.ndarray) -> np.ndarray:
+        # heading class 0..7 = quadrant x dominant axis:
+        # bit2 = dy < 0 (southbound), bit1 = dx < 0 (westbound),
+        # bit0 = |dx| >= |dy| (x-dominant); 8 = zero-length leg.
+        # Pure sign / magnitude comparisons — identical CASE ladder in SQL.
+        cls = (
+            (dy < 0).astype(np.int64) * 4
+            + (dx < 0).astype(np.int64) * 2
+            + (np.abs(dx) >= np.abs(dy)).astype(np.int64)
+        )
+        cls[(dx == 0) & (dy == 0)] = 8
+        return cls
+
+    def _legs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["l_orderkey", "ln", "pk"], kind="mergesort")
+        ok = g["l_orderkey"].to_numpy(np.int64)
+        ix = g["ix"].to_numpy(np.int64)
+        iy = g["iy"].to_numpy(np.int64)
+        if len(ok) < 2:
+            return pd.DataFrame({"octant": pd.array([], "int64"), "part_n": pd.array([], "int64")})
+        same = ok[1:] == ok[:-1]
+        dx = (ix[1:] - ix[:-1])[same]
+        dy = (iy[1:] - iy[:-1])[same]
+        oc = _octant(dx, dy)
+        u, c = np.unique(oc, return_counts=True)
+        return pd.DataFrame({"octant": u.astype(np.int64), "part_n": c.astype(np.int64)})
+
+    out = (
+        li.map_batches(_prep, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_legs, batch_format="pandas")
+        .groupby("octant")
+        .aggregate(Sum("part_n", alias_name="n"))
+        .to_pandas()
+        .sort_values("octant")
+        .reset_index(drop=True)
+    )
+    return out.astype({"octant": np.int64, "n": np.int64})

@@ -1171,3 +1171,13 @@ def test_revenue_longest_rise_parity(ray_session, con):
 def test_nation_top3_share_parity(ray_session, con):
     """Top-k customer revenue concentration per nation."""
     _entry_parity("nation_top3_share", con)
+
+
+def test_customer_rfm_segments_parity(ray_session, con):
+    """RFM quartile classes, tie-deterministic boundary rule."""
+    _entry_parity("customer_rfm_segments", con)
+
+
+def test_route_bearing_octants_parity(ray_session, con):
+    """Trig-free heading-class histogram over route legs."""
+    _entry_parity("route_bearing_octants", con)
