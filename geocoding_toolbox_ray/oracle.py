@@ -4897,3 +4897,54 @@ SELECT CAST(CASE WHEN dx = 0 AND dy = 0 THEN 8 ELSE
        CAST(COUNT(*) AS BIGINT) AS n
 FROM legs GROUP BY 1 ORDER BY 1
 """
+
+
+def orders_time_pyramid_sql() -> str:
+    """Three calendar grains from the same epoch arithmetic (month code =
+    (year-1970)*12 + month-1, matching numpy datetime64[M])."""
+    return """
+WITH b AS (
+    SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+           epoch_us(o_orderdate) // 86400000000 // 7 AS week,
+           (CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) - 1970) * 12
+             + CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) - 1 AS month
+    FROM orders
+)
+SELECT CAST(0 AS BIGINT) AS grain, day AS bucket_id, CAST(COUNT(*) AS BIGINT) AS n
+FROM b GROUP BY 2
+UNION ALL
+SELECT CAST(1 AS BIGINT), week, CAST(COUNT(*) AS BIGINT) FROM b GROUP BY 2
+UNION ALL
+SELECT CAST(2 AS BIGINT), month, CAST(COUNT(*) AS BIGINT) FROM b GROUP BY 2
+ORDER BY 1, 2
+"""
+
+
+def events_mad_outliers_sql() -> str:
+    """Per-type lower-median MAD screen, |v - med| > K*MAD."""
+    from .queries import MAD_OUTLIER_MULT
+
+    return f"""
+WITH t AS (
+    SELECT event_id, event_type AS f,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+    FROM events
+), m AS (
+    SELECT f, c, ROW_NUMBER() OVER (PARTITION BY f ORDER BY c) AS rn,
+           COUNT(*) OVER (PARTITION BY f) AS n
+    FROM t
+), med AS (
+    SELECT f, c AS median_c FROM m WHERE rn = (n + 1) // 2
+), d AS (
+    SELECT t.f, ABS(t.c - med.median_c) AS dc FROM t JOIN med USING (f)
+), m2 AS (
+    SELECT f, dc, ROW_NUMBER() OVER (PARTITION BY f ORDER BY dc) AS rn,
+           COUNT(*) OVER (PARTITION BY f) AS n
+    FROM d
+), mad AS (
+    SELECT f, dc AS mad_c FROM m2 WHERE rn = (n + 1) // 2
+)
+SELECT t.event_id, t.f AS event_type, t.c AS value_cents
+FROM t JOIN med USING (f) JOIN mad USING (f)
+WHERE ABS(t.c - med.median_c) > {MAD_OUTLIER_MULT} * mad.mad_c
+"""

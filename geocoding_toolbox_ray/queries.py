@@ -11645,3 +11645,105 @@ def route_bearing_octants(sf_dir: str) -> pd.DataFrame:
         .reset_index(drop=True)
     )
     return out.astype({"octant": np.int64, "n": np.int64})
+
+
+def orders_time_pyramid(sf_dir: str) -> pd.DataFrame:
+    """Time-dimension pyramid (the tile-pyramid shape on the calendar):
+    order counts at THREE grains — epoch day, epoch week (day//7), and
+    calendar month code (year*12 + month-1) — from one pass of per-batch
+    partials; the reduce is bounded by the number of buckets across all
+    grains, never by rows."""
+    from ray.data.aggregate import Sum
+
+    orders = _read(sf_dir, "orders", columns=["o_orderdate"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        ts = t["o_orderdate"].to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        day = ts.astype(np.int64) // 86_400_000_000
+        week = day // 7
+        month = ts.astype("datetime64[M]").astype(np.int64)  # months since 1970-01
+        frames = []
+        for grain, b in ((0, day), (1, week), (2, month)):
+            u, c = np.unique(b, return_counts=True)
+            frames.append((np.full(len(u), grain, np.int64), u, c.astype(np.int64)))
+        return pa.table(
+            {
+                "grain": pa.array(np.concatenate([f[0] for f in frames])),
+                "bucket_id": pa.array(np.concatenate([f[1] for f in frames])),
+                "part_n": pa.array(np.concatenate([f[2] for f in frames])),
+            }
+        )
+
+    out = (
+        orders.map_batches(_partial, batch_format="pyarrow")
+        .groupby(["grain", "bucket_id"])
+        .aggregate(Sum("part_n", alias_name="n"))
+        .to_pandas()
+    )
+    for c in out.columns:
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values(["grain", "bucket_id"]).reset_index(drop=True)
+
+
+MAD_OUTLIER_MULT = 5
+
+
+def events_mad_outliers(sf_dir: str):
+    """Robust outlier detection: events whose |value - median| exceeds
+    MAD_OUTLIER_MULT x the MAD of their event type (median/MAD by the
+    exact lower-median rank rule, computed from per-type bounded value
+    histograms) — the z-score screen without means or square roots.
+    Histogram pass + one streaming filter pass with the tiny per-type
+    stats in the closure."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    ev = _read(sf_dir, "events", columns=["event_id", "event_type", "value"])
+
+    def _cents(t: pa.Table) -> np.ndarray:
+        return np.floor(
+            np.asarray(t["value"].to_numpy(zero_copy_only=False), np.float64) * 100.0 + 0.5
+        ).astype(np.int64)
+
+    def _partial(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({"f": t["event_type"].to_pandas().to_numpy(object), "c": _cents(t)})
+        s = df.groupby(["f", "c"], sort=False).size().reset_index(name="part_n")
+        s["part_n"] = s["part_n"].astype(np.int64)
+        return s
+
+    hist = (
+        ev.map_batches(_partial, batch_format="pyarrow")
+        .groupby(["f", "c"])
+        .aggregate(Sum("part_n", alias_name="n"))
+        .to_pandas()
+    )
+
+    def _rank_value(vals: np.ndarray, counts: np.ndarray, rank: int) -> int:
+        order = np.argsort(vals, kind="stable")
+        v, cc = vals[order], counts[order]
+        return int(v[np.searchsorted(np.cumsum(cc), rank, side="left")])
+
+    med, mad = {}, {}
+    for f, grp in hist.groupby("f", sort=False):
+        vals = grp["c"].to_numpy(np.int64)
+        counts = grp["n"].to_numpy(np.int64)
+        n = int(counts.sum())
+        m = _rank_value(vals, counts, (n + 1) // 2)
+        med[f] = m
+        mad[f] = _rank_value(np.abs(vals - m), counts, (n + 1) // 2)
+
+    def _filter(t: pa.Table) -> pa.Table:
+        c = _cents(t)
+        types = t["event_type"].to_pandas().to_numpy(object)
+        m = np.asarray([med[x] for x in types], np.int64)
+        d = np.asarray([mad[x] for x in types], np.int64)
+        keep = np.abs(c - m) > MAD_OUTLIER_MULT * d
+        return pa.table(
+            {
+                "event_id": pa.array(np.asarray(t["event_id"].to_numpy(zero_copy_only=False), np.int64)[keep]),
+                "event_type": pa.array(types[keep].astype(object), pa.string()),
+                "value_cents": pa.array(c[keep]),
+            }
+        )
+
+    return ev.map_batches(_filter, batch_format="pyarrow")

@@ -1181,3 +1181,13 @@ def test_customer_rfm_segments_parity(ray_session, con):
 def test_route_bearing_octants_parity(ray_session, con):
     """Trig-free heading-class histogram over route legs."""
     _entry_parity("route_bearing_octants", con)
+
+
+def test_orders_time_pyramid_parity(ray_session, con):
+    """Three calendar grains in one pass."""
+    _entry_parity("orders_time_pyramid", con)
+
+
+def test_events_mad_outliers_parity(ray_session, con):
+    """Median/MAD robust outlier screen per event type."""
+    _entry_parity("events_mad_outliers", con)
