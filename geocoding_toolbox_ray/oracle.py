@@ -4948,3 +4948,29 @@ SELECT t.event_id, t.f AS event_type, t.c AS value_cents
 FROM t JOIN med USING (f) JOIN mad USING (f)
 WHERE ABS(t.c - med.median_c) > {MAD_OUTLIER_MULT} * mad.mad_c
 """
+
+
+def price_qty_copula_grid_sql() -> str:
+    """Empirical copula cells via two boundary CTEs with the shared rank
+    rule and strict-below classing."""
+    from .queries import COPULA_BINS
+
+    ks = ", ".join(f"({i})" for i in range(1, COPULA_BINS))
+    return f"""
+WITH t AS (
+    SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS p,
+           CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS q
+    FROM lineitem
+),
+ks(i) AS (VALUES {ks}),
+po AS (SELECT p AS v, ROW_NUMBER() OVER (ORDER BY p) AS rn, COUNT(*) OVER () AS tot FROM t),
+pb AS (SELECT o.v AS ub FROM ks JOIN po o
+        ON o.rn = (o.tot // {COPULA_BINS}) * ks.i + LEAST(ks.i, o.tot % {COPULA_BINS})),
+qo AS (SELECT q AS v, ROW_NUMBER() OVER (ORDER BY q) AS rn, COUNT(*) OVER () AS tot FROM t),
+qb AS (SELECT o.v AS ub FROM ks JOIN qo o
+        ON o.rn = (o.tot // {COPULA_BINS}) * ks.i + LEAST(ks.i, o.tot % {COPULA_BINS}))
+SELECT CAST(1 + (SELECT COUNT(*) FROM pb WHERE pb.ub < t.p) AS BIGINT) AS price_decile,
+       CAST(1 + (SELECT COUNT(*) FROM qb WHERE qb.ub < t.q) AS BIGINT) AS qty_decile,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM t GROUP BY 1, 2 ORDER BY 1, 2
+"""

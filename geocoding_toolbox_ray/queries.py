@@ -11747,3 +11747,83 @@ def events_mad_outliers(sf_dir: str):
         )
 
     return ev.map_batches(_filter, batch_format="pyarrow")
+
+
+COPULA_BINS = 10
+
+
+def price_qty_copula_grid(sf_dir: str) -> pd.DataFrame:
+    """Joint rank distribution (empirical copula grid): lineitem counts
+    per (price decile, quantity decile) cell — the dependence structure
+    between two columns with all marginals exactly uniform by
+    construction.  Both boundary sets use the shared equi-depth rank
+    rule + strict-below classing; one histogram pass per column, one
+    classing pass, a 10x10 bounded reduce."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .stages.dedup import _sorted_kv_task
+
+    li = _read(sf_dir, "lineitem", columns=["l_extendedprice", "l_quantity"])
+
+    def _cents(t: pa.Table, col: str) -> np.ndarray:
+        return np.floor(
+            np.asarray(t[col].to_numpy(zero_copy_only=False), np.float64) * 100.0 + 0.5
+        ).astype(np.int64)
+
+    def _hist(col: str):
+        def _partial(t: pa.Table) -> pa.Table:
+            c = _cents(t, col)
+            ub, inv = np.unique(c, return_inverse=True)
+            return pa.table(
+                {
+                    "bucket": pa.array(((ub * 2654435761) % 4294967296) % SESSION_BUCKETS),
+                    "cents": pa.array(ub),
+                    "part_n": pa.array(np.bincount(inv).astype(np.int64)),
+                }
+            )
+
+        def _reduce(g: pd.DataFrame) -> pd.DataFrame:
+            s = g.groupby("cents", sort=False)["part_n"].sum()
+            return pd.DataFrame({"cents": s.index.to_numpy(np.int64), "n": s.to_numpy(np.int64)})
+
+        h = (
+            li.map_batches(_partial, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(_reduce, batch_format="pandas")
+        )
+        refs = [br for b in h.iter_internal_ref_bundles() for br in b.block_refs]
+        return _sorted_kv_task.remote(refs, "cents", "n")
+
+    def _bounds(vals: np.ndarray, counts: np.ndarray) -> np.ndarray:
+        cum = np.cumsum(counts)
+        n = int(cum[-1])
+        base, extra = n // COPULA_BINS, n % COPULA_BINS
+        i = np.arange(1, COPULA_BINS)
+        targets = base * i + np.minimum(i, extra)
+        return vals[np.searchsorted(cum, targets, side="left")]
+
+    pv, pc = ray.get(_hist("l_extendedprice"))
+    qv, qc = ray.get(_hist("l_quantity"))
+    pb, qb = _bounds(pv, pc), _bounds(qv, qc)
+
+    def _cells(t: pa.Table) -> pa.Table:
+        p = _cents(t, "l_extendedprice")
+        q = _cents(t, "l_quantity")
+        pcls = 1 + (p[:, None] > pb[None, :]).sum(axis=1)
+        qcls = 1 + (q[:, None] > qb[None, :]).sum(axis=1)
+        key = pcls * 100 + qcls
+        u, c = np.unique(key, return_counts=True)
+        return pa.table({"k": pa.array(u.astype(np.int64)), "part_n": pa.array(c.astype(np.int64))})
+
+    agg = (
+        li.map_batches(_cells, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(Sum("part_n", alias_name="n"))
+        .to_pandas()
+    )
+    k = agg["k"].to_numpy(np.int64)
+    out = pd.DataFrame(
+        {"price_decile": k // 100, "qty_decile": k % 100, "n": agg["n"].to_numpy(np.int64)}
+    )
+    return out.sort_values(["price_decile", "qty_decile"]).reset_index(drop=True)

@@ -1191,3 +1191,8 @@ def test_orders_time_pyramid_parity(ray_session, con):
 def test_events_mad_outliers_parity(ray_session, con):
     """Median/MAD robust outlier screen per event type."""
     _entry_parity("events_mad_outliers", con)
+
+
+def test_price_qty_copula_grid_parity(ray_session, con):
+    """Empirical copula grid (joint decile counts)."""
+    _entry_parity("price_qty_copula_grid", con)
