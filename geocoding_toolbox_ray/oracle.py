@@ -4974,3 +4974,53 @@ SELECT CAST(1 + (SELECT COUNT(*) FROM pb WHERE pb.ub < t.p) AS BIGINT) AS price_
        CAST(COUNT(*) AS BIGINT) AS n
 FROM t GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+def orders_price_ranksum_drift_sql() -> str:
+    """Exact doubled-midrank Mann-Whitney components from the grouped
+    value histogram."""
+    return """
+WITH t AS (
+    SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS c,
+           CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01' THEN 1 ELSE 0 END AS late
+    FROM orders
+), h AS (
+    SELECT c,
+           CAST(SUM(CASE WHEN late = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+           CAST(COUNT(*) AS BIGINT) AS nv
+    FROM t GROUP BY 1
+), o AS (
+    SELECT *, SUM(nv) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING) - nv AS cume FROM h
+), s AS (
+    SELECT CAST(SUM(n0) AS BIGINT) AS n_early,
+           CAST(SUM(nv - n0) AS BIGINT) AS n_late,
+           CAST(SUM(n0 * (2 * cume + nv + 1)) AS BIGINT) AS r1_x2
+    FROM o
+)
+SELECT n_early, n_late, r1_x2,
+       CAST(r1_x2 - n_early * (n_early + 1) AS BIGINT) AS u1_x2
+FROM s
+"""
+
+
+def customers_at_churn_risk_sql() -> str:
+    """Gap > exact p90 (rank ceil(0.9n)) of all customers' gaps."""
+    from .queries import CHURN_GAP_RANK_DEN, CHURN_GAP_RANK_NUM
+
+    return f"""
+WITH l AS (
+    SELECT o_custkey, MAX(epoch_us(o_orderdate) // 86400000000) AS last_day
+    FROM orders GROUP BY 1
+), g AS (
+    SELECT o_custkey, (SELECT MAX(last_day) FROM l) - last_day AS gap_days FROM l
+), o AS (
+    SELECT gap_days, ROW_NUMBER() OVER (ORDER BY gap_days) AS rn, COUNT(*) OVER () AS n
+    FROM g
+), p AS (
+    SELECT gap_days AS p90 FROM o
+    WHERE rn = ({CHURN_GAP_RANK_NUM} * n + {CHURN_GAP_RANK_DEN} - 1) // {CHURN_GAP_RANK_DEN}
+)
+SELECT g.o_custkey, CAST(g.gap_days AS BIGINT) AS gap_days
+FROM g, p WHERE g.gap_days > p.p90
+ORDER BY 1
+"""

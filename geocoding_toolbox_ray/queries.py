@@ -11827,3 +11827,110 @@ def price_qty_copula_grid(sf_dir: str) -> pd.DataFrame:
         {"price_decile": k // 100, "qty_decile": k % 100, "n": agg["n"].to_numpy(np.int64)}
     )
     return out.sort_values(["price_decile", "qty_decile"]).reset_index(drop=True)
+
+
+def orders_price_ranksum_drift(sf_dir: str) -> pd.DataFrame:
+    """Two-sample Mann-Whitney rank-sum statistic between pre- and
+    post-cutoff order prices, EXACT: with midranks doubled
+    (midrank_v*2 = 2*cum_excl_v + n_v + 1, an integer even under ties),
+    R1*2 = sum n_early_v * midrank_v*2 and U1*2 = R1*2 - n1*(n1+1).
+    The real distribution-shift TEST STATISTIC (not just boundaries),
+    from one split value histogram."""
+    import ray
+
+    from .stages.dedup import _sorted_kv_task
+
+    orders = _read(sf_dir, "orders", columns=["o_totalprice", "o_orderdate"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        c = np.floor(
+            np.asarray(t["o_totalprice"].to_numpy(zero_copy_only=False), np.float64) * 100.0 + 0.5
+        ).astype(np.int64)
+        late = (t["o_orderdate"].to_numpy(zero_copy_only=False) >= DRIFT_CUTOFF).astype(np.int64)
+        key = c * 2 + late
+        ub, inv = np.unique(key, return_inverse=True)
+        return pa.table(
+            {
+                "bucket": pa.array(((ub * 2654435761) % 4294967296) % SESSION_BUCKETS),
+                "k": pa.array(ub),
+                "part_n": pa.array(np.bincount(inv).astype(np.int64)),
+            }
+        )
+
+    def _reduce(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("k", sort=False)["part_n"].sum()
+        return pd.DataFrame({"k": s.index.to_numpy(np.int64), "n": s.to_numpy(np.int64)})
+
+    hist = (
+        orders.map_batches(_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_reduce, batch_format="pandas")
+    )
+    refs = [br for b in hist.iter_internal_ref_bundles() for br in b.block_refs]
+    keys, counts = ray.get(_sorted_kv_task.remote(refs, "k", "n"))
+    cents = keys // 2
+    late = keys % 2
+    uv = np.unique(cents)
+    n0 = np.zeros(len(uv), np.int64)
+    n1 = np.zeros(len(uv), np.int64)
+    pos = np.searchsorted(uv, cents)
+    np.add.at(n0, pos[late == 0], counts[late == 0])
+    np.add.at(n1, pos[late == 1], counts[late == 1])
+    nv = n0 + n1
+    cum_excl = np.cumsum(nv) - nv
+    r1x2 = int((n0 * (2 * cum_excl + nv + 1)).sum())
+    ne, nl = int(n0.sum()), int(n1.sum())
+    return pd.DataFrame(
+        {
+            "n_early": np.asarray([ne], np.int64),
+            "n_late": np.asarray([nl], np.int64),
+            "r1_x2": np.asarray([r1x2], np.int64),
+            "u1_x2": np.asarray([r1x2 - ne * (ne + 1)], np.int64),
+        }
+    )
+
+
+CHURN_GAP_RANK_NUM, CHURN_GAP_RANK_DEN = 9, 10  # p90 gap threshold
+
+
+def customers_at_churn_risk(sf_dir: str) -> pd.DataFrame:
+    """Churn-risk flagging: customers whose days-since-last-order exceeds
+    the exact p90 of all customers' gaps (rank ceil(0.9n), the shared
+    integer rank rule) measured at the dataset's last order day.
+    Per-customer last-day reduce; threshold + flags on the
+    dimension-sized frame."""
+    from ray.data.aggregate import Max
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+
+    def _partial(t: pa.Table) -> pd.DataFrame:
+        ck = np.asarray(t["o_custkey"].to_numpy(zero_copy_only=False), np.int64)
+        day = (
+            t["o_orderdate"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+            // 86_400_000_000
+        )
+        df = pd.DataFrame({"o_custkey": ck, "d": day})
+        m = df.groupby("o_custkey", sort=False)["d"].max().reset_index(name="part_last")
+        return m
+
+    last = (
+        orders.map_batches(_partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Max("part_last", alias_name="last_day"))
+        .to_pandas()
+    )
+    ld = last["last_day"].to_numpy(np.int64)
+    cutoff = int(ld.max())
+    gap = cutoff - ld
+    s = np.sort(gap)
+    n = len(s)
+    r = (CHURN_GAP_RANK_NUM * n + CHURN_GAP_RANK_DEN - 1) // CHURN_GAP_RANK_DEN  # ceil(0.9n)
+    p90 = int(s[r - 1])
+    keep = gap > p90
+    out = pd.DataFrame(
+        {
+            "o_custkey": last["o_custkey"].to_numpy(np.int64)[keep],
+            "gap_days": gap[keep],
+        }
+    )
+    return out.sort_values("o_custkey").reset_index(drop=True)

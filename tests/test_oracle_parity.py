@@ -1196,3 +1196,13 @@ def test_events_mad_outliers_parity(ray_session, con):
 def test_price_qty_copula_grid_parity(ray_session, con):
     """Empirical copula grid (joint decile counts)."""
     _entry_parity("price_qty_copula_grid", con)
+
+
+def test_orders_price_ranksum_drift_parity(ray_session, con):
+    """Exact Mann-Whitney doubled-midrank components."""
+    _entry_parity("orders_price_ranksum_drift", con)
+
+
+def test_customers_at_churn_risk_parity(ray_session, con):
+    """Gap > exact p90 churn flagging."""
+    _entry_parity("customers_at_churn_risk", con)
