@@ -5024,3 +5024,54 @@ SELECT g.o_custkey, CAST(g.gap_days AS BIGINT) AS gap_days
 FROM g, p WHERE g.gap_days > p.p90
 ORDER BY 1
 """
+
+
+def customer_lorenz_curve_sql() -> str:
+    """Lorenz points at decile ranks (revenue ASC, custkey ASC)."""
+    from .queries import LORENZ_POINTS
+
+    ks = ", ".join(f"({i})" for i in range(1, LORENZ_POINTS + 1))
+    return f"""
+WITH r AS (
+    SELECT o_custkey,
+           CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+    FROM orders GROUP BY 1
+), o AS (
+    SELECT cents,
+           ROW_NUMBER() OVER (ORDER BY cents ASC, o_custkey ASC) AS rn,
+           SUM(cents) OVER (ORDER BY cents ASC, o_custkey ASC
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+           COUNT(*) OVER () AS n, SUM(cents) OVER () AS total
+    FROM r
+), ks(i) AS (VALUES {ks})
+SELECT CAST(ks.i AS BIGINT) AS decile,
+       CAST(o.rn AS BIGINT) AS cum_customers,
+       CAST(o.cum AS BIGINT) AS cum_cents,
+       CAST(o.total AS BIGINT) AS total_cents
+FROM ks JOIN o
+  ON o.rn = (o.n // {LORENZ_POINTS}) * ks.i + LEAST(ks.i, o.n % {LORENZ_POINTS})
+ORDER BY 1
+"""
+
+
+def doc_hapax_ratio_sql() -> str:
+    """Per-doc token totals and singleton-token counts."""
+    from .functions.text import WS_SPLIT_PATTERN
+
+    return f"""
+WITH toks AS (
+    SELECT doc_id,
+           unnest(list_filter(regexp_split_to_array(lower(text), '{WS_SPLIT_PATTERN}'),
+                              x -> x <> '')) AS t
+    FROM documents
+), c AS (
+    SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY 1, 2
+), agg AS (
+    SELECT doc_id,
+           CAST(SUM(n) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+    FROM c GROUP BY 1
+)
+SELECT d.doc_id, COALESCE(agg.n_tokens, 0) AS n_tokens, COALESCE(agg.n_hapax, 0) AS n_hapax
+FROM documents d LEFT JOIN agg USING (doc_id)
+"""

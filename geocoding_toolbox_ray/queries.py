@@ -11934,3 +11934,75 @@ def customers_at_churn_risk(sf_dir: str) -> pd.DataFrame:
         }
     )
     return out.sort_values("o_custkey").reset_index(drop=True)
+
+
+LORENZ_POINTS = 10
+
+
+def customer_lorenz_curve(sf_dir: str) -> pd.DataFrame:
+    """Lorenz curve of customer revenue (the inequality plot behind the
+    Pareto/HHI family): cumulative cents held by the poorest i/10 of
+    customers (revenue ASC, custkey ASC), exact at each decile rank via
+    the shared (tot//K)*i + min(i, tot%K) rule.  Distributed per-customer
+    reduce; curve points from the dimension-sized frame."""
+    from ray.data.aggregate import Sum
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def _per_cust(t: pa.Table) -> pa.Table:
+        ck = np.asarray(t["o_custkey"].to_numpy(zero_copy_only=False), np.int64)
+        c = np.floor(
+            np.asarray(t["o_totalprice"].to_numpy(zero_copy_only=False), np.float64) * 100.0 + 0.5
+        ).astype(np.int64)
+        u, inv = np.unique(ck, return_inverse=True)
+        return pa.table(
+            {
+                "o_custkey": pa.array(u),
+                "part_cents": pa.array(np.bincount(inv, weights=c.astype(np.float64)).astype(np.int64)),
+            }
+        )
+
+    rev = (
+        orders.map_batches(_per_cust, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("part_cents", alias_name="cents"))
+        .to_pandas()
+    )
+    ck = rev["o_custkey"].to_numpy(np.int64)
+    cents = rev["cents"].to_numpy(np.int64)
+    order = np.lexsort((ck, cents))  # revenue ASC, custkey ASC
+    cum = np.cumsum(cents[order])
+    n = len(cum)
+    total = int(cum[-1])
+    base, extra = n // LORENZ_POINTS, n % LORENZ_POINTS
+    i = np.arange(1, LORENZ_POINTS + 1)
+    targets = base * i + np.minimum(i, extra)
+    return pd.DataFrame(
+        {
+            "decile": i.astype(np.int64),
+            "cum_customers": targets.astype(np.int64),
+            "cum_cents": cum[targets - 1].astype(np.int64),
+            "total_cents": np.full(LORENZ_POINTS, total, np.int64),
+        }
+    )
+
+
+def doc_hapax_ratio(sf_dir: str):
+    """Hapax legomena per document: token count and the number of tokens
+    occurring exactly once — the vocabulary-richness quality feature
+    (the exact rational n_hapax/n_tokens without division).  Entirely
+    per-batch: a doc's tokens never leave its block."""
+    from .functions.text import ws_tokens
+
+    def _f(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(np.int64)
+        nt, nh = np.zeros(len(ids), np.int64), np.zeros(len(ids), np.int64)
+        for i, txt in enumerate(df["text"]):
+            toks = ws_tokens(txt.lower())
+            nt[i] = len(toks)
+            if toks:
+                _, c = np.unique(np.asarray(toks, object), return_counts=True)
+                nh[i] = int((c == 1).sum())
+        return pd.DataFrame({"doc_id": ids, "n_tokens": nt, "n_hapax": nh})
+
+    return _docs(sf_dir).map_batches(_f, batch_format="pandas")

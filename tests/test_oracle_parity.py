@@ -1206,3 +1206,13 @@ def test_orders_price_ranksum_drift_parity(ray_session, con):
 def test_customers_at_churn_risk_parity(ray_session, con):
     """Gap > exact p90 churn flagging."""
     _entry_parity("customers_at_churn_risk", con)
+
+
+def test_customer_lorenz_curve_parity(ray_session, con):
+    """Exact Lorenz decile points."""
+    _entry_parity("customer_lorenz_curve", con)
+
+
+def test_doc_hapax_ratio_parity(ray_session, con):
+    """Per-doc hapax legomena counts (zero-shuffle)."""
+    _entry_parity("doc_hapax_ratio", con)
