@@ -5075,3 +5075,21 @@ WITH toks AS (
 SELECT d.doc_id, COALESCE(agg.n_tokens, 0) AS n_tokens, COALESCE(agg.n_hapax, 0) AS n_hapax
 FROM documents d LEFT JOIN agg USING (doc_id)
 """
+
+
+def customer_revenue_gini_sql() -> str:
+    """Rank-weighted exact Gini components over the same total order."""
+    return """
+WITH r AS (
+    SELECT o_custkey,
+           CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+    FROM orders GROUP BY 1
+), o AS (
+    SELECT cents, ROW_NUMBER() OVER (ORDER BY cents ASC, o_custkey ASC) AS rn FROM r
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(cents) AS BIGINT) AS total_cents,
+       CAST(2 * SUM(rn * cents) - (COUNT(*) + 1) * SUM(cents) AS BIGINT) AS gini_num,
+       CAST(COUNT(*) * SUM(cents) AS BIGINT) AS gini_den
+FROM o
+"""

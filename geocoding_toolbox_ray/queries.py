@@ -12006,3 +12006,52 @@ def doc_hapax_ratio(sf_dir: str):
         return pd.DataFrame({"doc_id": ids, "n_tokens": nt, "n_hapax": nh})
 
     return _docs(sf_dir).map_batches(_f, batch_format="pandas")
+
+
+def customer_revenue_gini(sf_dir: str) -> pd.DataFrame:
+    """Exact Gini coefficient of customer revenue as the integer rational
+    (gini_num, gini_den) = (2*sum(i*x_(i)) - (n+1)*total, n*total) over
+    the (revenue ASC, custkey ASC) order — completes the inequality
+    family next to the Lorenz points, Pareto prefix and HHI.  Same
+    distributed per-customer reduce; rank-weighted sums on the
+    dimension-sized frame (bounds asserted < 2^63)."""
+    from ray.data.aggregate import Sum
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def _per_cust(t: pa.Table) -> pa.Table:
+        ck = np.asarray(t["o_custkey"].to_numpy(zero_copy_only=False), np.int64)
+        c = np.floor(
+            np.asarray(t["o_totalprice"].to_numpy(zero_copy_only=False), np.float64) * 100.0 + 0.5
+        ).astype(np.int64)
+        u, inv = np.unique(ck, return_inverse=True)
+        return pa.table(
+            {
+                "o_custkey": pa.array(u),
+                "part_cents": pa.array(np.bincount(inv, weights=c.astype(np.float64)).astype(np.int64)),
+            }
+        )
+
+    rev = (
+        orders.map_batches(_per_cust, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("part_cents", alias_name="cents"))
+        .to_pandas()
+    )
+    ck = rev["o_custkey"].to_numpy(np.int64)
+    cents = rev["cents"].to_numpy(np.int64)
+    order = np.lexsort((ck, cents))
+    x = cents[order]
+    n = len(x)
+    total = int(x.sum())
+    i = np.arange(1, n + 1, dtype=np.int64)
+    assert n * total < (1 << 62), "gini_den overflow guard"
+    ranked = int((i * x).sum())
+    return pd.DataFrame(
+        {
+            "n_customers": np.asarray([n], np.int64),
+            "total_cents": np.asarray([total], np.int64),
+            "gini_num": np.asarray([2 * ranked - (n + 1) * total], np.int64),
+            "gini_den": np.asarray([n * total], np.int64),
+        }
+    )

@@ -1216,3 +1216,8 @@ def test_customer_lorenz_curve_parity(ray_session, con):
 def test_doc_hapax_ratio_parity(ray_session, con):
     """Per-doc hapax legomena counts (zero-shuffle)."""
     _entry_parity("doc_hapax_ratio", con)
+
+
+def test_customer_revenue_gini_parity(ray_session, con):
+    """Exact rank-weighted Gini rational."""
+    _entry_parity("customer_revenue_gini", con)
