@@ -3477,10 +3477,20 @@ def pages_boilerplate_strip(sf_dir: str):
     per-page-distinct fragment partials -> coarse fingerprint-bucket
     reduce -> tiny boilerplate set (bounded by the number of distinct
     site-template sentences, NOT corpus size); (2) re-stream pages,
-    vectorized isin + grouped re-join.  The tiny set ships in the task
-    closure — never a per-batch ray.get of a big container."""
+    vectorized searchsorted probe on int64 fingerprints + grouped
+    re-join.  The boiler set crosses the task boundary as a SORTED int64
+    fingerprint ndarray built by a remote task from block refs (zero-copy
+    on every ray.get) — never a Python set/frozenset and never a string
+    isin.  Fingerprints are the ROLL_* polynomial mod ~2^31; a false
+    positive needs a non-boiler fragment colliding with one of the
+    O(template-sentence-count) boiler fingerprints (~n_boiler/2^31 per
+    distinct fragment — negligible, and the oracle parity check would
+    catch it deterministically)."""
+    import ray
+
     from .functions.text import rolling_fingerprint_batch
     from .sources.pages import generate_pages_dataset
+    from .stages.dedup import _remote_sorted_column
     from .stages.extract import filter_lang
 
     npages = _nrows(sf_dir, "orders") * 2
@@ -3503,23 +3513,28 @@ def pages_boilerplate_strip(sf_dir: str):
     def _df_reduce(g: pd.DataFrame) -> pd.DataFrame:
         tot = g.groupby("frag", sort=False)["cnt"].sum()
         boiler = tot[tot * BOILER_DF_DENOM >= n_en]
-        return pd.DataFrame({"frag": boiler.index.to_numpy(object)})
+        return pd.DataFrame(
+            {"fp": rolling_fingerprint_batch(boiler.index.tolist())}
+        )
 
-    boiler_df = (
+    boiler_ds = (
         generate_pages_dataset(npages)
         .map_batches(_df_partial, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(_df_reduce, batch_format="pandas")
-        .to_pandas()
     )
-    boiler = frozenset(boiler_df["frag"].tolist())
+    # sorted int64 fingerprint broadcast, assembled in a remote task from
+    # block refs — the driver never holds the set, workers get a
+    # zero-copy ndarray view per ray.get.
+    boiler_ref = _remote_sorted_column(boiler_ds, "fp")
 
     def _strip(t: pa.Table) -> pd.DataFrame:
+        boiler_fp = ray.get(boiler_ref)
         t = filter_lang(t)
         urls = t["url"].to_pandas().reset_index(drop=True)
         texts = t["text"].to_pandas().reset_index(drop=True)
         ex = texts.str.split(". ", regex=False).explode()
-        kept = ex[~ex.isin(boiler)]
+        kept = ex[~_sorted_member(boiler_fp, rolling_fingerprint_batch(ex.tolist()))]
         joined = kept.groupby(level=0).agg(". ".join)
         n_kept = kept.groupby(level=0).size()
         n_tot = ex.groupby(level=0).size()
@@ -4733,7 +4748,11 @@ def token_cooccurrence(sf_dir: str, topk: int = COOC_TOP):
     histogram for the K tokens; phase 2 folds each batch into ONE K x K
     int64 matrix partial (per-doc membership bitmap -> one matmul) merged
     by a tiny AggregateFn — the shuffle carries K^2 integers, never
-    pairs."""
+    pairs.  The incidence build is one explode + searchsorted + fancy
+    assignment per batch (assignment dedupes repeated (doc, token) hits);
+    measured 0.15 s -> 0.08 s post-tokenize on a 4000-doc sf0.01 batch vs
+    the old per-row zeros(K) loop (tokenize itself is 0.07 s and
+    inherently per-doc)."""
     from ray.data.aggregate import AggregateFn
 
     from .functions.text import ws_tokens
@@ -4744,18 +4763,25 @@ def token_cooccurrence(sf_dir: str, topk: int = COOC_TOP):
 
     def _acc_block(acc: np.ndarray, block) -> np.ndarray:
         df = block if hasattr(block, "iterrows") else block.to_pandas()
-        rows = []
-        for s in df["text"]:
-            toks = np.unique(np.asarray(ws_tokens(s.lower()), object))
-            pos = np.searchsorted(vocab, toks)
-            pos[pos == K] = 0
-            hit = vocab[pos] == toks
-            m = np.zeros(K, np.int64)
-            m[pos[hit]] = 1
-            rows.append(m)
-        if not rows:
+        toks_per_doc = [ws_tokens(s.lower()) for s in df["text"]]
+        n = len(toks_per_doc)
+        if n == 0:
             return acc
-        M = np.asarray(rows, np.int64)
+        lens = np.fromiter((len(t) for t in toks_per_doc), np.int64, count=n)
+        total = int(lens.sum())
+        if total == 0:
+            return acc
+        flat = np.empty(total, object)
+        i = 0
+        for ts in toks_per_doc:
+            flat[i : i + len(ts)] = ts
+            i += len(ts)
+        owner = np.repeat(np.arange(n), lens)
+        pos = np.searchsorted(vocab, flat)
+        pos[pos == K] = 0
+        hit = vocab[pos] == flat
+        M = np.zeros((n, K), np.int64)
+        M[owner[hit], pos[hit]] = 1
         return acc + M.T @ M
 
     agg = AggregateFn(
