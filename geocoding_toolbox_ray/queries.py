@@ -2751,14 +2751,25 @@ def pagerank_suppliers(sf_dir: str):
     from .stages.dedup import TARGET_BUCKET_ROWS, _sorted_kv_task
     from .stages.graph import PR_CUST_OFFSET, pagerank
 
+    from .stages.graph import PR_SMALL_GRAPH_EDGES
+
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
     kv_ref = _sorted_kv_task.remote(
         [br for bd in orders.iter_internal_ref_bundles() for br in bd.block_refs],
         "o_orderkey",
         "o_custkey",
     )
-    nb = max(8, _nrows(sf_dir, "lineitem") * 2 // TARGET_BUCKET_ROWS + 1)
+    n_li = _nrows(sf_dir, "lineitem")
+    nb = max(8, n_li * 2 // TARGET_BUCKET_ROWS + 1)
     mask = (1 << 31) - 1
+    # Scale-adaptive distinct (round-4 verdict #9): when even the
+    # PRE-dedup directed edge count (2 x lineitem rows) fits the
+    # single-task solver, the bucketed distinct shuffle is pure fixed
+    # cost (it deduped 1.20M -> 1.17M at sf0.1 while costing more than
+    # the solve) — emit per-batch-distinct edges and let the solver
+    # np.unique globally.  Above the threshold the distributed distinct
+    # is load-bearing and stays.
+    small = 2 * n_li <= PR_SMALL_GRAPH_EDGES
 
     def _edges(t: pa.Table) -> pa.Table:
         okeys, custs = ray.get(kv_ref)  # zero-copy object-store views
@@ -2766,20 +2777,25 @@ def pagerank_suppliers(sf_dir: str):
         sup = np.asarray(t["l_suppkey"].to_numpy(zero_copy_only=False), np.int64)
         cust = custs[np.searchsorted(okeys, lo)] + PR_CUST_OFFSET
         pack = np.unique(np.concatenate([(sup << 31) | cust, (cust << 31) | sup]))
+        if small:
+            return pa.table(
+                {"src": pa.array(pack >> 31), "dst": pa.array(pack & mask)}
+            )
         return pa.table(
             {"bucket": pa.array(pack % nb, pa.int64()), "pack": pa.array(pack)}
         )
+
+    raw = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"]).map_batches(
+        _edges, batch_format="pyarrow"
+    )
+    if small:
+        return pagerank(raw, assume_distinct=False)
 
     def _uniq(g: pd.DataFrame) -> pd.DataFrame:
         pk = np.unique(g["pack"].to_numpy(np.int64))
         return pd.DataFrame({"src": pk >> 31, "dst": pk & mask})
 
-    edges = (
-        _read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
-        .map_batches(_edges, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(_uniq, batch_format="pandas")
-    )
+    edges = raw.groupby("bucket").map_groups(_uniq, batch_format="pandas")
     return pagerank(edges)
 
 

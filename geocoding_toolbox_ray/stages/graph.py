@@ -82,9 +82,11 @@ def _pagerank_numpy(
 
 
 @_lazy_remote
-def _pagerank_small_task(refs, iters, scale, damp_num, damp_den):
+def _pagerank_small_task(refs, iters, scale, damp_num, damp_den, dedup=False):
     """Single-task fast path: gather the (src, dst) blocks, run the
-    vectorized iteration loop in one process."""
+    vectorized iteration loop in one process.  ``dedup=True`` uniques
+    the gathered edges here (one np.unique over a packed int64), letting
+    small-graph callers skip their distributed-distinct shuffle."""
     import ray
 
     srcs, dsts = [], []
@@ -94,6 +96,10 @@ def _pagerank_small_task(refs, iters, scale, damp_num, damp_den):
         dsts.append(_block_column(blk, "dst"))
     src = np.concatenate(srcs) if srcs else np.zeros(0, np.int64)
     dst = np.concatenate(dsts) if dsts else np.zeros(0, np.int64)
+    if dedup and len(src):
+        assert src.max() < (1 << 31) and dst.max() < (1 << 31), "widen edge pack"
+        pack = np.unique((src << 31) | dst)
+        src, dst = pack >> 31, pack & ((1 << 31) - 1)
     nodes = _sorted_unique(np.concatenate([src, dst]))
     if not len(nodes):
         return pa.table(
@@ -136,12 +142,17 @@ def pagerank(
     damp_num: int = PR_DAMP_NUM,
     damp_den: int = PR_DAMP_DEN,
     small_graph_edges: int = PR_SMALL_GRAPH_EDGES,
+    assume_distinct: bool = True,
 ):
     """(src:int64, dst:int64) edge Dataset -> (node_id, pr_score) Dataset.
 
-    Edges must already be DISTINCT (the caller owns multi-edge policy).
-    Each iteration streams the edge Dataset once through a mergeable
-    aggregate; the O(nodes) rank vector is the only driver-side state.
+    Edges must already be DISTINCT unless ``assume_distinct=False``, in
+    which case the edge count must fit the single-task fast path, which
+    uniques them itself — the round-5 shortcut that lets a small-graph
+    caller skip its distributed-distinct shuffle entirely (node ids must
+    then fit 31 bits for the dedup pack).  Each distributed iteration
+    streams the edge Dataset once through a mergeable aggregate; the
+    O(nodes) rank vector is the only driver-side state.
     """
     import ray
     import ray.data as rd
@@ -152,7 +163,17 @@ def pagerank(
     refs = [br for bd in edges.iter_internal_ref_bundles() for br in bd.block_refs]
     if n_edges <= small_graph_edges:
         return rd.from_arrow(
-            ray.get(_pagerank_small_task.remote(refs, iters, scale, damp_num, damp_den))
+            ray.get(
+                _pagerank_small_task.remote(
+                    refs, iters, scale, damp_num, damp_den, not assume_distinct
+                )
+            )
+        )
+    if not assume_distinct:
+        raise ValueError(
+            "pagerank(assume_distinct=False) requires the single-task path: "
+            f"{n_edges} edges > small_graph_edges={small_graph_edges}; "
+            "pre-distinct the edges (bucketed unique) for the distributed path"
         )
 
     nodes, deg = ray.get(_degree_task.remote(refs))
