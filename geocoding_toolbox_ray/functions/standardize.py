@@ -83,6 +83,20 @@ _UNIT_TAIL_RE = re.compile(_UNIT_TAIL_PATTERN)
 _FRACTION_PATTERN = r"^(\d+) 1 2\b"
 _FRACTION_RE = re.compile(_FRACTION_PATTERN)
 
+#: intersection grammar (round-5 depth): the reference's cleanse maps
+#: ``&`` -> ``and`` (geocode.py:46), so "MAIN ST & 200 S" survives
+#: cleansing as "MAIN ST and 200 S" and the API-side standardizer handled
+#: the rest.  Our grammar canonicalizes the MATCH KEY by splitting on the
+#: FIRST " and " and putting the lexicographically smaller side first —
+#: "main street and 200 south" keys as "200 south and main street".
+#: A no-op for every non-intersection address (no " and " substring in
+#: any standardized street), so geocode_orders' hash is untouched.
+#: standardizedAddress keeps the input order (like fraction/unit strips).
+#: RE2 non-greedy both sides (pyarrow and DuckDB); named groups because
+#: pyarrow extract_regex rejects unnamed ones (DuckDB indexes them 1/2).
+_INTERSECTION_PATTERN = r"^(?P<ia>.*?) and (?P<ib>.*)$"
+_INTERSECTION_RE = re.compile(_INTERSECTION_PATTERN)
+
 _COMPONENT_PATTERN = (
     r"^(?P<house>\d+)?\s*"
     r"(?P<prefix_dir>north|south|east|west)?\s*"
@@ -115,9 +129,20 @@ def strip_fraction(standardized: str) -> str:
     return _FRACTION_RE.sub(r"\1", standardized)
 
 
+def reorder_intersection(standardized: str) -> str:
+    """Match key: canonical side order for intersection addresses
+    ("main and 200" -> "200 and main"); identity when no " and "."""
+    m = _INTERSECTION_RE.match(standardized)
+    if m is None:
+        return standardized
+    a, b = m.group(1), m.group(2)
+    return standardized if a <= b else f"{b} and {a}"
+
+
 def match_key(standardized: str) -> str:
-    """The full match-key normalization: fraction strip + unit strip."""
-    return strip_unit(strip_fraction(standardized))
+    """The full match-key normalization: fraction strip + unit strip +
+    intersection side reorder."""
+    return reorder_intersection(strip_unit(strip_fraction(standardized)))
 
 
 def parse_components(standardized: str) -> dict:
@@ -156,11 +181,25 @@ def standardize_arrow_strip_unit(col: pa.Array | pa.ChunkedArray):
     )
 
 
+def reorder_intersection_arrow(col: pa.Array | pa.ChunkedArray):
+    """Vectorized ``reorder_intersection``: one extract_regex on the first
+    " and ", an if_else swap when the right side sorts first."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    parts = pc.extract_regex(col, pattern=_INTERSECTION_PATTERN)
+    a = pc.struct_field(parts, 0)
+    b = pc.struct_field(parts, 1)
+    swapped = pc.binary_join_element_wise(b, a, " and ")
+    need_swap = pc.and_kleene(pc.is_valid(a), pc.greater(a, b))
+    return pc.if_else(pc.fill_null(need_swap, False), swapped, col)
+
+
 def match_key_arrow(col: pa.Array | pa.ChunkedArray):
-    """Vectorized ``match_key``: fraction strip then unit strip (the
-    matcher's probe key; RE2 both sides, \\1 backreference)."""
+    """Vectorized ``match_key``: fraction strip, unit strip, intersection
+    reorder (the matcher's probe key; RE2 both sides, \\1 backreference)."""
     out = pc.replace_substring_regex(col, pattern=_FRACTION_PATTERN, replacement=r"\1")
-    return pc.replace_substring_regex(out, pattern=_UNIT_TAIL_PATTERN, replacement="")
+    out = pc.replace_substring_regex(out, pattern=_UNIT_TAIL_PATTERN, replacement="")
+    return reorder_intersection_arrow(out)
 
 
 def standardize_sql(expr: str) -> str:
@@ -175,7 +214,19 @@ def strip_unit_sql(expr: str) -> str:
     return f"regexp_replace({expr}, '{_UNIT_TAIL_PATTERN}', '')"
 
 
+def reorder_intersection_sql(expr: str) -> str:
+    """Same canonicalization as ``reorder_intersection_arrow`` (RE2 both
+    sides; DuckDB varchar comparison is bytewise like Arrow's)."""
+    a = f"regexp_extract({expr}, '{_INTERSECTION_PATTERN}', 1)"
+    b = f"regexp_extract({expr}, '{_INTERSECTION_PATTERN}', 2)"
+    return (
+        f"CASE WHEN regexp_matches({expr}, '{_INTERSECTION_PATTERN}') "
+        f"AND {a} > {b} THEN {b} || ' and ' || {a} ELSE {expr} END"
+    )
+
+
 def match_key_sql(expr: str) -> str:
-    """Same chain as ``match_key_arrow`` (fraction strip, then unit strip)."""
+    """Same chain as ``match_key_arrow`` (fraction strip, unit strip,
+    intersection side reorder)."""
     frac = f"regexp_replace({expr}, '{_FRACTION_PATTERN}', '\\1')"
-    return f"regexp_replace({frac}, '{_UNIT_TAIL_PATTERN}', '')"
+    return reorder_intersection_sql(f"regexp_replace({frac}, '{_UNIT_TAIL_PATTERN}', '')")

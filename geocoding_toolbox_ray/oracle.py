@@ -27,6 +27,7 @@ def geocode_orders_sql(
     wkid: int = 26912,
     candidates_sql: str | None = None,
     include_highways: bool = False,
+    include_intersections: bool = False,
 ) -> str:
     """Full 11-column geocode output over candidates derived from ``orders``,
     parameterized exactly like the engine: locator-tier selection, PO Box
@@ -61,7 +62,7 @@ std AS (
     -- constants as the engine)
     SELECT *, {match_key_sql('addr_std_in')} AS addr_key FROM std0
 ),
-{address_points_values_sql('ap', include_pobox=(pobox == 'true'), include_highways=include_highways)},
+{address_points_values_sql('ap', include_pobox=(pobox == 'true'), include_highways=include_highways, include_intersections=include_intersections)},
 scored AS (
     SELECT s.primary_key, s.addr_std_in,
            ap.point_id, ap.addr_std, ap.match_address, ap.x, ap.y,
@@ -1441,6 +1442,14 @@ def geocode_orders_highways_sql() -> str:
 
     return geocode_orders_sql(
         candidates_sql=derive_highways_sql(), include_highways=True
+    )
+
+
+def geocode_orders_intersections_sql() -> str:
+    from .pipelines.candidates import derive_intersections_sql
+
+    return geocode_orders_sql(
+        candidates_sql=derive_intersections_sql(), include_intersections=True
     )
 
 

@@ -244,3 +244,59 @@ def derive_pobox_sql() -> str:
         "'PO Box ' || CAST(1 + o_orderkey % 8 AS VARCHAR) AS input_street, "
         f"{zone} AS input_zone FROM orders"
     )
+
+
+def derive_intersection_candidates(batch: pa.Table) -> pa.Table:
+    """Intersection candidate rows (round-5 grammar depth): street pairs
+    joined by ``&`` or the literal ``and`` — the one common Utah address
+    shape the base grammar didn't parse ("MAIN ST & 200 S"; the
+    reference's cleanse maps ``&`` -> ``and``, geocode.py:46, and the
+    API-side standardizer handled the rest).
+
+    Side A = STREETS6[(i//4) % 6] (incl. the 'fasf' garbage -> error
+    rows), side B = STREETS6 at a nonzero offset (1 + i%4, never == A).
+    Sides appear in DERIVATION order — roughly half the rows present the
+    pair in the non-canonical order, exercising the match-key reorder.
+    Separator alternates '&' / 'and'; the usual i%3 cleansing noise wraps
+    the whole string.  SQL twin: ``derive_intersections_sql``."""
+    i = np.asarray(batch["o_orderkey"].to_numpy(zero_copy_only=False), np.int64)
+    a_idx = (i // 4) % 6
+    b_idx = (a_idx + 1 + i % 4) % 6
+    name_a = pd.Series(np.array(STREETS6, object)[a_idx])
+    name_b = pd.Series(np.array(STREETS6, object)[b_idx])
+    sep = pd.Series(np.where(i % 2 == 0, " & ", " and "))
+    base = name_a + sep + name_b
+    noise = i % 3
+    street = base.copy()
+    street[noise == 1] = "  " + base[noise == 1] + "  "
+    street[noise == 2] = base[noise == 2] + "$%#"
+    zone = pd.Series(np.array(ZONES6, object)[(i // 3) % 6])
+    return pa.table(
+        {
+            "primary_key": pa.array(i.astype(str), pa.string()),
+            "input_street": pa.array(street, pa.string()),
+            "input_zone": pa.array(zone, pa.string()),
+        }
+    )
+
+
+def derive_intersections_sql() -> str:
+    def _case(expr: str, options: tuple[str, ...]) -> str:
+        whens = " ".join(
+            f"WHEN {k} THEN '{v.replace(chr(39), chr(39) * 2)}'" for k, v in enumerate(options)
+        )
+        return f"CASE {expr} {whens} END"
+
+    name_a = _case("(o_orderkey // 4) % 6", STREETS6)
+    name_b = _case("((o_orderkey // 4) % 6 + 1 + o_orderkey % 4) % 6", STREETS6)
+    sep = "CASE WHEN o_orderkey % 2 = 0 THEN ' & ' ELSE ' and ' END"
+    base = f"({name_a}) || ({sep}) || ({name_b})"
+    street = (
+        "CASE o_orderkey % 3 WHEN 1 THEN '  ' || ({b}) || '  ' "
+        "WHEN 2 THEN ({b}) || '$%#' ELSE ({b}) END"
+    ).format(b=base)
+    zone = _case("(o_orderkey // 3) % 6", ZONES6)
+    return (
+        "SELECT CAST(o_orderkey AS VARCHAR) AS primary_key, "
+        f"{street} AS input_street, {zone} AS input_zone FROM orders"
+    )

@@ -1163,6 +1163,27 @@ def geocode_orders_highways(sf_dir: str):
     return geocode_candidates(cands, PipelineConfig(), index_ref=index_ref)
 
 
+def geocode_orders_intersections(sf_dir: str):
+    """Round-5 grammar depth: intersection addresses ("MAIN ST & 200 S" /
+    "STATE and 400 S") — the reference's cleanse maps '&' -> 'and'
+    (geocode.py:46) so intersection text survives cleansing, and the
+    API-side standardizer handled the pair.  Our grammar canonicalizes
+    the match key (smaller standardized side first) and the locator
+    layer gains one intersection point per street pair per city
+    (include_intersections, appended last — other tiers' point_ids
+    stable)."""
+    from .pipelines.candidates import derive_intersection_candidates
+    from .pipelines.geocode import build_index_ref
+    from .sources.synthetic import address_points_table
+
+    index_ref = build_index_ref(
+        "all", address_points=address_points_table(include_intersections=True)
+    )
+    orders = _read(sf_dir, "orders", columns=["o_orderkey"])
+    cands = orders.map_batches(derive_intersection_candidates, batch_format="pyarrow")
+    return geocode_candidates(cands, PipelineConfig(), index_ref=index_ref)
+
+
 def geocode_join_orders(sf_dir: str):
     """J5 re-join: geocode output x orders on primary_key via the native
     hash-partitioned Dataset.join (both sides large -> shuffle join)."""

@@ -78,7 +78,11 @@ POBOX_PER_CITY = 5
 HIGHWAY_STREETS: tuple[str, ...] = ("US 89", "HWY 40")
 
 
-def _address_point_rows(include_pobox: bool = False, include_highways: bool = False) -> list[dict]:
+def _address_point_rows(
+    include_pobox: bool = False,
+    include_highways: bool = False,
+    include_intersections: bool = False,
+) -> list[dict]:
     rows = []
     pid = 0
     for ci, (city, zip5, cx, cy) in enumerate(CITIES):
@@ -160,25 +164,58 @@ def _address_point_rows(include_pobox: bool = False, include_highways: bool = Fa
                             "locator": "RoadCenterlines",
                         }
                     )
+    if include_intersections:
+        # intersection points (round-5 grammar depth): one point per
+        # unordered street pair per city, appended LAST so point_ids of
+        # every other tier stay stable whichever flags are set.  addr_std
+        # is the CANONICAL match key (standardized sides, smaller side
+        # first) — the same ordering the match-key reorder applies to
+        # inputs; match_address keeps the raw "A & B" form.
+        for ci, (city, zip5, cx, cy) in enumerate(CITIES):
+            for si in range(len(STREETS)):
+                for sj in range(si + 1, len(STREETS)):
+                    pid += 1
+                    sa = standardize(cleanse_street(STREETS[si]))
+                    sb = standardize(cleanse_street(STREETS[sj]))
+                    lo_s, hi_s = (sa, sb) if sa <= sb else (sb, sa)
+                    rows.append(
+                        {
+                            "point_id": pid,
+                            "addr_std": f"{lo_s} and {hi_s}",
+                            "match_address": f"{STREETS[si]} & {STREETS[sj]}",
+                            "zone": city,
+                            "zip": zip5,
+                            "x": cx + (si * len(STREETS) + sj) * 150.0 + 37.0,
+                            "y": cy + (si + sj * 2) * 90.0 + 11.0,
+                            "address_grid": city.upper(),
+                            "locator": "RoadCenterlines",
+                        }
+                    )
     return rows
 
 
 def address_points_table(
-    include_pobox: bool = False, include_highways: bool = False
+    include_pobox: bool = False,
+    include_highways: bool = False,
+    include_intersections: bool = False,
 ) -> pa.Table:
     """The deterministic address-point reference layer (485 rows; +40 PO Box
     delivery points when ``include_pobox``; +160 highway centerline points
-    when ``include_highways``)."""
-    rows = _address_point_rows(include_pobox, include_highways)
+    when ``include_highways``; +120 intersection points when
+    ``include_intersections``)."""
+    rows = _address_point_rows(include_pobox, include_highways, include_intersections)
     cols = {name: [r[name] for r in rows] for name in ADDRESS_POINTS_SCHEMA.names}
     return pa.table(cols, schema=ADDRESS_POINTS_SCHEMA)
 
 
 def address_points_values_sql(
-    alias: str = "ap", include_pobox: bool = False, include_highways: bool = False
+    alias: str = "ap",
+    include_pobox: bool = False,
+    include_highways: bool = False,
+    include_intersections: bool = False,
 ) -> str:
     """The same table as a DuckDB VALUES CTE body: ``{alias}(cols...) AS (VALUES ...)``."""
-    rows = _address_point_rows(include_pobox, include_highways)
+    rows = _address_point_rows(include_pobox, include_highways, include_intersections)
     parts = []
     for r in rows:
         parts.append(

@@ -197,6 +197,7 @@ def test_rows_only_queries_run(ray_session):
         "geocode_pobox",
         "geocode_orders_units",
         "geocode_orders_highways",
+        "geocode_orders_intersections",
         "geocode_orders_dedup",
         "geocode_join_orders",
         "cell_skew_topk",

@@ -106,6 +106,13 @@ def test_match_key_scalar_arrow_sql_parity():
         "3 north us highway 89",         # identity (no fraction, no unit)
         "1 2 3",                         # NOT a fraction shape
         "",
+        # intersection reorder (round-5 grammar depth)
+        "main street and 200 south",     # -> "200 south and main street"
+        "200 and main",                  # already canonical (identity)
+        "state and state route 6",       # canonical (prefix order)
+        "state route 6 and state",       # -> swapped
+        "main and main",                 # equal sides (identity)
+        "a and b and c",                 # first-" and "-split, a <= rest
     ]
     got_arrow = standardize.match_key_arrow(pa.array(cases)).to_pylist()
     con = duckdb.connect()
@@ -116,6 +123,11 @@ def test_match_key_scalar_arrow_sql_parity():
         assert gs == expected, s
     assert standardize.match_key("39 1 2 north main") == "39 north main"
     assert standardize.match_key("5 east highway 40 ste 100 110") == "5 east highway 40"
+    assert (
+        standardize.match_key("main street and 200 south")
+        == "200 south and main street"
+    )
+    assert standardize.match_key("200 and main") == "200 and main"
 
 
 def test_highway_aliases_standardize():
