@@ -8310,6 +8310,51 @@ def orders_skyline(sf_dir: str) -> pd.DataFrame:
 SNAP_RADIUS_M = 2000
 
 
+SNAP_CELL_M = 4096  # blocking cell edge (>= radius not required; bboxes inflate by R)
+
+
+def _snap_seg_arrays():
+    """Segment layer as flat int64 arrays (module-level so the cell-blocked
+    kernel and tests share one loader)."""
+    from .sources.synthetic import _road_segment_rows
+
+    segs = _road_segment_rows()
+    return {
+        "ax": np.asarray([r["ax"] for r in segs], np.int64),
+        "ay": np.asarray([r["ay"] for r in segs], np.int64),
+        "bx": np.asarray([r["bx"] for r in segs], np.int64),
+        "by": np.asarray([r["by"] for r in segs], np.int64),
+        "sid": np.asarray([r["seg_id"] for r in segs], np.int64),
+        "len2": np.asarray([r["len2"] for r in segs], np.int64),
+    }
+
+
+def _build_snap_cells(seg: dict, radius: int, cell: int):
+    """CSR cell index over segments: each segment registers in every cell
+    its R-inflated bbox overlaps, so a point probing ONLY ITS OWN cell
+    sees every segment within R (completeness: |p-s| <= R means the
+    inflated bbox contains p).  Returns (cell_keys_sorted, starts, seg_idx)
+    with per-cell seg_idx ascending — the argmin-first tie-break order."""
+    x0 = (np.minimum(seg["ax"], seg["bx"]) - radius) // cell
+    x1 = (np.maximum(seg["ax"], seg["bx"]) + radius) // cell
+    y0 = (np.minimum(seg["ay"], seg["by"]) - radius) // cell
+    y1 = (np.maximum(seg["ay"], seg["by"]) + radius) // cell
+    nx = (x1 - x0 + 1).astype(np.int64)
+    ny = (y1 - y0 + 1).astype(np.int64)
+    counts = nx * ny
+    owner = np.repeat(np.arange(len(counts)), counts)
+    pos = np.arange(int(counts.sum()), dtype=np.int64) - np.repeat(
+        np.cumsum(counts) - counts, counts
+    )
+    cx = x0[owner] + pos // ny[owner]
+    cy = y0[owner] + pos % ny[owner]
+    key = cx * (1 << 20) + cy
+    order = np.lexsort((owner, key))
+    key_s, owner_s = key[order], owner[order]
+    uk, starts, cnt = np.unique(key_s, return_index=True, return_counts=True)
+    return uk, starts, np.append(starts[1:], len(key_s)), owner_s
+
+
 def snap_points_to_roads(sf_dir: str):
     """Map matching: snap every anchored query point to its nearest road
     segment within SNAP_RADIUS_M (the polyline layer derived from the
@@ -8318,54 +8363,104 @@ def snap_points_to_roads(sf_dir: str):
     d2_num = |p-a|^2*len2 - dot^2 clamped to the endpoints — and the
     winner comparator is d2_num/len2 in float64, which is EXACT for every
     in-radius candidate (d2_num <= R^2*len2 < 2^53), identical IEEE ops
-    in numpy and DuckDB.  Segments broadcast (144 rows); per batch one
-    (N x S) vectorized pass; ties break to the smallest seg_id via
-    argmin-first over seg_id-ordered arrays."""
+    in numpy and DuckDB.  Candidates come from the matcher's own
+    CELL-BLOCKING recipe (round-4 verdict #8): segments register in every
+    SNAP_CELL_M cell their R-inflated bbox overlaps (CSR broadcast built
+    once), each point probes only its own cell — complete for radius R,
+    and the per-batch work is candidate pairs, not N x S (the dense pass
+    was right for the 144-segment fixture but not for a real centerline
+    layer; tests/test_pip_knn.py pins blocked == dense on a 20k-segment
+    layer where dense would not fit a batch).  Ties break to the smallest
+    seg_id (per-cell candidate lists are seg-ascending; first-min wins)."""
     from .pipelines.spatial import derive_anchored_points
-    from .sources.synthetic import _road_segment_rows
 
-    segs = _road_segment_rows()
-    ax = np.asarray([r["ax"] for r in segs], np.int64)
-    ay = np.asarray([r["ay"] for r in segs], np.int64)
-    bx = np.asarray([r["bx"] for r in segs], np.int64)
-    by = np.asarray([r["by"] for r in segs], np.int64)
-    sid = np.asarray([r["seg_id"] for r in segs], np.int64)
-    len2 = np.asarray([r["len2"] for r in segs], np.int64)
-    abx, aby = bx - ax, by - ay
-    r2cap = SNAP_RADIUS_M * SNAP_RADIUS_M
+    seg = _snap_seg_arrays()
+    index = _build_snap_cells(seg, SNAP_RADIUS_M, SNAP_CELL_M)
 
     li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber"])
 
     def _snap(t: pa.Table) -> pd.DataFrame:
         pts = derive_anchored_points(t)
-        qx = np.asarray(pts["qx"].to_numpy(zero_copy_only=False), np.int64)[:, None]
-        qy = np.asarray(pts["qy"].to_numpy(zero_copy_only=False), np.int64)[:, None]
+        qx = np.asarray(pts["qx"].to_numpy(zero_copy_only=False), np.int64)
+        qy = np.asarray(pts["qy"].to_numpy(zero_copy_only=False), np.int64)
         qid = np.asarray(pts["query_id"].to_numpy(zero_copy_only=False), np.int64)
-        dxa, dya = qx - ax[None, :], qy - ay[None, :]
-        dxb, dyb = qx - bx[None, :], qy - by[None, :]
-        dot = dxa * abx[None, :] + dya * aby[None, :]
-        d2a = dxa * dxa + dya * dya
-        d2b = dxb * dxb + dyb * dyb
-        num = np.where(
-            dot <= 0,
-            d2a * len2[None, :],
-            np.where(dot >= len2[None, :], d2b * len2[None, :], d2a * len2[None, :] - dot * dot),
-        )
-        ok = num <= r2cap * len2[None, :]
-        key = np.where(ok, num.astype(np.float64) / len2[None, :], np.inf)
-        best = np.argmin(key, axis=1)  # first min -> smallest seg_id
-        has = ok[np.arange(len(qid)), best]
-        b = best[has]
-        return pd.DataFrame(
-            {
-                "query_id": qid[has],
-                "seg_id": sid[b],
-                "d2_num": num[has, b],
-                "len2": len2[b],
-            }
-        )
+        return snap_blocked(qx, qy, qid, seg, index, SNAP_RADIUS_M, SNAP_CELL_M)
 
     return li.map_batches(_snap, batch_format="pyarrow", batch_size=4096)
+
+
+def snap_blocked(
+    qx: np.ndarray,
+    qy: np.ndarray,
+    qid: np.ndarray,
+    seg: dict,
+    index,
+    radius: int,
+    cell: int,
+) -> pd.DataFrame:
+    """One vectorized cell-blocked snap pass: span-gather each point's
+    cell candidates, exact rational distances on the flat pair list,
+    first-min winner per point (ties -> smallest seg_id)."""
+    uk, starts, ends, seg_idx = index
+    pkey = (qx // cell) * (1 << 20) + qy // cell
+    pos = np.searchsorted(uk, pkey)
+    pos_ok = pos < len(uk)
+    hit = np.zeros(len(pkey), bool)
+    hit[pos_ok] = uk[pos[pos_ok]] == pkey[pos_ok]
+    empty = pd.DataFrame(
+        {
+            "query_id": pd.array([], "int64"),
+            "seg_id": pd.array([], "int64"),
+            "d2_num": pd.array([], "int64"),
+            "len2": pd.array([], "int64"),
+        }
+    )
+    if not hit.any():
+        return empty
+    p_sel = np.flatnonzero(hit)
+    lo = starts[pos[p_sel]]
+    n_cand = ends[pos[p_sel]] - lo
+    total = int(n_cand.sum())
+    if total == 0:
+        return empty
+    pi = np.repeat(p_sel, n_cand)
+    flat = np.arange(total, dtype=np.int64) - np.repeat(
+        np.cumsum(n_cand) - n_cand, n_cand
+    ) + np.repeat(lo, n_cand)
+    si = seg_idx[flat]
+    ax, ay, bx, by = seg["ax"][si], seg["ay"][si], seg["bx"][si], seg["by"][si]
+    len2 = seg["len2"][si]
+    abx, aby = bx - ax, by - ay
+    dxa, dya = qx[pi] - ax, qy[pi] - ay
+    dxb, dyb = qx[pi] - bx, qy[pi] - by
+    dot = dxa * abx + dya * aby
+    d2a = dxa * dxa + dya * dya
+    d2b = dxb * dxb + dyb * dyb
+    num = np.where(
+        dot <= 0,
+        d2a * len2,
+        np.where(dot >= len2, d2b * len2, d2a * len2 - dot * dot),
+    )
+    ok = num <= radius * radius * len2
+    if not ok.any():
+        return empty
+    pi, si, num, len2 = pi[ok], si[ok], num[ok], len2[ok]
+    key = num.astype(np.float64) / len2
+    # winner per point: sort by (point, key, seg_id) — the oracle's
+    # ORDER BY CAST(d2_num AS DOUBLE)/len2, seg_id tie-break exactly
+    order = np.lexsort((seg["sid"][si], key, pi))
+    pi_s = pi[order]
+    first = np.ones(len(pi_s), bool)
+    first[1:] = pi_s[1:] != pi_s[:-1]
+    w = order[first]
+    return pd.DataFrame(
+        {
+            "query_id": qid[pi[w]],
+            "seg_id": seg["sid"][si[w]],
+            "d2_num": num[w],
+            "len2": len2[w],
+        }
+    )
 
 
 def user_event_gini(sf_dir: str):

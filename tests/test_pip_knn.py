@@ -152,3 +152,74 @@ def test_polygon_areas_shoelace():
     ]
     areas = polygon_areas(PackedPolygons([rect, tri, holed]))
     assert areas.tolist() == [12.0, 18.0, 96.0]
+
+
+def test_snap_blocked_matches_dense_on_large_layer():
+    """Cell-blocked snap == brute-force dense snap on a 20k-segment layer
+    (round-4 verdict #8: the dense (N x S) pass would be ~20k x batch
+    rows — the blocked path must stay complete for radius R at a segment
+    count where dense does not fit a production batch).  Deterministic
+    pseudo-layer, integral coords, seg_ids ascending."""
+    import numpy as np
+
+    from geocoding_toolbox_ray.queries import (
+        SNAP_CELL_M,
+        SNAP_RADIUS_M,
+        _build_snap_cells,
+        snap_blocked,
+    )
+
+    S, N = 20_000, 500
+    i = np.arange(S, dtype=np.int64)
+    ax = (i * 2654435761) % 1_000_000
+    ay = (i * 40503 + 7) % 1_000_000
+    bx = ax + (i * 97) % 3000 - 1500
+    by = ay + (i * 131) % 3000 - 1500
+    keep = (bx != ax) | (by != ay)  # zero-length segments out (len2 > 0)
+    ax, ay, bx, by = ax[keep], ay[keep], bx[keep], by[keep]
+    seg = {
+        "ax": ax, "ay": ay, "bx": bx, "by": by,
+        "sid": np.arange(1, len(ax) + 1, dtype=np.int64),
+        "len2": (bx - ax) ** 2 + (by - ay) ** 2,
+    }
+    j = np.arange(N, dtype=np.int64)
+    qx = (j * 9176 + 123) % 1_000_000
+    qy = (j * 30323 + 45) % 1_000_000
+    qid = j
+
+    index = _build_snap_cells(seg, SNAP_RADIUS_M, SNAP_CELL_M)
+    got = snap_blocked(qx, qy, qid, seg, index, SNAP_RADIUS_M, SNAP_CELL_M)
+
+    # dense reference (N x S fits only at test size)
+    abx, aby = seg["bx"] - seg["ax"], seg["by"] - seg["ay"]
+    dxa = qx[:, None] - seg["ax"][None, :]
+    dya = qy[:, None] - seg["ay"][None, :]
+    dxb = qx[:, None] - seg["bx"][None, :]
+    dyb = qy[:, None] - seg["by"][None, :]
+    dot = dxa * abx[None, :] + dya * aby[None, :]
+    l2 = seg["len2"][None, :]
+    num = np.where(
+        dot <= 0,
+        (dxa * dxa + dya * dya) * l2,
+        np.where(dot >= l2, (dxb * dxb + dyb * dyb) * l2,
+                 (dxa * dxa + dya * dya) * l2 - dot * dot),
+    )
+    ok = num <= SNAP_RADIUS_M * SNAP_RADIUS_M * l2
+    key = np.where(ok, num.astype(np.float64) / l2, np.inf)
+    best = np.argmin(key, axis=1)
+    has = ok[np.arange(N), best]
+    exp = {
+        int(qid[k]): (
+            int(seg["sid"][best[k]]),
+            int(num[k, best[k]]),
+            int(seg["len2"][best[k]]),
+        )
+        for k in range(N)
+        if has[k]
+    }
+    got_map = {
+        int(r.query_id): (int(r.seg_id), int(r.d2_num), int(r.len2))
+        for r in got.itertuples()
+    }
+    assert len(exp) > 50  # the layer actually produces matches
+    assert got_map == exp
