@@ -10428,9 +10428,9 @@ def docs_with_all_tokens(sf_dir: str):
     from .functions.text import ws_tokens
 
     k = len(BOOL_QUERY_TOKENS)
-    qset = set(BOOL_QUERY_TOKENS)
 
     def _f(df: pd.DataFrame) -> pd.DataFrame:
+        qset = set(BOOL_QUERY_TOKENS)  # built per task from the module constant
         ids = df["doc_id"].to_numpy(np.int64)
         keep = []
         for i, txt in enumerate(df["text"]):
