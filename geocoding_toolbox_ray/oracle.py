@@ -5102,3 +5102,107 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
        CAST(COUNT(*) * SUM(cents) AS BIGINT) AS gini_den
 FROM o
 """
+
+
+# ------------------------------------------------ round-5 additions
+
+def q21_waiting_suppliers_sql() -> str:
+    """TPC-H q21 adaptation: the sole late supplier on multi-supplier
+    orders (late = shipped > Q21_LATE_DAYS after the order date)."""
+    from .queries import Q21_LATE_DAYS
+
+    return f"""
+WITH per AS (
+    SELECT l.l_orderkey, l.l_suppkey,
+           MAX(CASE WHEN date_diff('day', date_trunc('day', o.o_orderdate),
+                                   date_trunc('day', l.l_shipdate)) > {Q21_LATE_DAYS}
+                    THEN 1 ELSE 0 END) AS late
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY 1, 2
+),
+per_order AS (
+    SELECT l_orderkey, COUNT(*) AS n_supp, SUM(late) AS n_late,
+           MAX(CASE WHEN late = 1 THEN l_suppkey END) AS late_supp
+    FROM per GROUP BY 1
+),
+waits AS (
+    SELECT late_supp AS s_suppkey, COUNT(*) AS numwait
+    FROM per_order WHERE n_supp >= 2 AND n_late = 1 GROUP BY 1
+)
+SELECT s.s_suppkey, s.s_name, CAST(w.numwait AS BIGINT) AS numwait
+FROM waits w JOIN supplier s ON s.s_suppkey = w.s_suppkey
+"""
+
+
+def route_road_crossings_sql() -> str:
+    """Proper segment-crossing counts via strict orientation SIGN tests
+    (never cross-product products — nothing overflows int64)."""
+    from .functions.cells import X0, Y0
+    from .sources.synthetic import road_segments_values_sql
+
+    def cs(ox, oy, px, py, qx, qy):
+        return f"sign(({px} - {ox}) * ({qy} - {oy}) - ({py} - {oy}) * ({qx} - {ox}))"
+
+    d1 = cs("p1x", "p1y", "p2x", "p2y", "CAST(s.ax AS BIGINT)", "CAST(s.ay AS BIGINT)")
+    d2 = cs("p1x", "p1y", "p2x", "p2y", "CAST(s.bx AS BIGINT)", "CAST(s.by AS BIGINT)")
+    d3 = cs("CAST(s.ax AS BIGINT)", "CAST(s.ay AS BIGINT)",
+            "CAST(s.bx AS BIGINT)", "CAST(s.by AS BIGINT)", "p1x", "p1y")
+    d4 = cs("CAST(s.ax AS BIGINT)", "CAST(s.ay AS BIGINT)",
+            "CAST(s.bx AS BIGINT)", "CAST(s.by AS BIGINT)", "p2x", "p2y")
+    return f"""
+WITH {road_segments_values_sql('segs')},
+q AS (
+    SELECT l_orderkey * 10 + l_linenumber AS query_id,
+           CAST({X0!r} + ((l_orderkey * 131 + l_linenumber * 17) % 4096) * 125 AS BIGINT) AS p1x,
+           CAST({Y0!r} + ((l_orderkey * 241 + l_linenumber * 13) % 4096) * 125 AS BIGINT) AS p1y,
+           CAST({X0!r} + ((l_orderkey * 131 + l_linenumber * 17 + 1777) % 4096) * 125 AS BIGINT) AS p2x,
+           CAST({Y0!r} + ((l_orderkey * 241 + l_linenumber * 13 + 911) % 4096) * 125 AS BIGINT) AS p2y
+    FROM lineitem
+),
+qd AS (SELECT DISTINCT * FROM q),
+hits AS (
+    SELECT qd.query_id,
+           CASE WHEN ({d1}) * ({d2}) < 0 AND ({d3}) * ({d4}) < 0
+                THEN 1 ELSE 0 END AS hit
+    FROM qd CROSS JOIN segs s
+),
+cnt AS (SELECT query_id, CAST(SUM(hit) AS BIGINT) AS n_crossings FROM hits GROUP BY 1)
+-- per-INPUT-ROW semantics: join back so duplicate (orderkey, linenumber)
+-- rows keep their multiplicity (query_id is injective: linenumber <= 9)
+SELECT q.query_id, c.n_crossings
+FROM q JOIN cnt c ON c.query_id = q.query_id
+"""
+
+
+def users_all_event_types_sql() -> str:
+    return """
+WITH per AS (
+    SELECT user_id, COUNT(DISTINCT event_type) AS n FROM events GROUP BY 1
+)
+SELECT user_id FROM per
+WHERE n = (SELECT COUNT(DISTINCT event_type) FROM events)
+"""
+
+
+def doc_mean_token_df_sql() -> str:
+    """Mean token document-frequency per doc: distinctness and df both
+    over the shared ROLL_* fingerprint (identical collision behavior)."""
+    from .functions.text import rolling_fingerprint_sql
+    from .queries import MEAN_DF_SCALE
+
+    return f"""
+WITH {_doc_tokens_cte()},
+tk AS (SELECT doc_id, unnest(ts) AS t FROM toks),
+h AS (SELECT DISTINCT doc_id, {rolling_fingerprint_sql('t')} AS fp FROM tk),
+dfreq AS (SELECT fp, CAST(COUNT(*) AS BIGINT) AS df FROM h GROUP BY 1),
+agg AS (
+    SELECT h.doc_id,
+           CAST(SUM(d.df) AS BIGINT) AS tot,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct
+    FROM h JOIN dfreq d ON d.fp = h.fp
+    GROUP BY 1
+)
+SELECT doc_id, CAST({MEAN_DF_SCALE} * tot // n_distinct AS BIGINT) AS mean_df_scaled,
+       n_distinct
+FROM agg
+"""

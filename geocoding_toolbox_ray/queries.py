@@ -12213,3 +12213,265 @@ def customer_revenue_gini(sf_dir: str) -> pd.DataFrame:
             "gini_den": np.asarray([n * total], np.int64),
         }
     )
+
+
+# ------------------------------------------------ round-5 additions
+
+Q21_LATE_DAYS = 90
+
+
+def q21_waiting_suppliers(sf_dir: str) -> pd.DataFrame:
+    """TPC-H q21 adapted to the synthetic schema (no commit/receipt
+    dates): a supplier "kept the order waiting" when it shipped a line
+    more than Q21_LATE_DAYS after the order date on a MULTI-supplier
+    order where it was the ONLY late supplier.  Order dates broadcast as
+    a sorted kv array (fact never shuffles); per-batch distinct
+    (order, supplier, late) partials -> order-bucket shuffle -> per-order
+    resolution -> supplier counts (driver combine bounded by the supplier
+    entity count, never rows)."""
+    import pyarrow.compute as pc
+    import ray
+
+    from .stages.dedup import _sorted_kv_task
+
+    def _day_col(col) -> np.ndarray:
+        day = pc.cast(
+            pc.days_between(
+                pa.scalar(pd.Timestamp("1990-01-01"), pa.timestamp("us")),
+                pc.floor_temporal(col, unit="day"),
+            ),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        return np.asarray(day, np.int64)
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"]).map_batches(
+        lambda t: pa.table(
+            {"k": t["o_orderkey"], "v": pa.array(_day_col(t["o_orderdate"]))}
+        ),
+        batch_format="pyarrow",
+    )
+    refs = [br for b in orders.iter_internal_ref_bundles() for br in b.block_refs]
+    kv_ref = _sorted_kv_task.remote(refs, "k", "v")
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey", "l_shipdate"])
+
+    def _partial(t: pa.Table) -> pd.DataFrame:
+        ks, vs = ray.get(kv_ref)
+        ok = np.asarray(t["l_orderkey"].to_numpy(zero_copy_only=False), np.int64)
+        sk = np.asarray(t["l_suppkey"].to_numpy(zero_copy_only=False), np.int64)
+        late = (_day_col(t["l_shipdate"]) - vs[np.searchsorted(ks, ok)]) > Q21_LATE_DAYS
+        df = pd.DataFrame({"ok": ok, "sk": sk, "late": late.astype(np.int64)})
+        agg = df.groupby(["ok", "sk"], sort=False)["late"].max().reset_index()
+        agg["bucket"] = (agg["ok"].to_numpy(np.int64) * 2654435761 % 2**32) % SESSION_BUCKETS
+        return agg[["bucket", "ok", "sk", "late"]]
+
+    def _resolve(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["ok", "sk"], sort=False)["late"].max().reset_index()
+        per = agg.groupby("ok", sort=False).agg(
+            n_supp=("sk", "size"), n_late=("late", "sum")
+        )
+        late_rows = agg[agg["late"] == 1]
+        late_of = late_rows.set_index("ok")["sk"]
+        sole = per[(per["n_supp"] >= 2) & (per["n_late"] == 1)].index
+        winners = late_of.loc[late_of.index.isin(sole)]
+        cnt = winners.groupby(winners).size()
+        return pd.DataFrame(
+            {
+                "s_suppkey": cnt.index.to_numpy(np.int64),
+                "part_n": cnt.to_numpy(np.int64),
+            }
+        )
+
+    parts = (
+        li.map_batches(_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_resolve, batch_format="pandas")
+        .to_pandas()
+    )
+    if parts.empty:
+        return pd.DataFrame(
+            {
+                "s_suppkey": pd.array([], "int64"),
+                "s_name": pd.array([], "object"),
+                "numwait": pd.array([], "int64"),
+            }
+        )
+    numwait = parts.groupby("s_suppkey")["part_n"].sum()
+    sup = (
+        _read(sf_dir, "supplier", columns=["s_suppkey", "s_name"])
+        .to_pandas()
+        .set_index("s_suppkey")["s_name"]
+    )
+    keys = numwait.index.to_numpy(np.int64)
+    return pd.DataFrame(
+        {
+            "s_suppkey": keys,
+            "s_name": sup.reindex(keys).to_numpy(object),
+            "numwait": numwait.to_numpy(np.int64),
+        }
+    )
+
+
+def route_road_crossings(sf_dir: str):
+    """Vector-overlay primitive: each lineitem row derives one movement
+    segment between two lattice points; count how many ROAD segments it
+    properly crosses (strict orientation tests, EXACT int64 — sign
+    comparisons, never cross-product products, so nothing overflows).
+    The 144-segment road layer is a bounded reference layer evaluated
+    densely per batch (like the parcel layer); input rows stream."""
+    from .functions.cells import X0, Y0
+
+    seg = _snap_seg_arrays()
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber"])
+
+    def _cross_sign(ox, oy, px, py, qx, qy):
+        # sign of the z-cross of (p-o) x (q-o); int64, |coords| < 2^21
+        v = (px - ox) * (qy - oy) - (py - oy) * (qx - ox)
+        return np.sign(v)
+
+    def _f(t: pa.Table) -> pa.Table:
+        ok = np.asarray(t["l_orderkey"].to_numpy(zero_copy_only=False), np.int64)
+        ln = np.asarray(t["l_linenumber"].to_numpy(zero_copy_only=False), np.int64)
+        p1x = (X0 + ((ok * 131 + ln * 17) % 4096) * 125).astype(np.int64)
+        p1y = (Y0 + ((ok * 241 + ln * 13) % 4096) * 125).astype(np.int64)
+        p2x = (X0 + ((ok * 131 + ln * 17 + 1777) % 4096) * 125).astype(np.int64)
+        p2y = (Y0 + ((ok * 241 + ln * 13 + 911) % 4096) * 125).astype(np.int64)
+        qid = ok * 10 + ln
+        ax, ay = seg["ax"][None, :], seg["ay"][None, :]
+        bx, by = seg["bx"][None, :], seg["by"][None, :]
+        d1 = _cross_sign(p1x[:, None], p1y[:, None], p2x[:, None], p2y[:, None], ax, ay)
+        d2 = _cross_sign(p1x[:, None], p1y[:, None], p2x[:, None], p2y[:, None], bx, by)
+        d3 = _cross_sign(ax, ay, bx, by, p1x[:, None], p1y[:, None])
+        d4 = _cross_sign(ax, ay, bx, by, p2x[:, None], p2y[:, None])
+        proper = (d1 * d2 < 0) & (d3 * d4 < 0)
+        return pa.table(
+            {
+                "query_id": pa.array(qid, pa.int64()),
+                "n_crossings": pa.array(proper.sum(axis=1).astype(np.int64)),
+            }
+        )
+
+    return li.map_batches(_f, batch_format="pyarrow", batch_size=8192)
+
+
+def users_all_event_types(sf_dir: str):
+    """Boolean AND retrieval over the events fact: users whose event-type
+    set covers EVERY distinct type in the corpus.  Per-batch distinct
+    (user, type) partials -> user-bucket shuffle -> per-bucket distinct
+    count; the global type count is a tiny driver-side union of
+    per-batch uniques (bounded by the type vocabulary)."""
+    ev = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    types = (
+        ev.map_batches(
+            lambda t: pa.table(
+                {
+                    "event_type": pa.array(
+                        pd.unique(t["event_type"].to_pandas()), pa.string()
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()["event_type"]
+        .nunique()
+    )
+    k = int(types)
+
+    def _partial(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "user_id": np.asarray(t["user_id"].to_numpy(zero_copy_only=False), np.int64),
+                "event_type": t["event_type"].to_pandas().to_numpy(object),
+            }
+        ).drop_duplicates()
+        df["bucket"] = (df["user_id"].to_numpy(np.int64) * 2654435761 % 2**32) % SESSION_BUCKETS
+        return df[["bucket", "user_id", "event_type"]]
+
+    def _full(g: pd.DataFrame) -> pd.DataFrame:
+        n = g.drop_duplicates(["user_id", "event_type"]).groupby("user_id", sort=False).size()
+        keep = n[n == k]
+        return pd.DataFrame({"user_id": keep.index.to_numpy(np.int64)})
+
+    return (
+        ev.map_batches(_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_full, batch_format="pandas")
+    )
+
+
+MEAN_DF_SCALE = 1000
+
+
+def doc_mean_token_df(sf_dir: str):
+    """Corpus-relative quality signal: per doc, the mean DOCUMENT
+    FREQUENCY of its distinct tokens as the exact integer rational
+    floor(SCALE * sum(df) / n_distinct) — high values mark docs made of
+    corpus-common tokens (boilerplate-ish), low values mark rare-token
+    docs.  Two streaming passes: (1) the distinct-token df table via
+    token-bucket partials, broadcast back as a sorted kv array built
+    remotely; (2) per-doc mean via searchsorted — token strings shuffle
+    once, never per doc."""
+    import ray
+
+    from .functions.text import rolling_fingerprint_batch, ws_tokens
+    from .stages.dedup import _sorted_kv_task
+
+    docs = _docs(sf_dir)
+
+    def _doc_fps(s: str) -> np.ndarray:
+        # per-doc DISTINCT token fingerprints — distinctness over the
+        # shared ROLL_* hash, identical collision behavior to the SQL
+        # twin (the doc_type_token_ratio convention)
+        toks = ws_tokens(s.lower())
+        if not toks:
+            return np.zeros(0, np.int64)
+        return np.unique(rolling_fingerprint_batch(toks))
+
+    def _df_partial(df: pd.DataFrame) -> pd.DataFrame:
+        per_doc = [_doc_fps(s) for s in df["text"]]
+        flat = (
+            np.concatenate(per_doc) if per_doc else np.zeros(0, np.int64)
+        )
+        u, c = np.unique(flat, return_counts=True)
+        return pd.DataFrame(
+            {
+                "bucket": (u * 2654435761 % 2**32) % SESSION_BUCKETS,
+                "fp": u,
+                "cnt": c.astype(np.int64),
+            }
+        )
+
+    def _df_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("fp", sort=False)["cnt"].sum()
+        return pd.DataFrame({"fp": s.index.to_numpy(np.int64), "df": s.to_numpy(np.int64)})
+
+    df_tab = (
+        docs.map_batches(_df_partial, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(_df_reduce, batch_format="pandas")
+    )
+    refs = [br for b in df_tab.iter_internal_ref_bundles() for br in b.block_refs]
+    kv_ref = _sorted_kv_task.remote(refs, "fp", "df")
+
+    def _mean(df: pd.DataFrame) -> pd.DataFrame:
+        fps_sorted, dfs = ray.get(kv_ref)
+        ids = df["doc_id"].to_numpy(np.int64)
+        out_id, out_v, out_n = [], [], []
+        for i, s in zip(ids, df["text"]):
+            fps = _doc_fps(s)
+            if len(fps) == 0:
+                continue
+            tot = int(dfs[np.searchsorted(fps_sorted, fps)].sum())
+            out_id.append(i)
+            out_v.append(MEAN_DF_SCALE * tot // len(fps))
+            out_n.append(len(fps))
+        return pd.DataFrame(
+            {
+                "doc_id": np.asarray(out_id, np.int64),
+                "mean_df_scaled": np.asarray(out_v, np.int64),
+                "n_distinct": np.asarray(out_n, np.int64),
+            }
+        )
+
+    return docs.map_batches(_mean, batch_format="pandas")
