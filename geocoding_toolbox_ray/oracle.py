@@ -5206,3 +5206,103 @@ SELECT doc_id, CAST({MEAN_DF_SCALE} * tot // n_distinct AS BIGINT) AS mean_df_sc
        n_distinct
 FROM agg
 """
+
+
+def token_budget_truncation_sql() -> str:
+    """First-N-token truncation with the shared single-space
+    re-serialization (list_slice + array_to_string over the RE2 split)."""
+    from .functions.text import WS_SPLIT_PATTERN
+    from .queries import TRUNC_BUDGET
+
+    return f"""
+WITH t AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(text, '{WS_SPLIT_PATTERN}'),
+                       x -> x <> '') AS ts
+    FROM documents
+)
+SELECT doc_id,
+       array_to_string(list_slice(ts, 1, {TRUNC_BUDGET}), ' ') AS truncated_text,
+       CAST(len(ts) AS BIGINT) AS n_tokens,
+       CAST(least(len(ts), {TRUNC_BUDGET}) AS BIGINT) AS n_kept
+FROM t
+"""
+
+
+def pack_efficiency_report_sql(max_len: int = 2048) -> str:
+    """Per-sequence layout audit over the packing CTE: docs flat-map to
+    the sequences their token span covers via generate_series (the
+    2-step UNNEST recipe — DuckDB lacks lateral generate_series)."""
+    return f"""
+WITH packed AS ({sequence_packing_sql(max_len)}),
+spans AS (
+    SELECT seq_id AS s0,
+           seq_id + (seq_offset + n_tokens - 1) // {max_len} AS s1,
+           seq_id * {max_len} + seq_offset AS doc_lo,
+           seq_id * {max_len} + seq_offset + n_tokens AS doc_hi
+    FROM packed WHERE n_tokens > 0
+),
+ex AS (
+    SELECT s0, s1, doc_lo, doc_hi, UNNEST(generate_series(s0, s1)) AS seq_id
+    FROM spans
+)
+SELECT seq_id,
+       CAST(SUM(least(doc_hi, (seq_id + 1) * {max_len})
+                - greatest(doc_lo, seq_id * {max_len})) AS BIGINT) AS fill_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN seq_id = s0 THEN 1 ELSE 0 END) AS BIGINT) AS n_starts
+FROM ex GROUP BY 1
+"""
+
+
+def shard_manifest_documents_sql() -> str:
+    from .functions.text import rolling_fingerprint_sql
+    from .queries import N_SHARDS
+
+    return f"""
+SELECT doc_id % {N_SHARDS} AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM({rolling_fingerprint_sql('text')}) AS BIGINT) AS checksum
+FROM documents GROUP BY 1
+"""
+
+
+def ngram_containment_pairs_sql(theta_permille: int = 500) -> str:
+    """Jaccard pair SQL plus the two directional containment columns
+    (identical float64 division + floor rounding)."""
+    return f"""
+WITH {_doc_shingles_ctes()},
+n AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+df AS (SELECT sh, COUNT(*) AS df FROM sh GROUP BY 1),
+ranked AS (
+    SELECT s.doc_id, s.sh,
+           row_number() OVER (PARTITION BY s.doc_id ORDER BY d.df ASC, s.sh ASC) AS rn,
+           nn.n_sh
+    FROM sh s JOIN df d ON d.sh = s.sh JOIN n nn ON nn.doc_id = s.doc_id
+),
+pfx AS (
+    SELECT * FROM ranked
+    WHERE rn <= n_sh - (({theta_permille} * n_sh + 999) // 1000) + 1
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM pfx a JOIN pfx b ON a.sh = b.sh AND a.doc_id < b.doc_id
+),
+inter AS (
+    SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+    FROM cand c
+    JOIN sh sa ON sa.doc_id = c.doc_a
+    JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+    GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b,
+       CAST(floor(1000.0 * i.i / (na.n_sh + nb.n_sh - i.i) + 0.5) AS BIGINT)
+           AS jaccard_permille,
+       CAST(floor(1000.0 * i.i / na.n_sh + 0.5) AS BIGINT) AS cont_a_permille,
+       CAST(floor(1000.0 * i.i / nb.n_sh + 0.5) AS BIGINT) AS cont_b_permille
+FROM inter i
+JOIN n na ON na.doc_id = i.doc_a
+JOIN n nb ON nb.doc_id = i.doc_b
+WHERE 1000 * i.i >= {theta_permille} * (na.n_sh + nb.n_sh - i.i)
+"""

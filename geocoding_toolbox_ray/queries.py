@@ -12475,3 +12475,142 @@ def doc_mean_token_df(sf_dir: str):
         )
 
     return docs.map_batches(_mean, batch_format="pandas")
+
+
+TRUNC_BUDGET = 64
+
+
+def token_budget_truncation(sf_dir: str):
+    """Context-window prep: keep each document's first TRUNC_BUDGET
+    whitespace tokens, re-joined with single spaces (the deterministic
+    re-serialization both sides share), and report original/kept token
+    counts.  Pure per-batch transform — no shuffle."""
+    from .functions.text import ws_tokens
+
+    def _f(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(np.int64)
+        out_txt, n_tok, n_kept = [], [], []
+        for s in df["text"]:
+            toks = ws_tokens(s)
+            kept = toks[:TRUNC_BUDGET]
+            out_txt.append(" ".join(kept))
+            n_tok.append(len(toks))
+            n_kept.append(len(kept))
+        return pd.DataFrame(
+            {
+                "doc_id": ids,
+                "truncated_text": np.asarray(out_txt, object),
+                "n_tokens": np.asarray(n_tok, np.int64),
+                "n_kept": np.asarray(n_kept, np.int64),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(_f, batch_format="pandas")
+
+
+def pack_efficiency_report(sf_dir: str, max_len: int = SEQ_PACK_MAXLEN):
+    """Training-layout audit over the sequence_packing output: per
+    sequence, how many documents touch it, how many START in it, and its
+    token fill (== max_len everywhere but the tail sequence).  Each doc
+    flat-maps to the sequences its token span covers (np.repeat span
+    expansion, the tile_cover shape); per-seq partials reduce through a
+    bounded seq-bucket shuffle."""
+    packed = sequence_packing(sf_dir, max_len=max_len)
+
+    def _cover(t: pa.Table) -> pd.DataFrame:
+        nt = np.asarray(t["n_tokens"].to_numpy(zero_copy_only=False), np.int64)
+        s0 = np.asarray(t["seq_id"].to_numpy(zero_copy_only=False), np.int64)
+        off = np.asarray(t["seq_offset"].to_numpy(zero_copy_only=False), np.int64)
+        nz = nt > 0
+        nt, s0, off = nt[nz], s0[nz], off[nz]
+        # last seq a doc touches: (start + n - 1) // max_len
+        s1 = s0 + (off + nt - 1) // max_len
+        nseq = s1 - s0 + 1
+        owner = np.repeat(np.arange(len(nt)), nseq)
+        pos = np.arange(int(nseq.sum()), dtype=np.int64) - np.repeat(
+            np.cumsum(nseq) - nseq, nseq
+        )
+        seq = s0[owner] + pos
+        # tokens of this doc inside this seq: clip the doc span to the
+        # seq window (all int64)
+        doc_lo = s0[owner] * max_len + off[owner]
+        doc_hi = doc_lo + nt[owner]
+        win_lo = seq * max_len
+        fill = np.minimum(doc_hi, win_lo + max_len) - np.maximum(doc_lo, win_lo)
+        starts = (pos == 0).astype(np.int64)
+        df = pd.DataFrame(
+            {"seq_id": seq, "fill": fill, "n_docs": 1, "n_starts": starts}
+        )
+        agg = df.groupby("seq_id", sort=False).sum().reset_index()
+        agg["bucket"] = (agg["seq_id"].to_numpy(np.int64) * 2654435761 % 2**32) % SESSION_BUCKETS
+        return agg[["bucket", "seq_id", "fill", "n_docs", "n_starts"]]
+
+    def _reduce(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("seq_id", sort=False)[["fill", "n_docs", "n_starts"]].sum()
+        return pd.DataFrame(
+            {
+                "seq_id": s.index.to_numpy(np.int64),
+                "fill_tokens": s["fill"].to_numpy(np.int64),
+                "n_docs": s["n_docs"].to_numpy(np.int64),
+                "n_starts": s["n_starts"].to_numpy(np.int64),
+            }
+        )
+
+    return (
+        packed.map_batches(_cover, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_reduce, batch_format="pandas")
+    )
+
+
+N_SHARDS = 16
+
+
+def shard_manifest_documents(sf_dir: str):
+    """Resumable-output manifest: deterministic shard assignment
+    (doc_id % N_SHARDS) with per-shard row count, byte volume and an
+    order-insensitive content checksum (SUM of per-doc ROLL_* text
+    fingerprints — SQL-replicable, no md5).  Per-batch partials ->
+    bounded shard-keyed reduce: the audit a 100 TB writer runs to verify
+    which shards are complete before a resume."""
+    from .functions.text import rolling_fingerprint_batch
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(np.int64)
+        fp = rolling_fingerprint_batch(df["text"].tolist())
+        nch = df["n_chars"].to_numpy(np.int64)
+        d = pd.DataFrame({"shard": ids % N_SHARDS, "n": 1, "chars": nch, "fp": fp})
+        agg = d.groupby("shard", sort=False).sum().reset_index()
+        return agg
+
+    def _reduce(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("shard", sort=False)[["n", "chars", "fp"]].sum()
+        return pd.DataFrame(
+            {
+                "shard": s.index.to_numpy(np.int64),
+                "n_docs": s["n"].to_numpy(np.int64),
+                "total_chars": s["chars"].to_numpy(np.int64),
+                "checksum": s["fp"].to_numpy(np.int64),
+            }
+        )
+
+    return (
+        docs.map_batches(_partial, batch_format="pandas")
+        .groupby("shard")
+        .map_groups(_reduce, batch_format="pandas")
+    )
+
+
+def ngram_containment_pairs(sf_dir: str):
+    """Directional near-dup containment (|A∩B|/|A| and /|B| in permille)
+    for every exact-jaccard candidate pair — the asymmetric signal that
+    catches a small doc swallowed whole by a larger one.  Same COMPLETE
+    prefix-filtered machinery as ngram_jaccard_pairs with two extra
+    output columns."""
+    from .stages.dedup import ngram_jaccard_exact_pairs
+
+    return ngram_jaccard_exact_pairs(
+        _docs(sf_dir), theta_permille=500, out_containment=True
+    )

@@ -746,6 +746,7 @@ def ngram_jaccard_exact_pairs(
     theta_permille: int = 500,
     n_words: int = 3,
     nbuckets: int = DEFAULT_NBUCKETS,
+    out_containment: bool = False,
 ):
     """EXACT word-n-gram Jaccard near-dup pairs with COMPLETE candidate
     generation via prefix filtering (AllPairs/PPJoin family): a pair with
@@ -943,6 +944,8 @@ def ngram_jaccard_exact_pairs(
     nsh_ref = _sorted_kv_task.remote(nsh_refs, "doc_id", "n_sh")
 
     _OUT = {"doc_a": "int64", "doc_b": "int64", "jaccard_permille": "int64"}
+    if out_containment:
+        _OUT = dict(_OUT, cont_a_permille="int64", cont_b_permille="int64")
 
     def _finish(df: pd.DataFrame) -> pd.DataFrame:
         carr = ray.get(cand_ref)
@@ -959,9 +962,19 @@ def ngram_jaccard_exact_pairs(
         union = na + nb - it
         keep = in_cand & (1000 * it >= theta_permille * union)
         jp = np.floor(1000.0 * it[keep] / union[keep] + 0.5).astype(np.int64)
-        return pd.DataFrame(
-            {"doc_a": a[keep], "doc_b": b[keep], "jaccard_permille": jp}
-        )
+        out = {"doc_a": a[keep], "doc_b": b[keep], "jaccard_permille": jp}
+        if out_containment:
+            # directional overlap (|A ∩ B| / |side|): the asymmetric dup
+            # signal — a small doc fully contained in a big one scores
+            # high containment at modest jaccard.  Same float64 division
+            # + floor rounding as the jaccard column (exact < 2^53).
+            out["cont_a_permille"] = np.floor(
+                1000.0 * it[keep] / na[keep] + 0.5
+            ).astype(np.int64)
+            out["cont_b_permille"] = np.floor(
+                1000.0 * it[keep] / nb[keep] + 0.5
+            ).astype(np.int64)
+        return pd.DataFrame(out)
 
     return I.map_batches(_finish, batch_format="pandas")
 
