@@ -5306,3 +5306,60 @@ JOIN n na ON na.doc_id = i.doc_a
 JOIN n nb ON nb.doc_id = i.doc_b
 WHERE 1000 * i.i >= {theta_permille} * (na.n_sh + nb.n_sh - i.i)
 """
+
+
+def weighted_pagerank_suppliers_sql(iters: int | None = None) -> str:
+    """Weighted PageRank replica: same constants, per-edge BIGINT floor
+    contribution rank * w // out_weight, K unrolled iteration CTEs."""
+    from .stages.graph import (
+        PR_CUST_OFFSET,
+        PR_DAMP_DEN,
+        PR_DAMP_NUM,
+        PR_ITERS,
+        PR_SCALE,
+    )
+
+    k = PR_ITERS if iters is None else iters
+    its = []
+    for i in range(1, k + 1):
+        its.append(
+            f"""r{i} AS (
+    SELECT n.node_id,
+           CAST({PR_DAMP_DEN - PR_DAMP_NUM} * ({PR_SCALE} // nn.n) // {PR_DAMP_DEN}
+                + {PR_DAMP_NUM} * COALESCE(i.inc, 0) // {PR_DAMP_DEN} AS BIGINT)
+               AS pr_score
+    FROM nodes n CROSS JOIN nn
+    LEFT JOIN (
+        SELECT e.dst AS node_id,
+               CAST(SUM(r.pr_score * e.w // d.ow) AS BIGINT) AS inc
+        FROM edges e
+        JOIN r{i - 1} r ON r.node_id = e.src
+        JOIN ow d ON d.src = e.src
+        GROUP BY e.dst
+    ) i ON i.node_id = n.node_id
+)"""
+        )
+    chain = ",\n".join(its)
+    return f"""
+WITH e0 AS (
+    SELECT CAST(l.l_suppkey AS BIGINT) AS s,
+           CAST(o.o_custkey AS BIGINT) AS c,
+           CAST(COUNT(*) AS BIGINT) AS w
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1, 2
+),
+edges AS (
+    SELECT s AS src, {PR_CUST_OFFSET} + c AS dst, w FROM e0
+    UNION ALL
+    SELECT {PR_CUST_OFFSET} + c AS src, s AS dst, w FROM e0
+),
+nodes AS (SELECT DISTINCT src AS node_id FROM edges),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+ow AS (SELECT src, CAST(SUM(w) AS BIGINT) AS ow FROM edges GROUP BY src),
+r0 AS (
+    SELECT node_id, CAST({PR_SCALE} // nn.n AS BIGINT) AS pr_score
+    FROM nodes CROSS JOIN nn
+),
+{chain}
+SELECT node_id, pr_score FROM r{k} ORDER BY node_id
+"""

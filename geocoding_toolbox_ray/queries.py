@@ -12614,3 +12614,63 @@ def ngram_containment_pairs(sf_dir: str):
     return ngram_jaccard_exact_pairs(
         _docs(sf_dir), theta_permille=500, out_containment=True
     )
+
+
+def weighted_pagerank_suppliers(sf_dir: str):
+    """Weighted exact-integer PageRank over the supplier <-> customer
+    graph: edge weight = lineitem row count between the pair, per-edge
+    contribution floor(rank * w / out_weight) — the volume-aware
+    centrality next to the unweighted pagerank_suppliers.  Weights come
+    out of a pair-bucketed partial-count reduce (bounded by pair
+    cardinality, never input rows); the solve is stages/graph.py
+    pagerank_weighted (single-task below the edge threshold, AggregateFn
+    streaming above)."""
+    import ray
+
+    from .stages.dedup import TARGET_BUCKET_ROWS, _sorted_kv_task
+    from .stages.graph import PR_CUST_OFFSET, pagerank_weighted
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    kv_ref = _sorted_kv_task.remote(
+        [br for bd in orders.iter_internal_ref_bundles() for br in bd.block_refs],
+        "o_orderkey",
+        "o_custkey",
+    )
+    nb = max(8, _nrows(sf_dir, "lineitem") // TARGET_BUCKET_ROWS + 1)
+    mask = (1 << 31) - 1
+
+    def _partial(t: pa.Table) -> pd.DataFrame:
+        okeys, custs = ray.get(kv_ref)
+        lo = np.asarray(t["l_orderkey"].to_numpy(zero_copy_only=False), np.int64)
+        sup = np.asarray(t["l_suppkey"].to_numpy(zero_copy_only=False), np.int64)
+        cust = custs[np.searchsorted(okeys, lo)] + PR_CUST_OFFSET
+        pk = (sup << 31) | cust
+        u, c = np.unique(pk, return_counts=True)
+        return pd.DataFrame(
+            {
+                "bucket": (u * 2654435761 % 2**32) % nb,
+                "pk": u,
+                "part_n": c.astype(np.int64),
+            }
+        )
+
+    def _edges(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("pk", sort=False)["part_n"].sum()
+        pk = s.index.to_numpy(np.int64)
+        w = s.to_numpy(np.int64)
+        sup, cust = pk >> 31, pk & mask
+        return pd.DataFrame(
+            {
+                "src": np.concatenate([sup, cust]),
+                "dst": np.concatenate([cust, sup]),
+                "w": np.concatenate([w, w]),
+            }
+        )
+
+    edges = (
+        _read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_edges, batch_format="pandas")
+    )
+    return pagerank_weighted(edges)

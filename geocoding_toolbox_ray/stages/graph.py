@@ -215,3 +215,135 @@ def pagerank(
             {"node_id": pa.array(nodes, pa.int64()), "pr_score": pa.array(rank, pa.int64())}
         )
     )
+
+
+@_lazy_remote
+def _pagerank_weighted_small_task(refs, iters, scale, damp_num, damp_den):
+    """Single-task weighted solve: inc[dst] += (rank[src] * w) // W[src]
+    per edge (exact int64 — caller guarantees w * scale < 2^62)."""
+    import ray
+
+    srcs, dsts, ws = [], [], []
+    for r in refs:
+        blk = ray.get(r)
+        srcs.append(_block_column(blk, "src"))
+        dsts.append(_block_column(blk, "dst"))
+        ws.append(_block_column(blk, "w"))
+    src = np.concatenate(srcs) if srcs else np.zeros(0, np.int64)
+    dst = np.concatenate(dsts) if dsts else np.zeros(0, np.int64)
+    w = np.concatenate(ws) if ws else np.zeros(0, np.int64)
+    nodes = _sorted_unique(np.concatenate([src, dst]))
+    if not len(nodes):
+        return pa.table(
+            {"node_id": pa.array([], pa.int64()), "pr_score": pa.array([], pa.int64())}
+        )
+    si = np.searchsorted(nodes, src)
+    di = np.searchsorted(nodes, dst)
+    n_nodes = len(nodes)
+    W = np.zeros(n_nodes, np.int64)
+    np.add.at(W, si, w)
+    assert len(w) == 0 or int(w.max()) * scale < (1 << 62), "weight overflow"
+    base = ((damp_den - damp_num) * (scale // n_nodes)) // damp_den
+    rank = np.full(n_nodes, scale // n_nodes, np.int64)
+    for _ in range(iters):
+        inc = np.zeros(n_nodes, np.int64)
+        np.add.at(inc, di, rank[si] * w // W[si])
+        rank = base + (damp_num * inc) // damp_den
+    return pa.table(
+        {"node_id": pa.array(nodes, pa.int64()), "pr_score": pa.array(rank, pa.int64())}
+    )
+
+
+@_lazy_remote
+def _weighted_degree_task(refs):
+    """(sorted node array over src AND dst, total OUT-WEIGHT aligned)."""
+    import ray
+
+    srcs, dsts, ws = [], [], []
+    for r in refs:
+        blk = ray.get(r)
+        srcs.append(_block_column(blk, "src"))
+        dsts.append(_block_column(blk, "dst"))
+        ws.append(_block_column(blk, "w"))
+    src = np.concatenate(srcs) if srcs else np.zeros(0, np.int64)
+    dst = np.concatenate(dsts) if dsts else np.zeros(0, np.int64)
+    w = np.concatenate(ws) if ws else np.zeros(0, np.int64)
+    nodes = _sorted_unique(np.concatenate([src, dst]))
+    W = np.zeros(len(nodes), np.int64)
+    np.add.at(W, np.searchsorted(nodes, src), w)
+    return nodes, W
+
+
+def pagerank_weighted(
+    edges,
+    iters: int = PR_ITERS,
+    scale: int = PR_SCALE,
+    damp_num: int = PR_DAMP_NUM,
+    damp_den: int = PR_DAMP_DEN,
+    small_graph_edges: int = PR_SMALL_GRAPH_EDGES,
+):
+    """Weighted exact-integer PageRank over a DISTINCT (src, dst, w)
+    edge Dataset: per-edge contribution floor(rank[src] * w / W[src])
+    with W = total out-weight — the same fixed-point discipline as
+    ``pagerank`` (bit-identical to the SQL twin).  Requires
+    max(w) * scale < 2^62 (asserted).  Each distributed iteration
+    streams the edges once through a mergeable aggregate; rank and W are
+    O(nodes) broadcasts."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import AggregateFn
+
+    edges = edges.materialize()
+    n_edges = edges.count()
+    refs = [br for bd in edges.iter_internal_ref_bundles() for br in bd.block_refs]
+    if n_edges <= small_graph_edges:
+        return rd.from_arrow(
+            ray.get(
+                _pagerank_weighted_small_task.remote(
+                    refs, iters, scale, damp_num, damp_den
+                )
+            )
+        )
+
+    nodes, W = ray.get(_weighted_degree_task.remote(refs))
+    n_nodes = len(nodes)
+    if n_nodes == 0:
+        return rd.from_arrow(
+            pa.table(
+                {"node_id": pa.array([], pa.int64()), "pr_score": pa.array([], pa.int64())}
+            )
+        )
+    nodes_ref = ray.put(nodes)
+    W_ref = ray.put(W)
+    base = ((damp_den - damp_num) * (scale // n_nodes)) // damp_den
+    rank = np.full(n_nodes, scale // n_nodes, np.int64)
+
+    for _ in range(iters):
+        rank_ref = ray.put(rank)
+
+        def _acc_block(acc: np.ndarray, block) -> np.ndarray:
+            nd = ray.get(nodes_ref)
+            rk = ray.get(rank_ref)
+            Wv = ray.get(W_ref)
+            src = _block_column(block, "src")
+            dst = _block_column(block, "dst")
+            w = _block_column(block, "w")
+            si = np.searchsorted(nd, src)
+            out = acc.copy()
+            np.add.at(out, np.searchsorted(nd, dst), rk[si] * w // Wv[si])
+            return out
+
+        agg = AggregateFn(
+            init=lambda k_: np.zeros(n_nodes, np.int64),
+            merge=lambda a, b: a + b,
+            accumulate_block=_acc_block,
+            name="inc",
+        )
+        inc = edges.aggregate(agg)["inc"]
+        rank = base + (damp_num * inc) // damp_den
+
+    return rd.from_arrow(
+        pa.table(
+            {"node_id": pa.array(nodes, pa.int64()), "pr_score": pa.array(rank, pa.int64())}
+        )
+    )

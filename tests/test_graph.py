@@ -124,3 +124,56 @@ def test_pagerank_suppliers_oracle_parity_both_paths(ray_session, forced_small):
     finally:
         G.PR_SMALL_GRAPH_EDGES = orig
     assert res.equals(odf)
+
+
+def test_weighted_small_vs_distributed_identical(ray_session):
+    """pagerank_weighted: single-task and streaming-aggregate paths must
+    be bit-identical, and weight-1 edges must reproduce plain pagerank
+    only when out-degrees are 1 (per-edge floor vs per-node floor
+    otherwise differ — asserted structurally, not numerically)."""
+    import ray.data as rd
+
+    from geocoding_toolbox_ray.stages.graph import pagerank_weighted
+
+    rng = np.random.RandomState(11)
+    src = rng.randint(0, 30, 200).astype(np.int64)
+    dst = rng.randint(0, 30, 200).astype(np.int64)
+    keep = src != dst
+    pk = np.unique(src[keep] * 64 + dst[keep])
+    s, d = pk // 64, pk % 64
+    w = (pk % 7 + 1).astype(np.int64)
+
+    def ds():
+        return rd.from_arrow(
+            pa.table({"src": pa.array(s), "dst": pa.array(d), "w": pa.array(w)})
+        )
+
+    a = pagerank_weighted(ds()).to_pandas().sort_values("node_id").reset_index(drop=True)
+    b = (
+        pagerank_weighted(ds(), small_graph_edges=0)
+        .to_pandas()
+        .sort_values("node_id")
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
+    assert a["pr_score"].sum() <= PR_SCALE
+    # heavier inbound weight -> higher rank: node receiving all weight
+    hub_src = np.array([1, 2, 3], np.int64)
+    hub_dst = np.array([0, 0, 0], np.int64)
+    hub_w = np.array([5, 5, 5], np.int64)
+    hub = (
+        pagerank_weighted(
+            rd.from_arrow(
+                pa.table(
+                    {
+                        "src": pa.array(np.concatenate([hub_src, hub_dst])),
+                        "dst": pa.array(np.concatenate([hub_dst, hub_src])),
+                        "w": pa.array(np.concatenate([hub_w, hub_w])),
+                    }
+                )
+            )
+        )
+        .to_pandas()
+        .set_index("node_id")["pr_score"]
+    )
+    assert (hub.loc[0] > hub.drop(0)).all()
