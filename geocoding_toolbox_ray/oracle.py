@@ -391,7 +391,7 @@ best AS (
     -- PARTITION BY the full point identity, not just query_id: derived
     -- query_ids collide across physical lineitem rows with different
     -- l_partkey (and thus different qy) — per-input-row semantics
-    -- (CLAUDE.md lineitem-non-uniqueness rule)
+    -- ((o_orderkey, l_linenumber) is NOT unique in this data)
     SELECT *, row_number() OVER (
         PARTITION BY query_id, qx, qy ORDER BY d2 ASC, point_id ASC
     ) AS rn
@@ -3670,7 +3670,7 @@ r AS (
 ),
 w AS (SELECT query_id, seg_id, d2_num, len2 FROM r WHERE rn = 1)
 -- per-INPUT-ROW semantics: derived query_ids collide in the synthetic
--- lineitem (CLAUDE.md), so winners join back to every input row
+-- lineitem, so winners join back to every input row
 SELECT q.query_id, w.seg_id, w.d2_num, w.len2
 FROM qpts q JOIN w ON w.query_id = q.query_id
 """

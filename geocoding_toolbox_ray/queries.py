@@ -1614,7 +1614,7 @@ def curated_documents(sf_dir: str):
     from .functions.text import quality_features
 
     # near-dup drop + exact keeper sets as SORTED arrays (zero-copy
-    # broadcast + searchsorted; never Python sets per the CLAUDE.md rule)
+    # broadcast + searchsorted; never a Python set across a task boundary)
     drop_arr = _near_dup_drop_set(sf_dir)
     keepers_df = _exact_keepers(sf_dir).to_pandas()
     keep_arr = np.unique(keepers_df["doc_id"].to_numpy(np.int64))
@@ -3308,7 +3308,7 @@ def orders_price_ntile(sf_dir: str, tiles: int = NTILE_TILES):
 def _orders_customer_bucketed(sf_dir: str):
     """orders -> (bucket, o_custkey, o_orderkey, day_num, cents) with the
     coarse customer-hash bucket key (one map_groups dispatch per BUCKET,
-    never per customer — CLAUDE.md group-count rule)."""
+    never per customer — Ray aggregate cost scales with group count)."""
     orders = _read(
         sf_dir,
         "orders",
@@ -7217,7 +7217,7 @@ def lineitem_ship_delay_histogram(sf_dir: str):
         delay = sday - oday
         # negative delays exist in the synthetic data; numpy // floors
         # while DuckDB // truncates toward zero — offset to positive so
-        # floor == trunc on both sides (CLAUDE.md week-index trick)
+        # floor == trunc on both sides (the week-index offset trick)
         bin_id = (delay + 300_000) // DELAY_BIN_DAYS - 300_000 // DELAY_BIN_DAYS
         u, inv = np.unique(bin_id, return_inverse=True)
         return pd.DataFrame(

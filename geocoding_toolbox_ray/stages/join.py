@@ -6,8 +6,8 @@ gather task -> Arrow table ref, joined Arrow-native inside every left
 block — zero shuffle, the stages/matcher.py discipline); otherwise BOTH
 sides pay exactly one coarse hash-bucket shuffle on the key and the
 join runs vectorized (pandas merge) inside each bounded bucket — never
-a Ray groupby keyed on the join key itself (group-count cost rule,
-CLAUDE.md).
+a Ray groupby keyed on the join key itself (Ray aggregate cost scales
+with group count, ~0.25 ms/group measured).
 
 Contract: single int64 equi-key, inner / left-outer / full-outer / semi /
 anti join (full outer is shuffle-only — a broadcast would emit every
