@@ -238,6 +238,13 @@ def run_bench() -> dict:
         # market-basket pair mining (order-bucket pair generation)
         timed("q7_volume_shipping", lambda: q.q7_volume_shipping(SF_DIR))
         timed("basket_brand_pairs", lambda: q.basket_brand_pairs(SF_DIR))
+        # round-5 additions: weighted centrality (streaming per-iteration
+        # aggregate) and the cell-blocked map-matching snap
+        timed(
+            "weighted_pagerank_suppliers",
+            lambda: q.weighted_pagerank_suppliers(SF_DIR),
+        )
+        timed("snap_points_to_roads", lambda: q.snap_points_to_roads(SF_DIR))
 
     total = round(sum(timings.values()), 3)
     geocode_rows_per_s = (
