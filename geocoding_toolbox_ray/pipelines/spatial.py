@@ -398,12 +398,17 @@ def reverse_geocode_lineitem(sf_dir: str, max_d: float = REVERSE_MAX_D_M):
         derive_uniform_points, batch_format="pyarrow"
     )
     index_ref = ray.put(GeocodeIndex.build(address_points_table()))
+
+    # task stage with a per-worker-process stage cache (the matcher's
+    # make_matcher_fn recipe): actor-pool spin-up dominated small runs
+    # (22.5 s at sf0.01 vs 2.5 s at sf0.1 with concurrency=(1, 8));
+    # tasks reuse warm workers and keep read/compute elastic.
+    from ..stages.spatial import make_reverse_geocode_fn
+
     return pts.map_batches(
-        ReverseGeocodeStage,
-        fn_constructor_kwargs={"index_ref": index_ref, "max_d": max_d},
+        make_reverse_geocode_fn(index_ref, max_d),
         batch_format="pyarrow",
         batch_size=16384,
-        concurrency=(1, 8),
     )
 
 

@@ -11337,8 +11337,6 @@ def cosupply_edge_churn(sf_dir: str) -> pd.DataFrame:
     snapshots).  Each half's distinct pair set comes from the SAME
     bucketed incidence pipeline with the period flag carried through —
     one pass over the fact, no threshold (raw co-occurrence)."""
-    from ray.data.aggregate import Max
-
     li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey", "l_shipdate"])
 
     def _inc(t: pa.Table) -> pd.DataFrame:
@@ -11382,21 +11380,43 @@ def cosupply_edge_churn(sf_dir: str) -> pd.DataFrame:
             }
         )
 
-    pairs = (
+    def _rebucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["pbucket"] = (
+            df["pk"].to_numpy(np.int64) * 2654435761 % 2**32
+        ) % SESSION_BUCKETS
+        return df
+
+    def _classify(g: pd.DataFrame) -> pd.DataFrame:
+        # each pk lives in exactly one pbucket, so per-bucket flag-merge
+        # is global for that pair; emit 3 partial counts per bucket (the
+        # pair-cardinality Ray groupby this replaced measured ~20 s of
+        # pure per-group dispatch at sf0.01)
+        f = g.groupby("pk", sort=False)[["early", "late_f"]].max()
+        e = f["early"].to_numpy(np.int64)
+        l = f["late_f"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "only_early": [int(((e == 1) & (l == 0)).sum())],
+                "only_late": [int(((e == 0) & (l == 1)).sum())],
+                "both_periods": [int(((e == 1) & (l == 1)).sum())],
+            }
+        )
+
+    parts = (
         li.map_batches(_inc, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(_pairs, batch_format="pandas")
-        .groupby("pk")
-        .aggregate(Max("early", alias_name="e"), Max("late_f", alias_name="l"))
+        .map_batches(_rebucket, batch_format="pandas")
+        .groupby("pbucket")
+        .map_groups(_classify, batch_format="pandas")
         .to_pandas()
     )
-    e = pairs["e"].to_numpy(np.int64)
-    l = pairs["l"].to_numpy(np.int64)
     return pd.DataFrame(
         {
-            "only_early": np.asarray([int(((e == 1) & (l == 0)).sum())], np.int64),
-            "only_late": np.asarray([int(((e == 0) & (l == 1)).sum())], np.int64),
-            "both_periods": np.asarray([int(((e == 1) & (l == 1)).sum())], np.int64),
+            "only_early": np.asarray([int(parts["only_early"].sum())], np.int64),
+            "only_late": np.asarray([int(parts["only_late"].sum())], np.int64),
+            "both_periods": np.asarray([int(parts["both_periods"].sum())], np.int64),
         }
     )
 
@@ -11481,10 +11501,12 @@ def geohash_prefix_rollup(sf_dir: str) -> pd.DataFrame:
     1-4 chars — the string-cell-code analog of the ZXY tile pyramid
     (geohash prefixes nest exactly like tile halvings).  One pass: each
     batch emits partial counts per (level, prefix); the reduce is
-    bounded by the prefix alphabet per level."""
-    from ray.data.aggregate import Sum
-
+    bounded by the prefix alphabet per level.  The reduce key has
+    ~87k distinct (level, prefix) groups at sf0.01 — cell-cardinality,
+    so it goes through the coarse-bucket + vectorized-pandas pattern
+    (a keyed Ray groupby here measured 62 s; this shape runs in ~2 s)."""
     from .functions.cells import geohash_encode
+    from .functions.text import rolling_fingerprint_batch
     from .pipelines.spatial import derive_uniform_points
 
     li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_partkey"])
@@ -11507,16 +11529,30 @@ def geohash_prefix_rollup(sf_dir: str) -> pd.DataFrame:
                     }
                 )
             )
-        return pd.concat(frames)
+        out = pd.concat(frames)
+        out["bucket"] = (
+            rolling_fingerprint_batch(out["prefix"].tolist())
+            + out["level"].to_numpy(np.int64)
+        ) % SESSION_BUCKETS
+        return out[["bucket", "level", "prefix", "part_n"]]
+
+    def _reduce(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby(["level", "prefix"], sort=False)["part_n"].sum()
+        idx = s.index
+        return pd.DataFrame(
+            {
+                "level": idx.get_level_values(0).to_numpy(np.int64),
+                "prefix": idx.get_level_values(1).to_numpy(object),
+                "n": s.to_numpy(np.int64),
+            }
+        )
 
     out = (
         li.map_batches(_partial, batch_format="pyarrow")
-        .groupby(["level", "prefix"])
-        .aggregate(Sum("part_n", alias_name="n"))
+        .groupby("bucket")
+        .map_groups(_reduce, batch_format="pandas")
         .to_pandas()
     )
-    out["level"] = out["level"].astype(np.int64)
-    out["n"] = out["n"].astype(np.int64)
     return out.sort_values(["level", "prefix"]).reset_index(drop=True)
 
 

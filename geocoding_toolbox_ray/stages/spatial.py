@@ -398,6 +398,29 @@ class ZonalStage:
         )
 
 
+#: per-worker-process cache for task-based spatial stages (the matcher's
+#: _INDEX_CACHE recipe — a closure dict would re-pickle empty per task)
+_RG_CACHE: dict = {}
+
+
+def make_reverse_geocode_fn(index_ref, max_d: float):
+    """Stateless-task reverse geocoder: plain function for ``map_batches``
+    with the compiled stage built lazily ONCE per worker process."""
+
+    def _rg(batch):
+        import ray
+
+        ref_key = index_ref.hex() if isinstance(index_ref, ray.ObjectRef) else id(index_ref)
+        key = (ref_key, float(max_d))
+        stage = _RG_CACHE.get(key)
+        if stage is None:
+            stage = ReverseGeocodeStage(index_ref, max_d)
+            _RG_CACHE[key] = stage
+        return stage(batch)
+
+    return _rg
+
+
 class ReverseGeocodeStage:
     """(query_id, qx, qy) -> nearest reference point WITHIN ``max_d`` meters
     (reverse geocoding with a cutoff), else sentinel/null columns.
