@@ -10809,10 +10809,11 @@ def parts_discovery_curve(sf_dir: str) -> pd.DataFrame:
     """Vocabulary-growth (Heaps-law) curve over the catalog: parts FIRST
     shipped in each epoch week, plus the running cumulative — exact
     'running distinct' without any global state: distinct-ness reduces
-    to MIN(week) per part (a bounded-key reduce), and the cumsum runs on
-    the dense driver-held week axis."""
-    from ray.data.aggregate import Min
-
+    to MIN(week) per part, and the cumsum runs on the dense driver-held
+    week axis.  Part cardinality grows with the catalog, so the MIN
+    reduce uses the coarse-bucket + vectorized-pandas pattern and each
+    bucket emits only its per-WEEK new-part counts (bounded by the
+    calendar, not the catalog) — the driver never holds per-part rows."""
     li = _read(sf_dir, "lineitem", columns=["l_partkey", "l_shipdate"])
 
     def _partial(t: pa.Table) -> pd.DataFrame:
@@ -10823,16 +10824,23 @@ def parts_discovery_curve(sf_dir: str) -> pd.DataFrame:
         )
         df = pd.DataFrame({"l_partkey": pk, "w": week})
         m = df.groupby("l_partkey", sort=False)["w"].min().reset_index(name="part_w")
-        return m
+        m["bucket"] = (m["l_partkey"].to_numpy(np.int64) * 2654435761 % 2**32) % SESSION_BUCKETS
+        return m[["bucket", "l_partkey", "part_w"]]
 
-    first = (
+    def _weeks(g: pd.DataFrame) -> pd.DataFrame:
+        w = g.groupby("l_partkey", sort=False)["part_w"].min()
+        u, c = np.unique(w.to_numpy(np.int64), return_counts=True)
+        return pd.DataFrame({"w": u, "part_n": c.astype(np.int64)})
+
+    weeks = (
         li.map_batches(_partial, batch_format="pyarrow")
-        .groupby("l_partkey")
-        .aggregate(Min("part_w", alias_name="w"))
+        .groupby("bucket")
+        .map_groups(_weeks, batch_format="pandas")
         .to_pandas()
     )
-    w = first["w"].to_numpy(np.int64)
-    u, c = np.unique(w, return_counts=True)
+    s = weeks.groupby("w")["part_n"].sum()
+    u = s.index.to_numpy(np.int64)
+    c = s.to_numpy(np.int64)
     lo, hi = int(u.min()), int(u.max())
     dense_new = np.zeros(hi - lo + 1, np.int64)
     dense_new[u - lo] = c
