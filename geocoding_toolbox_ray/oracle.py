@@ -5363,3 +5363,20 @@ r0 AS (
 {chain}
 SELECT node_id, pr_score FROM r{k} ORDER BY node_id
 """
+
+
+def minhash_recall_report_sql() -> str:
+    """Confusion counts between the minhash pair SQL and the exact
+    jaccard pair SQL (each embedded as a CTE-bearing subquery — DuckDB
+    allows WITH inside a parenthesized FROM)."""
+    return f"""
+WITH x AS (SELECT doc_a, doc_b FROM ({ngram_jaccard_exact_pairs_sql()})),
+m AS (SELECT doc_a, doc_b FROM ({minhash_dup_pairs_sql()})),
+tp AS (SELECT COUNT(*) AS n FROM x JOIN m USING (doc_a, doc_b))
+SELECT CAST((SELECT COUNT(*) FROM x) AS BIGINT) AS n_exact,
+       CAST((SELECT COUNT(*) FROM m) AS BIGINT) AS n_minhash,
+       CAST(tp.n AS BIGINT) AS true_pos,
+       CAST((SELECT COUNT(*) FROM m) - tp.n AS BIGINT) AS false_pos,
+       CAST((SELECT COUNT(*) FROM x) - tp.n AS BIGINT) AS false_neg
+FROM tp
+"""

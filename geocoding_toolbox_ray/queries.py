@@ -12718,3 +12718,26 @@ def weighted_pagerank_suppliers(sf_dir: str):
         .map_groups(_edges, batch_format="pandas")
     )
     return pagerank_weighted(edges)
+
+
+def minhash_recall_report(sf_dir: str) -> pd.DataFrame:
+    """Approximate-dedup evaluation harness: MinHash+LSH pairs
+    (est_jaccard >= 500‰) scored against the COMPLETE exact-jaccard
+    pair set at the same threshold — true/false positives and misses as
+    one audit row.  Both pair sets are output-bounded (near-dup pairs,
+    not the corpus), so the final confusion join runs driver-side on
+    results the distributed pipelines already shrank."""
+    exact = ngram_jaccard_pairs(sf_dir).to_pandas()
+    approx = minhash_dup_pairs(sf_dir).to_pandas()
+    ek = set(zip(exact["doc_a"], exact["doc_b"]))
+    mk = set(zip(approx["doc_a"], approx["doc_b"]))
+    tp = len(ek & mk)
+    return pd.DataFrame(
+        {
+            "n_exact": np.asarray([len(ek)], np.int64),
+            "n_minhash": np.asarray([len(mk)], np.int64),
+            "true_pos": np.asarray([tp], np.int64),
+            "false_pos": np.asarray([len(mk) - tp], np.int64),
+            "false_neg": np.asarray([len(ek) - tp], np.int64),
+        }
+    )
