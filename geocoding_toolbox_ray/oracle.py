@@ -5380,3 +5380,74 @@ SELECT CAST((SELECT COUNT(*) FROM x) AS BIGINT) AS n_exact,
        CAST((SELECT COUNT(*) FROM x) - tp.n AS BIGINT) AS false_neg
 FROM tp
 """
+
+
+def minhash_delta_near_dups_sql(est_permille: int = 500, cap: int | None = None) -> str:
+    """Incremental-probe replica: the same signatures/bands as
+    minhash_dup_pairs_sql, candidates restricted to delta x base sides,
+    base-side star cap replicated via the runbase CTE."""
+    from .functions.text import rolling_fingerprint_sql
+    from .queries import DELTA_MOD
+    from .stages.dedup import (
+        BAND_K,
+        MINHASH_A,
+        MINHASH_B,
+        MINHASH_P,
+        MINHASH_PERMS,
+        ROWS_PER_BAND,
+        RUN_ALL_PAIRS_CAP,
+    )
+
+    if cap is None:
+        cap = RUN_ALL_PAIRS_CAP
+    perms = ", ".join(
+        f"({i}, {int(a)}, {int(b)})"
+        for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    )
+    weights = ", ".join(
+        f"({j}, {pow(BAND_K, ROWS_PER_BAND - 1 - j, MINHASH_P)})"
+        for j in range(ROWS_PER_BAND)
+    )
+    return f"""
+WITH {_doc_shingles_ctes()},
+hashes AS (SELECT doc_id, {rolling_fingerprint_sql('sh')} AS h FROM sh),
+perms(perm_id, a, b) AS (VALUES {perms}),
+w(j, wt) AS (VALUES {weights}),
+sig AS (
+    SELECT hh.doc_id, p.perm_id, MIN((p.a * hh.h + p.b) % {MINHASH_P}) AS v
+    FROM hashes hh CROSS JOIN perms p
+    GROUP BY 1, 2
+),
+band AS (
+    SELECT s.doc_id, s.perm_id // {ROWS_PER_BAND} AS band_id,
+           SUM(((s.v % {MINHASH_P}) * w.wt) % {MINHASH_P}) % {MINHASH_P} AS band_hash
+    FROM sig s JOIN w ON w.j = s.perm_id % {ROWS_PER_BAND}
+    GROUP BY 1, 2
+),
+runbase AS (
+    SELECT band_id, band_hash,
+           COUNT(DISTINCT doc_id) AS nb, MIN(doc_id) AS mnb
+    FROM band WHERE doc_id % {DELTA_MOD} <> 0 GROUP BY 1, 2
+),
+cand AS (
+    SELECT DISTINCT d.doc_id AS delta_doc, b.doc_id AS base_doc
+    FROM band d
+    JOIN band b ON d.band_id = b.band_id AND d.band_hash = b.band_hash
+    JOIN runbase r ON r.band_id = d.band_id AND r.band_hash = d.band_hash
+    WHERE d.doc_id % {DELTA_MOD} = 0 AND b.doc_id % {DELTA_MOD} <> 0
+      AND (r.nb <= {cap} OR b.doc_id = r.mnb)
+),
+eq AS (
+    SELECT c.delta_doc, c.base_doc,
+           COUNT(*) FILTER (WHERE sa.v = sb.v) AS neq
+    FROM cand c
+    JOIN sig sa ON sa.doc_id = c.delta_doc
+    JOIN sig sb ON sb.doc_id = c.base_doc AND sb.perm_id = sa.perm_id
+    GROUP BY 1, 2
+)
+SELECT delta_doc, base_doc,
+       CAST(floor(1000.0 * neq / {MINHASH_PERMS} + 0.5) AS BIGINT)
+           AS est_jaccard_permille
+FROM eq
+WHERE 1000 * neq >= {est_permille} * {MINHASH_PERMS}
+"""

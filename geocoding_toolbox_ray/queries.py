@@ -12741,3 +12741,27 @@ def minhash_recall_report(sf_dir: str) -> pd.DataFrame:
             "false_neg": np.asarray([len(ek) - tp], np.int64),
         }
     )
+
+
+DELTA_MOD = 7  # doc_id % DELTA_MOD == 0 -> the "newly ingested" delta
+
+
+def minhash_delta_near_dups(sf_dir: str):
+    """Incremental dedup: probe the newly-ingested delta (doc_id %
+    DELTA_MOD == 0) against the existing base corpus's LSH bands —
+    query-vs-corpus, never base-vs-base all-pairs (the per-increment
+    shape of a continuously ingesting 100 TB pipeline)."""
+    from .stages.dedup import minhash_delta_probe
+
+    def _side(keep_delta: bool):
+        def _f(t: pa.Table) -> pa.Table:
+            ids = np.asarray(t["doc_id"].to_numpy(zero_copy_only=False), np.int64)
+            m = (ids % DELTA_MOD == 0) == keep_delta
+            return t.filter(pa.array(m))
+
+        return _f
+
+    docs = _docs(sf_dir)
+    base = docs.map_batches(_side(False), batch_format="pyarrow")
+    delta = _docs(sf_dir).map_batches(_side(True), batch_format="pyarrow")
+    return minhash_delta_probe(base, delta, n_docs=_nrows(sf_dir, "documents"))

@@ -1372,3 +1372,97 @@ def dedup_clusters(
         return pa.table({"doc_id": f["node"], "cluster_id": f["val"]})
 
     return state.map_batches(_labels_out, batch_format="pyarrow")
+
+
+def bucket_cross_pairs(
+    group: pd.DataFrame, est_threshold: float = 0.5, cap: int = RUN_ALL_PAIRS_CAP
+) -> pd.DataFrame:
+    """map_groups body for the INCREMENTAL probe: within each equal
+    (band_id, band_hash) run, pair only ACROSS sides (side=1 delta docs
+    vs side=0 base docs) and verify by signature overlap.  A degenerate
+    run whose BASE side exceeds ``cap`` distinct docs pairs each delta
+    doc with the base run's min doc only (the star-cap concession,
+    replicated in the oracle's runbase CTE)."""
+    _EMPTY = {
+        "delta_doc": "int64",
+        "base_doc": "int64",
+        "est_jaccard_permille": "int64",
+    }
+    if len(group) < 2:
+        return pd.DataFrame({k: [] for k in _EMPTY}).astype(_EMPTY)
+    g = group.sort_values(["band_id", "band_hash", "doc_id"], kind="mergesort")
+    bid = g["band_id"].to_numpy(np.int64)
+    bh = g["band_hash"].to_numpy(np.int64)
+    ids = g["doc_id"].to_numpy(np.int64)
+    side = g["side"].to_numpy(np.int64)
+    sig_list = g["sig"].to_numpy(object)
+    same = (bid[1:] == bid[:-1]) & (bh[1:] == bh[:-1])
+    bounds = np.flatnonzero(~same) + 1
+    starts = np.concatenate([[0], bounds])
+    ends = np.concatenate([bounds, [len(g)]])
+    frames = []
+    for s, e in zip(starts, ends):
+        run_ids = ids[s:e]
+        run_side = side[s:e]
+        d_u, d_pos = np.unique(run_ids[run_side == 1], return_index=True)
+        b_u, b_pos = np.unique(run_ids[run_side == 0], return_index=True)
+        if len(d_u) == 0 or len(b_u) == 0:
+            continue
+        d_rows = np.flatnonzero(run_side == 1)[d_pos] + s
+        b_rows = np.flatnonzero(run_side == 0)[b_pos] + s
+        if len(b_u) > cap:
+            b_u, b_rows = b_u[:1], b_rows[:1]  # min base doc (ids sorted)
+        d_sigs = np.stack([np.frombuffer(sig_list[r], np.int64) for r in d_rows])
+        b_sigs = np.stack([np.frombuffer(sig_list[r], np.int64) for r in b_rows])
+        ia = np.repeat(np.arange(len(d_u)), len(b_u))
+        ib = np.tile(np.arange(len(b_u)), len(d_u))
+        frac = (d_sigs[ia] == b_sigs[ib]).mean(axis=1)
+        keep = frac >= est_threshold
+        if keep.any():
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "delta_doc": d_u[ia[keep]],
+                        "base_doc": b_u[ib[keep]],
+                        "est_jaccard_permille": np.floor(
+                            1000.0 * frac[keep] + 0.5
+                        ).astype(np.int64),
+                    }
+                )
+            )
+    if not frames:
+        return pd.DataFrame({k: [] for k in _EMPTY}).astype(_EMPTY)
+    return pd.concat(frames, ignore_index=True)
+
+
+def minhash_delta_probe(
+    base,
+    delta,
+    est_threshold: float = 0.5,
+    n_docs: int | None = None,
+    cap: int = RUN_ALL_PAIRS_CAP,
+):
+    """Incremental near-dup check: which DELTA documents near-duplicate
+    something already in the BASE corpus — the shape a continuously
+    ingesting pipeline runs per increment (query-vs-corpus LSH probe,
+    never base-vs-base all-pairs).  Both sides band once; the shuffle
+    carries signatures, not text; cross-side candidate pairs verify from
+    the signatures in place."""
+    nb = nbuckets_for(n_docs)
+
+    def _tag(side_val: int):
+        def _f(t: pa.Table) -> pa.Table:
+            rows = band_rows(t, nbuckets=nb)
+            return rows.append_column(
+                "side", pa.array(np.full(rows.num_rows, side_val, np.int64))
+            )
+
+        return _f
+
+    banded = base.map_batches(_tag(0), batch_format="pyarrow", batch_size=2048).union(
+        delta.map_batches(_tag(1), batch_format="pyarrow", batch_size=2048)
+    )
+    pairs = banded.groupby("bucket").map_groups(
+        lambda g: bucket_cross_pairs(g, est_threshold, cap), batch_format="pandas"
+    )
+    return dedupe_pairs(pairs, "delta_doc", "base_doc", "est_jaccard_permille", "min", nb)

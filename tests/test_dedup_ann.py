@@ -437,3 +437,45 @@ def test_ann_ivf_subset_of_bruteforce(ray_session):
     for qid in (0, 1, 2):
         top = ivf[(ivf["query_id"] == qid) & (ivf["rank"] == 1)]["vec_id"]
         assert len(top) == 1 and top.iloc[0] == qid
+
+
+def test_minhash_delta_probe_cross_only_and_cap(ray_session):
+    """Incremental probe: (1) pairs are strictly delta x base (never
+    base-base or delta-delta); (2) a base run past the cap pairs each
+    delta doc with the min base doc only; (3) oracle SQL replicates the
+    cap (checked in the registry parity) — here the ENGINE semantics are
+    pinned directly."""
+    import duckdb
+    import ray.data as rd
+
+    txt = "identical boilerplate page content repeated verbatim"
+    base_rows = [{"doc_id": i, "text": txt} for i in range(1, 10)]  # 9 base docs
+    base_rows += [{"doc_id": 50, "text": "completely different unrelated words here"}]
+    delta_rows = [{"doc_id": 100, "text": txt}, {"doc_id": 101, "text": txt}]
+
+    out = dedup.minhash_delta_probe(
+        rd.from_items(base_rows), rd.from_items(delta_rows), cap=4
+    ).to_pandas()
+    # base run of 9 > cap=4 -> each delta doc pairs ONLY with base min (1)
+    assert set(zip(out["delta_doc"], out["base_doc"])) == {(100, 1), (101, 1)}
+    assert (out["est_jaccard_permille"] == 1000).all()
+
+    # uncapped: each delta doc pairs with every base run member
+    out2 = dedup.minhash_delta_probe(
+        rd.from_items(base_rows), rd.from_items(delta_rows)
+    ).to_pandas()
+    assert len(out2) == 18
+    assert set(out2["delta_doc"]) == {100, 101}
+    assert set(out2["base_doc"]) == set(range(1, 10))
+
+    # oracle cap parity at cap=4 over a documents view with the same shape
+    # (delta membership = doc_id % DELTA_MOD == 0 -> use ids 7/14 as delta)
+    from geocoding_toolbox_ray import oracle
+
+    con = duckdb.connect()
+    rows = [(i, txt) for i in range(1, 6) if i % 7 != 0]
+    rows += [(7, txt), (14, txt), (8, "another entirely different document text")]
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    got = con.execute(oracle.minhash_delta_near_dups_sql(cap=2)).df()
+    assert set(zip(got["delta_doc"], got["base_doc"])) == {(7, 1), (14, 1)}
