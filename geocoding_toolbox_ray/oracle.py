@@ -5451,3 +5451,46 @@ SELECT delta_doc, base_doc,
 FROM eq
 WHERE 1000 * neq >= {est_permille} * {MINHASH_PERMS}
 """
+
+
+def doc_sentence_dedup_sql() -> str:
+    """First-global-occurrence sentence dedup: same '. ' split, same
+    ROLL_* sentence fingerprint, winner = MIN(doc_id * PACK + pos).
+    unnest + generate_subscripts sit in the SAME select list (they
+    cross-product when split across levels)."""
+    from .functions.text import rolling_fingerprint_sql
+    from .queries import SENT_PACK
+
+    return f"""
+WITH s AS (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(text, '\\. ')) AS frag,
+           generate_subscripts(regexp_split_to_array(text, '\\. '), 1) AS pos
+    FROM documents
+),
+h AS (
+    SELECT doc_id, pos, frag,
+           {rolling_fingerprint_sql('frag')} AS fp,
+           doc_id * {SENT_PACK} + pos AS pack
+    FROM s
+),
+w AS (SELECT fp, MIN(pack) AS minpack, COUNT(*) AS cnt FROM h GROUP BY 1),
+kept AS (
+    SELECT h.doc_id, h.pos, h.frag
+    FROM h JOIN w ON w.fp = h.fp
+    WHERE w.cnt < 2 OR h.pack = w.minpack
+),
+agg AS (
+    SELECT doc_id, string_agg(frag, '. ' ORDER BY pos) AS clean_text,
+           CAST(COUNT(*) AS BIGINT) AS n_kept
+    FROM kept GROUP BY 1
+),
+tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM s GROUP BY 1)
+SELECT d.doc_id,
+       COALESCE(a.clean_text, '') AS clean_text,
+       CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(t.n - COALESCE(a.n_kept, 0) AS BIGINT) AS n_dropped
+FROM documents d
+JOIN tot t ON t.doc_id = d.doc_id
+LEFT JOIN agg a ON a.doc_id = d.doc_id
+"""

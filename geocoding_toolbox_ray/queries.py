@@ -12765,3 +12765,97 @@ def minhash_delta_near_dups(sf_dir: str):
     base = docs.map_batches(_side(False), batch_format="pyarrow")
     delta = _docs(sf_dir).map_batches(_side(True), batch_format="pyarrow")
     return minhash_delta_probe(base, delta, n_docs=_nrows(sf_dir, "documents"))
+
+
+SENT_PACK = 1 << 20  # position slots per doc; doc_id < 2^42 asserted
+
+
+def doc_sentence_dedup(sf_dir: str):
+    """Cross-document SENTENCE-level exact dedup (the sub-document
+    granularity between whole-doc dedup and passage windows): every
+    '. '-delimited sentence keeps only its FIRST global occurrence
+    (smallest (doc_id, position)), duplicates drop wherever they appear
+    later.  Two streaming passes: (1) per-batch (sentence-fp -> min
+    pack, count) partials -> fp-bucket reduce keeping ONLY fps seen >= 2
+    times (the dup set — broadcast volume is bounded by duplication, not
+    corpus size) -> sorted kv broadcast built remotely; (2) re-stream,
+    keep a sentence iff its fp is absent from the dup set or its pack IS
+    the minimum.  Identity is the shared ROLL_* fingerprint on BOTH
+    sides (identical collision behavior)."""
+    import ray
+
+    from .functions.text import rolling_fingerprint_batch
+    from .stages.dedup import _sorted_kv_task
+
+    docs = _docs(sf_dir)
+
+    def _explode(df: pd.DataFrame):
+        ids = df["doc_id"].to_numpy(np.int64)
+        assert len(ids) == 0 or ids.max() < (1 << 42), "widen SENT_PACK"
+        ex = df["text"].str.split(". ", regex=False).explode()
+        owner = ex.index.to_numpy(np.int64)
+        pos = (
+            pd.Series(1, index=ex.index).groupby(level=0).cumsum().to_numpy(np.int64)
+        )
+        fps = rolling_fingerprint_batch(ex.tolist())
+        pack = ids[owner] * SENT_PACK + pos
+        return ids, owner, pos, fps, pack, ex
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        _, _, _, fps, pack, _ = _explode(df)
+        d = pd.DataFrame({"fp": fps, "pack": pack})
+        agg = d.groupby("fp", sort=False)["pack"].agg(["min", "size"]).reset_index()
+        agg["bucket"] = (agg["fp"].to_numpy(np.int64) * 2654435761 % 2**32) % SESSION_BUCKETS
+        return pd.DataFrame(
+            {
+                "bucket": agg["bucket"].to_numpy(np.int64),
+                "fp": agg["fp"].to_numpy(np.int64),
+                "minpack": agg["min"].to_numpy(np.int64),
+                "cnt": agg["size"].to_numpy(np.int64),
+            }
+        )
+
+    def _reduce(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("fp", sort=False).agg(
+            minpack=("minpack", "min"), cnt=("cnt", "sum")
+        )
+        dup = s[s["cnt"] >= 2]
+        return pd.DataFrame(
+            {
+                "fp": dup.index.to_numpy(np.int64),
+                "minpack": dup["minpack"].to_numpy(np.int64),
+            }
+        )
+
+    dup_tab = (
+        docs.map_batches(_partial, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(_reduce, batch_format="pandas")
+    )
+    refs = [br for b in dup_tab.iter_internal_ref_bundles() for br in b.block_refs]
+    kv_ref = _sorted_kv_task.remote(refs, "fp", "minpack")
+
+    def _apply(df: pd.DataFrame) -> pd.DataFrame:
+        fps_sorted, minpacks = ray.get(kv_ref)
+        ids, owner, pos, fps, pack, ex = _explode(df)
+        p = np.searchsorted(fps_sorted, fps)
+        p_ok = p < len(fps_sorted)
+        is_dup_fp = np.zeros(len(fps), bool)
+        is_dup_fp[p_ok] = fps_sorted[p[p_ok]] == fps[p_ok]
+        keep = ~is_dup_fp
+        keep[is_dup_fp] = minpacks[p[is_dup_fp]] == pack[is_dup_fp]
+        kept = ex[keep]
+        joined = kept.groupby(level=0).agg(". ".join)
+        n_kept = kept.groupby(level=0).size()
+        n_tot = ex.groupby(level=0).size()
+        nk = n_kept.reindex(n_tot.index, fill_value=0).to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "doc_id": ids,
+                "clean_text": joined.reindex(n_tot.index, fill_value="").to_numpy(object),
+                "n_kept": nk,
+                "n_dropped": n_tot.to_numpy(np.int64) - nk,
+            }
+        )
+
+    return docs.map_batches(_apply, batch_format="pandas")

@@ -56,3 +56,60 @@ def test_tfidf_topk_scores_monotone(ray_session):
     for did in df["doc_id"]:
         toks = set(ws_tokens(docs.loc[did, "text"].lower()))
         assert toks & set(queries.TFIDF_TERMS)
+
+
+def test_doc_sentence_dedup_planted(ray_session):
+    """The synthetic documents corpus has no repeated sentences (its
+    driver parity row is trivially all-kept), so the discriminating
+    behavior is pinned here: planted cross-doc and intra-doc duplicate
+    sentences, engine vs the SAME oracle SQL over a constructed
+    documents table."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from geocoding_toolbox_ray import oracle
+
+    rows = [
+        {"doc_id": 1, "text": "alpha beta. shared sentence. gamma"},
+        {"doc_id": 2, "text": "shared sentence. delta epsilon"},      # cross-doc dup drops
+        {"doc_id": 3, "text": "zeta. zeta. unique tail"},             # intra-doc dup drops
+        {"doc_id": 4, "text": "shared sentence"},                     # whole doc is a dup
+    ]
+    # engine path over an in-memory documents source: monkeypatch _docs
+    import geocoding_toolbox_ray.queries as q
+
+    orig = q._docs
+    try:
+        q._docs = lambda sf_dir, columns=("doc_id", "text"): rd.from_items(rows)
+        out = (
+            q.doc_sentence_dedup("unused")
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+    finally:
+        q._docs = orig
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany(
+        "INSERT INTO documents VALUES (?, ?)", [(r["doc_id"], r["text"]) for r in rows]
+    )
+    exp = (
+        con.execute(oracle.doc_sentence_dedup_sql())
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["clean_text"].tolist() == exp["clean_text"].tolist()
+    assert out["n_kept"].tolist() == exp["n_kept"].tolist()
+    assert out["n_dropped"].tolist() == exp["n_dropped"].tolist()
+    # semantic pins, independent of the oracle
+    got = out.set_index("doc_id")
+    assert got.loc[1, "clean_text"] == "alpha beta. shared sentence. gamma"
+    assert got.loc[2, "clean_text"] == "delta epsilon"
+    assert got.loc[3, "clean_text"] == "zeta. unique tail"
+    assert got.loc[4, "clean_text"] == ""
+    assert got.loc[4, "n_dropped"] == 1
