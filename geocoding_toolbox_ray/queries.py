@@ -12859,3 +12859,47 @@ def doc_sentence_dedup(sf_dir: str):
         )
 
     return docs.map_batches(_apply, batch_format="pandas")
+
+
+def supplier_betweenness(sf_dir: str):
+    """Exact betweenness centrality over the sampled co-supply graph
+    (the brokerage-position complement to degree/pagerank/k-core).
+    Edge derivation = supplier_degree_histogram's bucketed distinct
+    pipeline; the Brandes solve runs in one remote task over the
+    ENTITY-bounded edge list (SQL cannot express all-pairs shortest-path
+    counting — rows-only entry, pinned against a naive reference in
+    tests/test_graph.py)."""
+    from .stages.graph import betweenness_centrality
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
+
+    def _inc(t: pa.Table) -> pd.DataFrame:
+        ok = np.asarray(t["l_orderkey"].to_numpy(zero_copy_only=False), np.int64)
+        sk = np.asarray(t["l_suppkey"].to_numpy(zero_copy_only=False), np.int64)
+        keep = ok % 10 == 0
+        ok, sk = ok[keep], sk[keep]
+        assert len(sk) == 0 or sk.max() < SUPP_PACK, "widen SUPP_PACK"
+        key = ok * SUPP_PACK + sk
+        u = np.unique(key)
+        return pd.DataFrame(
+            {
+                "bucket": ((u // SUPP_PACK * 2654435761) % 4294967296) % SESSION_BUCKETS,
+                "ok": u // SUPP_PACK,
+                "sk": u % SUPP_PACK,
+            }
+        )
+
+    def _edges(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["ok", "sk"])
+        m = g.merge(g, on="ok")
+        m = m[m["sk_x"] < m["sk_y"]].drop_duplicates(["sk_x", "sk_y"])
+        return pd.DataFrame(
+            {"src": m["sk_x"].to_numpy(np.int64), "dst": m["sk_y"].to_numpy(np.int64)}
+        )
+
+    edges = (
+        li.map_batches(_inc, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_edges, batch_format="pandas")
+    )
+    return betweenness_centrality(edges)

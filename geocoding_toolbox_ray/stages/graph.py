@@ -347,3 +347,117 @@ def pagerank_weighted(
             {"node_id": pa.array(nodes, pa.int64()), "pr_score": pa.array(rank, pa.int64())}
         )
     )
+
+
+@_lazy_remote
+def _betweenness_task(refs, scale):
+    """Brandes betweenness on the gathered (src, dst) edge list (treated
+    as an undirected simple graph): one BFS + dependency accumulation
+    pass per source, all CSR/numpy.  Bounded by the ENTITY graph (nodes
+    = suppliers, not input rows) — the same driver-side-bounded contract
+    as the k-core peel.  Scores are floats (sigma ratios are inherently
+    fractional); ``scale`` fixes the output as integer micro-units for a
+    deterministic schema (single task -> no merge-order freedom)."""
+    import ray
+
+    srcs, dsts = [], []
+    for r in refs:
+        blk = ray.get(r)
+        srcs.append(_block_column(blk, "src"))
+        dsts.append(_block_column(blk, "dst"))
+    src = np.concatenate(srcs) if srcs else np.zeros(0, np.int64)
+    dst = np.concatenate(dsts) if dsts else np.zeros(0, np.int64)
+    nodes = _sorted_unique(np.concatenate([src, dst]))
+    n = len(nodes)
+    if n == 0:
+        return pa.table(
+            {"node_id": pa.array([], pa.int64()), "btw_micro": pa.array([], pa.int64())}
+        )
+    # undirected simple: symmetrize + unique packed
+    a = np.searchsorted(nodes, src)
+    b = np.searchsorted(nodes, dst)
+    keep = a != b
+    a, b = a[keep], b[keep]
+    pack = np.unique(
+        np.concatenate([a * n + b, b * n + a]).astype(np.int64)
+    )
+    u, v = pack // n, pack % n
+    order = np.argsort(u, kind="stable")
+    u, v = u[order], v[order]
+    starts = np.searchsorted(u, np.arange(n))
+    ends = np.searchsorted(u, np.arange(n) + 1)
+    btw = np.zeros(n, np.float64)
+    for s in range(n):
+        # BFS with path counting
+        dist = np.full(n, -1, np.int64)
+        sigma = np.zeros(n, np.float64)
+        dist[s] = 0
+        sigma[s] = 1.0
+        frontier = np.array([s], np.int64)
+        levels = [frontier]
+        while len(frontier):
+            # neighbors of the frontier via CSR span-gather
+            cnt = ends[frontier] - starts[frontier]
+            tot = int(cnt.sum())
+            if tot == 0:
+                break
+            fi = np.repeat(np.arange(len(frontier)), cnt)
+            flat = (
+                np.arange(tot, dtype=np.int64)
+                - np.repeat(np.cumsum(cnt) - cnt, cnt)
+                + np.repeat(starts[frontier], cnt)
+            )
+            nb = v[flat]
+            parent = frontier[fi]
+            d_next = dist[frontier[0]] + 1
+            new_mask = dist[nb] == -1
+            if new_mask.any():
+                dist[nb[new_mask]] = d_next
+            on_level = dist[nb] == d_next
+            np.add.at(sigma, nb[on_level], sigma[parent[on_level]])
+            frontier = np.unique(nb[new_mask])
+            if len(frontier):
+                levels.append(frontier)
+        # dependency accumulation, deepest level first
+        delta = np.zeros(n, np.float64)
+        for frontier in reversed(levels[1:]):
+            cnt = ends[frontier] - starts[frontier]
+            tot = int(cnt.sum())
+            fi = np.repeat(np.arange(len(frontier)), cnt)
+            flat = (
+                np.arange(tot, dtype=np.int64)
+                - np.repeat(np.cumsum(cnt) - cnt, cnt)
+                + np.repeat(starts[frontier], cnt)
+            )
+            nb = v[flat]
+            w = frontier[fi]
+            pred = dist[nb] == dist[w] - 1
+            contrib = np.zeros(n, np.float64)
+            np.add.at(
+                contrib,
+                nb[pred],
+                sigma[nb[pred]] / sigma[w[pred]] * (1.0 + delta[w[pred]]),
+            )
+            delta += contrib
+        delta[s] = 0.0
+        btw += delta
+    btw /= 2.0  # undirected: each pair counted from both endpoints
+    return pa.table(
+        {
+            "node_id": pa.array(nodes, pa.int64()),
+            "btw_micro": pa.array(np.floor(btw * scale + 0.5).astype(np.int64)),
+        }
+    )
+
+
+def betweenness_centrality(edges, scale: int = 10**6):
+    """(src, dst) edge Dataset -> exact unnormalized betweenness per node
+    (undirected simple graph), as integer micro-units.  Node count must
+    be entity-bounded (the single-task Brandes is O(V*E)); document any
+    caller whose graph grows with input rows."""
+    import ray
+    import ray.data as rd
+
+    edges = edges.materialize()
+    refs = [br for bd in edges.iter_internal_ref_bundles() for br in bd.block_refs]
+    return rd.from_arrow(ray.get(_betweenness_task.remote(refs, scale)))

@@ -177,3 +177,108 @@ def test_weighted_small_vs_distributed_identical(ray_session):
         .set_index("node_id")["pr_score"]
     )
     assert (hub.loc[0] > hub.drop(0)).all()
+
+
+def test_betweenness_matches_naive(ray_session):
+    """Brandes vs a naive all-pairs BFS path-counting reference on a
+    random graph + closed-form pins (path and star graphs)."""
+    import itertools
+
+    import ray.data as rd
+
+    from geocoding_toolbox_ray.stages.graph import betweenness_centrality
+
+    def naive_btw(edge_set, nodes):
+        adj = {x: set() for x in nodes}
+        for a, b in edge_set:
+            adj[a].add(b)
+            adj[b].add(a)
+        btw = {x: 0.0 for x in nodes}
+        for s, t in itertools.combinations(sorted(nodes), 2):
+            # BFS shortest-path DAG from s
+            import collections
+
+            dist = {s: 0}
+            paths = {s: 1}
+            qu = collections.deque([s])
+            while qu:
+                x = qu.popleft()
+                for y in adj[x]:
+                    if y not in dist:
+                        dist[y] = dist[x] + 1
+                        paths[y] = 0
+                        qu.append(y)
+                    if dist[y] == dist[x] + 1:
+                        paths[y] += paths[x]
+            if t not in dist:
+                continue
+            # count paths through each intermediate v:
+            # paths_s(v) * paths(v -> t along the s-BFS DAG) / paths_s(t)
+            for v in nodes:
+                if v in (s, t) or v not in dist:
+                    continue
+                if dist[v] + _bfs_dist(adj, v, t) == dist[t]:
+                    btw[v] += paths[v] * _count_paths(adj, dist, v, t) / paths[t]
+        return btw
+
+    def _bfs_dist(adj, a, b):
+        import collections
+
+        dist = {a: 0}
+        qu = collections.deque([a])
+        while qu:
+            x = qu.popleft()
+            if x == b:
+                return dist[x]
+            for y in adj[x]:
+                if y not in dist:
+                    dist[y] = dist[x] + 1
+                    qu.append(y)
+        return 10**9
+
+    def _count_paths(adj, dist_s, v, t):
+        # number of shortest v->t paths that EXTEND the s->v prefix:
+        # BFS from v restricted to strictly increasing dist_s levels
+        import collections
+
+        dv = {v: 1}
+        order = collections.deque([v])
+        while order:
+            x = order.popleft()
+            for y in adj[x]:
+                if dist_s.get(y) == dist_s[x] + 1:
+                    if y not in dv:
+                        dv[y] = 0
+                        order.append(y)
+                    dv[y] += dv[x]
+        return dv.get(t, 0)
+
+    rng = np.random.RandomState(3)
+    nodes = list(range(12))
+    all_pairs = [(a, b) for a in nodes for b in nodes if a < b]
+    take = rng.choice(len(all_pairs), 20, replace=False)
+    edge_set = [all_pairs[i] for i in take]
+    src = np.array([a for a, _ in edge_set], np.int64)
+    dst = np.array([b for _, b in edge_set], np.int64)
+    got = (
+        betweenness_centrality(
+            rd.from_arrow(pa.table({"src": pa.array(src), "dst": pa.array(dst)}))
+        )
+        .to_pandas()
+        .set_index("node_id")["btw_micro"]
+    )
+    exp = naive_btw(edge_set, set(src) | set(dst))
+    for v, val in exp.items():
+        assert abs(got.get(v, 0) - round(val * 1e6)) <= 2, (v, val, got.get(v))
+
+    # closed-form: path 0-1-2-3-4 -> center 2 lies on 4 pairs' paths
+    p_src = np.array([0, 1, 2, 3], np.int64)
+    p_dst = np.array([1, 2, 3, 4], np.int64)
+    path = (
+        betweenness_centrality(
+            rd.from_arrow(pa.table({"src": pa.array(p_src), "dst": pa.array(p_dst)}))
+        )
+        .to_pandas()
+        .set_index("node_id")["btw_micro"]
+    )
+    assert path[2] == 4_000_000 and path[0] == 0 and path[1] == 3_000_000
