@@ -183,6 +183,7 @@ def test_rows_only_queries_run(ray_session):
         "ann_topk_ivf",
         "ann_topk_ivf_pruned",
         "approx_distinct_users",
+        "supplier_betweenness",
     ):
         res = qs[name](SF_DIR)
         n = len(res) if isinstance(res, pd.DataFrame) else res.count()
